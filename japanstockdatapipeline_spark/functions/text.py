@@ -1,0 +1,122 @@
+"""Text-analysis column expressions for the documents table.
+
+Training-data-pipeline primitives (BASELINE.json north-star): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+All pure Catalyst expressions (JVM-side, codegen) — no Python UDFs —
+so they run at scan speed on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "n_tokens",
+    "avg_token_len",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "shingles",
+]
+
+# tiny closed stopword list; shared verbatim with the DuckDB oracle SQL
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language marker words for the n-gram/marker heuristic language ID.
+# Deterministic rule set, applied identically in Spark and oracle SQL.
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("de5", "shi4", "bu4"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw.cast("double") / F.size(toks))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    np = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(n > 0, np.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]:
+    0.4 * length factor (saturates at 200 tokens)
+    + 0.3 * (1 - stopword_ratio)
+    + 0.3 * (1 - min(punct_ratio * 10, 1)).
+    """
+    nt = n_tokens(text)
+    lf = F.least(nt.cast("double") / F.lit(200.0), F.lit(1.0))
+    swr = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    pr = F.least(F.coalesce(punct_ratio(text), F.lit(0.0)) * 10.0, F.lit(1.0))
+    return 0.4 * lf + 0.3 * (1.0 - swr) + 0.3 * (1.0 - pr)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: the language whose marker list hits the
+    most tokens wins; ties and zero hits fall back to 'en'."""
+    toks = F.transform(tokens(text), F.lower)
+
+    def in_set(values):
+        # closure factory: a default-arg lambda would be seen as a
+        # two-param (element, index) HOF lambda by pyspark
+        def f(t):
+            return t.isin(*values)
+
+        return f
+
+    hit_structs = []
+    # order matters for deterministic tie-break: check in fixed order,
+    # strictly-greater comparison keeps the earlier language on ties
+    for lang_code, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, in_set(markers)))
+        hit_structs.append((lang_code, hits))
+    pred = F.lit("en")
+    best = F.lit(0)
+    for lang_code, hits in hit_structs:
+        pred = F.when(hits > best, F.lit(lang_code)).otherwise(pred)
+        best = F.greatest(best, hits)
+    return pred
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Canonicalized exact-dup fingerprint: lower, collapse whitespace, md5."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles (distinct), as array<string> — the unit set for
+    n-gram Jaccard / MinHash dedup."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())

@@ -1,0 +1,218 @@
+"""Deduplication operators over the documents table.
+
+Training-data-pipeline primitives (BASELINE.json north-star):
+ - exact dedup: canonicalize -> md5 -> groupBy fingerprint
+ - n-gram Jaccard near-dup: shingle sets + bounded pair generation
+ - MinHash + LSH: shingle -> minhash signature -> band buckets ->
+   candidate pairs via equi-join (the 100 TB path: no cross join,
+   only shuffles on band keys)
+ - SimHash: 64-bit signed-bit aggregate of token hashes
+
+All hashing uses md5/conv (identical results reproducible in ANSI
+SQL), so correctness is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+]
+
+
+def _md5_hash64(col: Column, seed: int) -> Column:
+    """Deterministic 63-bit hash from md5 hex — portable across engines
+    (same value computable in DuckDB SQL), unlike xxhash64.
+    """
+    h = F.md5(F.concat(F.lit(str(seed) + ":"), col))
+    # first 15 hex chars => 60 bits, fits bigint exactly
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: canonical md5 fingerprint, keep min id.
+
+    One hash-shuffle on the fingerprint; at 100 TB this is the classic
+    map-side-combine groupBy — no state beyond the aggregation.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by k-token-shingle Jaccard >= threshold.
+
+    Pair generation is bounded by inverted-index blocking: explode
+    shingles, self-join on shingle (equi-join => shuffle, no cross
+    join), count shared shingles per pair, then
+    J = shared / (|A| + |B| - shared). Each pair is emitted once
+    (id_a < id_b). This is the exact-Jaccard path; MinHash+LSH below
+    is the approximate scale path.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return shared.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature: per seed, min over shingle hashes.
+
+    Computed as array expressions over the shingle array — stays
+    JVM-side, no UDF, no explode (signature built per row).
+    """
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+
+    def hash_with_seed(seed):
+        # closure factory (a default-arg lambda would be treated as a
+        # two-param (element, index) HOF lambda by pyspark)
+        def f(s):
+            return _md5_hash64(s, seed)
+
+        return f
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), hash_with_seed(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return sh.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: split signature into bands, bucket-join on
+    (band_idx, band_hash). Emits distinct candidate pairs (id_a < id_b)
+    with estimated Jaccard = fraction of matching minhashes.
+
+    Scale shape: explode to bands (xN rows), shuffle on band key,
+    join within buckets only — never a cross join.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(docs, n_hashes, k, id_col=id_col, text_col=text_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rows_per_band + j + 1).cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_hashes))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of (+1/-1) votes from each token's md5-derived bits. Near-dups have
+    small Hamming distance between simhashes.
+
+    Implemented as 64 array-fold expressions; no UDF. At 100 TB this
+    is scan-bound and embarrassingly parallel.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("t"))
+    hashed = toks.withColumn(
+        "h", F.transform(F.col("t"), lambda s: _md5_hash64(s, 0))
+    )
+    def bit_vote(bit):
+        def f(acc, x):
+            return acc + F.when(
+                F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return f
+
+    bit_cols = []
+    for bit in range(60):  # 60 bits from the 15-hex-char hash
+        vote = F.aggregate(F.col("h"), F.lit(0), bit_vote(bit))
+        bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**bit).cast("bigint"))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return hashed.select(id_col, sim.alias("simhash"))

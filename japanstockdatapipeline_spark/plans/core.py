@@ -1,0 +1,456 @@
+"""Core relational query plans over the TPC-H-ish testdata.
+
+Each query maps operators from SURVEY.md §2 (citations inline) onto
+the driver tables and carries a DuckDB oracle. Conventions shared
+with the oracles:
+  - every computed double is round(x, N) on BOTH sides (sums of
+    2-dp money at N=2; ratios at N=6)
+  - counts cast to bigint on both sides (DuckDB sum(int) is HUGEINT)
+  - timestamps exported as epoch micros (unix_micros / epoch_us)
+  - dates exported as 'yyyy-MM-dd' strings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.semantics import zscore
+from ..operators.windows import top_n_per_key
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "pricing_summary",
+    doc="A1 grouped conditional aggregates (00108:41-52); flagship scan+agg. "
+    "TPC-H Q1 shape: one scan, map-side partial agg, 6-group final agg.",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    doc="J1 equi joins to broadcast dimensions (00049:82-84): "
+    "lineitem ⋈ supplier ⋈ nation ⋈ region, revenue per nation. "
+    "All three dims broadcast; single shuffle for the final agg.",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    doc="J9/T3 lateral top-N-per-key as a rank window (00042:17-25).",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    top = top_n_per_key(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rk",
+    )
+    return top.withColumn("rk", F.col("rk").cast("int"))
+
+
+@query(
+    "customers_without_orders",
+    doc="J10/J11 anti-join (catch-up missing days / delisting detection, "
+    "catch-up.ts:86-117, equity-master.ts:523-530).",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent (1998+) orders — non-empty at every sf."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "acctbal_nation_scores",
+    doc="W2/W3/W8 sector-relative scoring (00049:87-105): percent_rank, "
+    "population z-score with sigma=0→0, population count — one window "
+    "partition (nation) serves all three.",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS bal_pct,
+           round(CASE WHEN stddev_pop(c_acctbal) OVER (PARTITION BY c_nationkey) = 0 THEN 0.0
+                 ELSE (c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                      / stddev_pop(c_acctbal) OVER (PARTITION BY c_nationkey) END, 6) AS bal_z,
+           count(*) OVER (PARTITION BY c_nationkey) AS nation_n
+    FROM customer
+    """,
+)
+def acctbal_nation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    wp = Window.partitionBy("c_nationkey")
+    wo = wp.orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(wo), 6).alias("bal_pct"),
+        F.round(
+            zscore(
+                F.col("c_acctbal"),
+                F.avg("c_acctbal").over(wp),
+                F.stddev_pop("c_acctbal").over(wp),
+            ),
+            6,
+        ).alias("bal_z"),
+        F.count(F.lit(1)).over(wp).alias("nation_n"),
+    )
+
+
+@query(
+    "order_discount_product",
+    doc="A2 exact product aggregate (numeric_product, 00093:24-37): "
+    "per-order product of (1 - discount), exact fold — not exp(sum(ln)).",
+    oracle="""
+    SELECT l_orderkey,
+           round(product(round((1 - l_discount) * 100)) / pow(100, count(*)), 6) AS disc_factor,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def order_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.semantics import product_of_list
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # discounts are 2-dp: scale (1-d) to an exact integer in [0,100] so
+    # the product is exact in double (< 2^53 for <=7 lines) and hence
+    # independent of multiply order — the same trick both engines share.
+    # This is the reference's "numeric_product, not exp(sum(ln))" rule
+    # (00093:24-37) adapted to IEEE doubles.
+    scaled = F.round((1 - F.col("l_discount")) * 100, 0)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                product_of_list(F.collect_list(scaled))
+                / F.pow(F.lit(100.0), F.count(F.lit(1))),
+                6,
+            ).alias("disc_factor"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "brand_price_stats",
+    doc="A3 exact median (sorted-array median, 00116:197-219) — "
+    "percentile_approx is rejected; Spark `percentile` is exact.",
+    oracle="""
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+           round(min(p_retailprice), 2) AS min_price,
+           round(max(p_retailprice), 2) AS max_price,
+           count(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    HAVING count(*) >= 5
+    """,
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.expr("percentile(p_retailprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .filter(F.col("n_parts") >= 5)
+    )
+
+
+@query(
+    "segment_weighted_price",
+    doc="A4 harmonic weighted valuation (basket-valuation.ts:517-556): "
+    "Σ(w·x)/Σ(w) over rows where both defined; denominator ≤ 0 → NULL.",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           round(CASE WHEN sum(c_acctbal) > 0
+                 THEN sum(c_acctbal * o_totalprice) / sum(c_acctbal) END, 6) AS weighted_price,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.semantics import safe_div
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).filter(F.col("c_acctbal") > 0)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(
+                safe_div(
+                    F.sum(F.col("c_acctbal") * F.col("o_totalprice")), F.sum("c_acctbal")
+                ),
+                6,
+            ).alias("weighted_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "status_pivot_per_customer",
+    doc="J3 conditional-agg pivot (00108:41-52) — the reference's "
+    ">120 s → 23.4 s rewrite: one scan, max(when) per bucket.",
+    oracle="""
+    SELECT o_custkey,
+           round(max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS max_f,
+           round(max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS max_o,
+           round(max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS max_p,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def status_pivot_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    def mx(st):
+        return F.round(F.max(F.when(F.col("o_orderstatus") == st, F.col("o_totalprice"))), 2)
+
+    return o.groupBy("o_custkey").agg(
+        mx("F").alias("max_f"),
+        mx("O").alias("max_o"),
+        mx("P").alias("max_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "order_price_delta",
+    doc="J2→J4 rank-offset self-join re-expressed as lag() windows "
+    "(00049:21-37 momentum; Spark-native form per SURVEY §2.3 J2).",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(prev, 2).alias("prev_price"),
+        F.round(F.col("o_totalprice") - prev, 2).alias("price_delta"),
+    )
+
+
+@query(
+    "order_date_dense_rank",
+    doc="W4 dense_rank → numeric ordinal (fiscal-year-end rank, 00116:128-134).",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS date_rank
+    FROM orders
+    """,
+)
+def order_date_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select(
+        "o_orderkey", "o_custkey", F.dense_rank().over(w).cast("bigint").alias("date_rank")
+    )
+
+
+@query(
+    "lineitem_suffix_product",
+    doc="W6 window product with frame excluding current row — the split "
+    "suffix-product (00093:50-71), exact fold not exp(sum(log)).",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(coalesce(
+             product(round((1 - l_discount) * 100)) OVER w
+               / pow(100, count(*) OVER w), 1.0), 6) AS suffix_factor
+    FROM lineitem
+    WINDOW w AS (
+      PARTITION BY l_orderkey
+      ORDER BY l_linenumber DESC, l_discount DESC, l_partkey DESC,
+               l_suppkey DESC, l_quantity DESC, l_extendedprice DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+    """,
+)
+def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — order
+    # on a full tiebreak so the frame is deterministic, and compute the
+    # product over exact scaled integers so it is order-insensitive
+    # anyway (2-dp discounts => 100*(1-d) is an exact int; products of
+    # <=7 such ints stay < 2^53).
+    w_desc = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(),
+        F.col("l_discount").desc(),
+        F.col("l_partkey").desc(),
+        F.col("l_suppkey").desc(),
+        F.col("l_quantity").desc(),
+        F.col("l_extendedprice").desc(),
+    )
+    scaled = F.round((1 - F.col("l_discount")) * 100, 0)
+    frame = w_desc.rowsBetween(Window.unboundedPreceding, -1)
+    lst = F.collect_list(scaled).over(frame)
+    from ..functions.semantics import product_of_list
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            product_of_list(lst) / F.pow(F.lit(100.0), F.size(lst)), 6
+        ).alias("suffix_factor"),
+    )
+
+
+@query(
+    "table_freshness",
+    doc="S13/U1 freshness union view (00012:7-51, 00010:140-182): "
+    "per-table max timestamp + row count, UNION ALL.",
+    oracle="""
+    SELECT 'orders' AS table_name, epoch_us(max(o_orderdate)) AS max_ts_us, count(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'lineitem', epoch_us(max(l_shipdate)), count(*) FROM lineitem
+    UNION ALL
+    SELECT 'events', epoch_us(max(ts)), count(*) FROM events
+    """,
+)
+def table_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def fresh(df, name, ts_col):
+        # timestampdiff is timezone-independent on TIMESTAMP_NTZ inputs,
+        # matching DuckDB's naive epoch_us
+        return df.agg(F.max(ts_col).alias("__mx"), F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"),
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', __mx)"
+            ).cast("bigint").alias("max_ts_us"),
+            "n_rows",
+        )
+
+    ev_fresh = ev.agg(
+        F.lit("events").alias("table_name"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        fresh(o, "orders", "o_orderdate")
+        .unionByName(fresh(li, "lineitem", "l_shipdate"))
+        .unionByName(ev_fresh)
+    )
+
+
+@query(
+    "distinct_order_dates",
+    doc="U3 DISTINCT dates RPC (00012:56-86).",
+    oracle="""
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders
+    """,
+)
+def distinct_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")).distinct()

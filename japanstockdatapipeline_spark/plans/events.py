@@ -1,0 +1,271 @@
+"""Time-series query plans over the events table.
+
+The events table plays the role of the reference's daily bar series
+(per-entity ordered series); these queries exercise the window
+family, as-of joins, and validity-span range joins from SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, build_validity_spans, span_join
+from ..operators.windows import (
+    latest_per_key,
+    running_max_excluding_current,
+    rolling_stddev_pop,
+    sma,
+)
+from ..sources import load_table
+from .registry import query
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "latest_event_per_user",
+    doc="W1 row_number latest-per-key dedup-collapse (00116:95-102; "
+    "latest disclosure per code).",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return latest_per_key(
+        ev, ["user_id"], [F.col("ts_us").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "ts_us", "event_type", "value")
+
+
+@query(
+    "rolling_event_stats",
+    doc="W9/W13 SMA + Bollinger with full-window guard "
+    "(technical.ts:75-102, 189-208): 5-row mean / population sigma, "
+    "NULL until the window is complete.",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN count(value) OVER w5 = 5 THEN avg(value) OVER w5 END, 6) AS sma5,
+           round(CASE WHEN count(value) OVER w5 = 5
+                 THEN avg(value) OVER w5 + 2 * stddev_pop(value) OVER w5 END, 6) AS bb_up,
+           round(CASE WHEN count(value) OVER w5 = 5
+                 THEN avg(value) OVER w5 - 2 * stddev_pop(value) OVER w5 END, 6) AS bb_dn
+    FROM events
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    bench=True,
+)
+def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    mid = sma(F.col("value"), w, 5)
+    sd = rolling_stddev_pop(F.col("value"), w, 5)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(mid, 6).alias("sma5"),
+        F.round(mid + 2 * sd, 6).alias("bb_up"),
+        F.round(mid - 2 * sd, 6).alias("bb_dn"),
+    )
+
+
+@query(
+    "event_running_high",
+    doc="W20 running max excluding current row — the Nikkei new-high "
+    "rule (market-breadth.ts:121-275): prior max is NULL on the first "
+    "row, is_new_high NULL there too.",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS prior_max,
+           CASE WHEN max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN NULL
+                ELSE value > max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS is_new_high
+    FROM events
+    """,
+)
+def event_running_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prior = running_max_excluding_current(F.col("value"), w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(prior, 6).alias("prior_max"),
+        F.when(prior.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("value") > prior)
+        .alias("is_new_high"),
+    )
+
+
+@query(
+    "event_obv",
+    doc="W16 OBV cumulative signed sum (technical.ts:268-275): sign of "
+    "value vs previous value, cumulative sum of sign*value per user.",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(CASE WHEN value > lag_v THEN value
+                          WHEN value < lag_v THEN -value
+                          ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS obv
+    FROM (
+      SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_v
+      FROM events
+    )
+    """,
+)
+def event_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_v = F.lag("value").over(w)
+    signed = (
+        F.when(F.col("value") > lag_v, F.col("value"))
+        .when(F.col("value") < lag_v, -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    ev2 = ev.withColumn("__signed", signed)
+    return ev2.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("__signed").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            6,
+        ).alias("obv"),
+    )
+
+
+@query(
+    "purchase_asof_click",
+    doc="J6 as-of join (basket-valuation.ts:239-267 pitFy): for each "
+    "purchase, the latest click value of the same user at or before it. "
+    "Union-merge implementation: ONE shuffle, no non-equi join.",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           round(last_click_value, 6) AS last_click_value
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(click_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_left, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN value END AS click_val,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS is_left
+        FROM events WHERE event_type IN ('click', 'purchase')
+      )
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts_us",
+        value_cols=["click_value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("click_value", 6).alias("last_click_value"),
+    )
+
+
+@query(
+    "click_span_purchases",
+    doc="J7 interval/range join (00116:146-195): click events open "
+    "validity spans via lead(); purchases joined into their span; "
+    "per-span count + sum.",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_id AS span_id, ts AS eff_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT s.user_id, s.span_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchases,
+           round(coalesce(sum(p.value), 0.0), 6) AS purchase_value
+    FROM spans s
+    LEFT JOIN events p
+      ON p.event_type = 'purchase' AND p.user_id = s.user_id
+     AND p.ts >= s.eff_from AND (s.eff_to IS NULL OR p.ts < s.eff_to)
+    GROUP BY s.user_id, s.span_id
+    """,
+)
+def click_span_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("span_id"), "ts_us"
+    )
+    spans = build_validity_spans(clicks, ["user_id"], "ts_us", tiebreak="span_id").select(
+        "user_id", "span_id", "eff_from", "eff_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), "ts_us", "value"
+    )
+    joined = span_join(purchases, spans, ["user_id"], "ts_us")
+    agg = joined.groupBy("user_id", "span_id").agg(
+        F.count("p_id").alias("n_purchases"),
+        F.round(F.sum("value"), 6).alias("purchase_value"),
+    )
+    # left semantics: spans with no purchases keep (0, 0.0)
+    return (
+        spans.select("user_id", "span_id")
+        .join(agg, ["user_id", "span_id"], "left")
+        .select(
+            "user_id",
+            "span_id",
+            F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+@query(
+    "event_type_corr",
+    doc="A8 Pearson correlation / tracking error (basket-valuation.ts:"
+    "623-651): corr(value, props.k) and stddev_samp(diff)*sqrt(252) per type.",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+           round(stddev_samp(value - CAST(json_extract(props, '$.k') AS DOUBLE))
+                 * sqrt(252.0), 6) AS tracking_error,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("double")
+    ev2 = ev.withColumn("__k", k)
+    return ev2.groupBy("event_type").agg(
+        F.round(F.corr("value", "__k"), 6).alias("corr_vk"),
+        F.round(F.stddev_samp(F.col("value") - F.col("__k")) * F.sqrt(F.lit(252.0)), 6).alias(
+            "tracking_error"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

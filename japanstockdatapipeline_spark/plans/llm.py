@@ -1,0 +1,222 @@
+"""LLM-training-data pipeline plans over the documents table
+(BASELINE.json north-star operators): text analysis, quality scoring,
+language ID, exact + near dedup.
+
+All expressions are pure Catalyst (no UDFs): at 100 TB these run at
+scan speed and the dedup joins shuffle only on fingerprints/shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..sources import load_table
+from .registry import query
+
+# stopword list shared verbatim with the oracles
+_SW = "', '".join(TX.STOPWORDS)
+
+
+@query(
+    "doc_text_stats",
+    doc="Text analysis: token counting (whitespace), avg token length, "
+    "stopword ratio, punctuation ratio, quality score — all Catalyst "
+    "expressions (north-star text ops).",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS avg_tok,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> lower(x) IN ('{_SW}'))) AS DOUBLE) / len(toks) END AS swr,
+             CASE WHEN len_text > 0 THEN CAST(n_punct AS DOUBLE) / len_text END AS pr
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(avg_tok, 6) AS avg_token_len,
+           round(swr, 6) AS stopword_ratio,
+           round(pr, 6) AS punct_ratio,
+           round(0.4 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+                 + 0.3 * (1.0 - coalesce(swr, 0.0))
+                 + 0.3 * (1.0 - least(coalesce(pr, 0.0) * 10.0, 1.0)), 6) AS quality_score
+    FROM s
+    """,
+    bench=True,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        TX.n_tokens(t).alias("n_tokens"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality_score"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    doc="Language-ID marker heuristic (north-star): deterministic "
+    "marker-word argmax with fixed-order tie-break, fallback 'en'.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> ''), x -> lower(x)) AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('le','la','les','et','est')))      AS h_fr,
+             len(list_filter(toks, x -> x IN ('el','los','las','es','y')))       AS h_es,
+             len(list_filter(toks, x -> x IN ('de5','shi4','bu4')))              AS h_zh
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_zh > h_es AND h_zh > h_fr AND h_zh > h_de AND h_zh > 0 THEN 'zh'
+             WHEN h_es > h_fr AND h_es > h_de AND h_es > 0 THEN 'es'
+             WHEN h_fr > h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'en'
+           END AS pred_lang
+    FROM h
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "doc_exact_dedup",
+    doc="Exact dedup (north-star): canonicalized md5 fingerprint "
+    "groupBy, keep min doc_id — one hash shuffle with map-side combine.",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_ngram_jaccard_dups",
+    doc="n-gram Jaccard near-dup (north-star): 3-token shingles, "
+    "inverted-index blocking (equi-join on shingle, never a cross "
+    "join), exact J = shared/(|A|+|B|-shared), threshold 0.5.",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id, sh.shingle AS shingle, n_sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS shs
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks
+          FROM documents
+        ) WHERE len(toks) >= 3
+      ), LATERAL (SELECT len(shs) AS n_sh),
+         LATERAL unnest(shs) AS sh(shingle)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(count(*) AS DOUBLE)
+                 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING CAST(count(*) AS DOUBLE)
+           / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    """,
+    bench=True,
+)
+def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "doc_minhash_lsh_dups",
+    doc="MinHash+LSH near-dup (north-star scale path): 16 md5-derived "
+    "minhashes, 4 bands, bucket equi-join for candidates; estimated "
+    "Jaccard = matching-hash fraction. Hashes are md5-based so the "
+    "exact same signatures are computable in ANSI SQL (true oracle).",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS shs
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> ''), x -> lower(x)) AS toks
+        FROM documents
+      ) WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(shs,
+                s -> ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT))
+              for seed in range(0, 16)] AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS bucket
+      FROM sig, LATERAL unnest(range(0, 4)) AS b(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_filter([sig_a[i] = sig_b[i] for i in range(1, 17)],
+                                       x -> x)) AS DOUBLE) / 16.0, 6) AS est_jaccard
+    FROM cand
+    """,
+)
+def doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4, k=3
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@query(
+    "doc_simhash",
+    doc="SimHash document fingerprint (north-star): 60-bit signed-bit "
+    "aggregate of md5 token hashes; identical bit recipe in the oracle.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> ''),
+                            s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN list_sum(list_transform(h,
+                  x -> CASE WHEN (x >> bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN 1::BIGINT << bit ELSE 0 END
+                for bit in range(0, 60)]) AS BIGINT) AS simhash
+    FROM t
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))

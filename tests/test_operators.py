@@ -1,0 +1,126 @@
+"""Unit tests for the operator library (reference test strategy:
+exhaustive unit specs per analytics module, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.functions.semantics import product_agg, round_half_up
+from japanstockdatapipeline_spark.functions.vectors import as_double_array, cosine_similarity
+from japanstockdatapipeline_spark.operators.asof import (
+    asof_join,
+    build_validity_spans,
+    span_join,
+)
+from japanstockdatapipeline_spark.operators.dedup import exact_dedup, minhash_signature
+from japanstockdatapipeline_spark.operators.windows import (
+    latest_per_key,
+    running_max_excluding_current,
+    sma,
+)
+
+
+def test_round_half_up(spark):
+    df = spark.range(1).select(
+        round_half_up(F.lit(2.5), 0).alias("a"),
+        round_half_up(F.lit(0.125), 2).alias("b"),
+        round_half_up(F.lit(2.675), 2).alias("c"),
+    )
+    row = df.first()
+    assert row["a"] == 3.0  # half-up, not banker's
+    assert row["b"] == 0.13
+    # Spark rounds the shortest decimal representation ("2.675"), not
+    # the exact binary value (2.67499999...), so half-up gives 2.68
+    assert row["c"] == 2.68
+
+
+def test_product_agg_exact(spark):
+    df = spark.createDataFrame([(1, 0.9), (1, 0.8), (1, 0.5)], ["k", "x"])
+    out = df.groupBy("k").agg(product_agg(F.col("x")).alias("p")).first()
+    assert abs(out["p"] - 0.36) < 1e-12
+
+
+def test_product_agg_empty_group_identity(spark):
+    df = spark.createDataFrame([(1,)], ["k"]).select("k", F.expr("array()").cast("array<double>").alias("xs"))
+    from japanstockdatapipeline_spark.functions.semantics import product_of_list
+
+    assert df.select(product_of_list(F.col("xs")).alias("p")).first()["p"] == 1.0
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame([(1, 10), (1, 20), (2, 15)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (2, 99, 900.0)], ["k", "t", "v"]
+    )
+    out = asof_join(left, right, on=["k"], ts="t", value_cols=["v"])
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 15): None}
+
+
+def test_asof_join_same_ts_inclusive_vs_strict(spark):
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame([(1, 10, 7.0)], ["k", "t", "v"])
+    inc = asof_join(left, right, on=["k"], ts="t", value_cols=["v"]).first()["v"]
+    strict = asof_join(left, right, on=["k"], ts="t", value_cols=["v"], strict=True).first()["v"]
+    assert inc == 7.0
+    assert strict is None
+
+
+def test_validity_spans_and_span_join(spark):
+    dim = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], ["k", "t", "val"])
+    spans = build_validity_spans(dim, ["k"], "t")
+    facts = spark.createDataFrame([(1, 5), (1, 10), (1, 19), (1, 20), (1, 99)], ["k", "ft"])
+    joined = span_join(facts, spans, ["k"], "ft")
+    got = sorted((r["ft"], r["val"]) for r in joined.collect())
+    # ft=5 falls before any span -> dropped (inner); [10,20) -> a; [20,inf) -> b
+    assert got == [(10, "a"), (19, "a"), (20, "b"), (99, "b")]
+
+
+def test_latest_per_key_and_running_max(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 3.0), (1, 3, 9.0), (2, 1, 1.0)], ["k", "t", "v"]
+    )
+    latest = latest_per_key(df, ["k"], [F.col("t").desc()])
+    assert {(r["k"], r["t"]) for r in latest.collect()} == {(1, 3), (2, 1)}
+    w = Window.partitionBy("k").orderBy("t")
+    rm = df.select("k", "t", running_max_excluding_current(F.col("v"), w).alias("m"))
+    got = {(r["k"], r["t"]): r["m"] for r in rm.collect()}
+    assert got == {(1, 1): None, (1, 2): 5.0, (1, 3): 5.0, (2, 1): None}
+
+
+def test_sma_full_window_guard(spark):
+    df = spark.createDataFrame([(1, i, float(i)) for i in range(1, 5)], ["k", "t", "v"])
+    w = Window.partitionBy("k").orderBy("t")
+    out = df.select("t", sma(F.col("v"), w, 3).alias("s")).collect()
+    got = {r["t"]: r["s"] for r in out}
+    assert got[1] is None and got[2] is None
+    assert abs(got[3] - 2.0) < 1e-12 and abs(got[4] - 3.0) < 1e-12
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    out = df.select(
+        cosine_similarity(as_double_array(F.col("a")), as_double_array(F.col("b"))).alias("c")
+    ).collect()
+    assert abs(out[0]["c"] - 0.0) < 1e-12
+    assert abs(out[1]["c"] - 1.0) < 1e-12
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["n_docs"] for r in out}
+    assert by_keep == {1: 2, 3: 1}  # canonicalization collapses 1 and 2
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signature(df, 8).collect()}
+    assert len(sigs[1]) == 8
+    assert sigs[1] == sigs[2]  # identical docs -> identical signatures
+    assert sigs[1] != sigs[3]
