@@ -111,12 +111,16 @@ def fingerprint_md5(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """k-token shingles (distinct), as array<string> — the unit set for
-    n-gram Jaccard / MinHash dedup."""
+    n-gram Jaccard / MinHash dedup.
+
+    Implementation note (measured at sf0.1): per-position slice() is
+    ~60x slower and per-position element_at ~6x slower than zipping k
+    literal-start slices — arrays_zip allocates k arrays per ROW, not
+    per shingle, and the transform is then a flat struct walk.
+    """
     toks = tokens(F.lower(text))
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    m = n - (k - 1)
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    sh = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array())

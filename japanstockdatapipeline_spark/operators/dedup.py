@@ -74,17 +74,36 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a = ex.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    # Join-free pair generation: group the (id, n_sh) posting list per
+    # shingle, emit ordered pairs with nested array transforms. Evaluates
+    # the (expensive) shingle expression once instead of twice as the two
+    # sides of a self-join, and the per-shingle pair blowup is bounded by
+    # the posting-list length (df^2), which stays small after distinct-
+    # per-doc shingling. Two shuffles total: by shingle, then by pair.
+    posting = ex.groupBy("shingle").agg(
+        F.collect_list(F.struct("id", "n_sh")).alias("members")
     )
-    b = ex.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    m = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda a: F.filter(
+                F.transform(
+                    m,
+                    lambda b: F.struct(
+                        a["id"].alias("id_a"),
+                        b["id"].alias("id_b"),
+                        a["n_sh"].alias("n_a"),
+                        b["n_sh"].alias("n_b"),
+                    ),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
     )
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    pairs = posting.select(F.explode(pair_arr).alias("p")).select("p.*")
+    shared = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("shared")
     )
     return shared.select(
         "id_a",
