@@ -1,0 +1,67 @@
+"""Water-filling weight cap (A5, basket-valuation.ts:279-318).
+
+The reference iteratively redistributes capped index weights
+proportionally to the uncapped members until no violation (<=N
+iterations). That fixpoint has a closed form: sort weights desc,
+find the capped prefix k* (the fixpoint's capped set is always a
+prefix of the sorted order), then
+
+    f_i = cap                 for i <= k*
+    f_i = w_i * s(k*)         otherwise,  s(k) = (1 - k*cap) / (1 - cum_k)
+
+where cum_k is the cumulative weight of the capped prefix. Row i is
+capped iff w_i * s(i-1) >= cap, and the condition is monotone down
+the sorted order, so k* = length of the running-AND prefix.
+
+Closed form == iterative fixpoint (property-tested in
+tests/test_waterfill.py against a brute-force iterative solver).
+Expressed entirely with windows: one shuffle per group key, no
+driver loop — unlike the reference, this scales to any number of
+groups at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["water_fill_cap"]
+
+
+def water_fill_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    cap: float,
+    *,
+    tiebreak: str,
+    out_col: str = "capped_weight",
+) -> DataFrame:
+    """Normalize `weight_col` within each group, then cap at `cap` with
+    proportional redistribution (water-filling fixpoint).
+
+    Requires cap * group_size > 1 for feasibility (caller filters).
+    `tiebreak` makes the desc sort total, so results are deterministic.
+    """
+    wsum = Window.partitionBy(*group_cols)
+    norm = df.withColumn("__w", F.col(weight_col) / F.sum(weight_col).over(wsum))
+    worder = Window.partitionBy(*group_cols).orderBy(
+        F.col("__w").desc(), F.col(tiebreak).asc()
+    )
+    run = worder.rowsBetween(Window.unboundedPreceding, 0)
+    o = (
+        norm.withColumn("__i", F.row_number().over(worder))
+        .withColumn("__cum", F.sum("__w").over(run))
+    )
+    # s(i-1) = (1 - (i-1)*cap) / (1 - cum_{i-1});  cum_{i-1} = cum_i - w_i
+    s_prev = (1 - (F.col("__i") - 1) * F.lit(cap)) / (1 - (F.col("__cum") - F.col("__w")))
+    cond = (F.col("__w") * s_prev >= F.lit(cap)).cast("int")
+    o = o.withColumn("__flag", F.min(cond).over(run))  # running AND down the prefix
+    grp = Window.partitionBy(*group_cols)
+    k_star = F.max(F.when(F.col("__flag") == 1, F.col("__i"))).over(grp)
+    cum_k = F.max(F.when(F.col("__flag") == 1, F.col("__cum"))).over(grp)
+    s_k = F.when(k_star.isNull(), F.lit(1.0)).otherwise(
+        (1 - k_star * F.lit(cap)) / (1 - cum_k)
+    )
+    out = F.when(F.col("__flag") == 1, F.lit(cap)).otherwise(F.col("__w") * s_k)
+    return o.withColumn(out_col, out).drop("__w", "__i", "__cum", "__flag")

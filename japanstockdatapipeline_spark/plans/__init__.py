@@ -1,6 +1,14 @@
 from .registry import Query, all_queries, query
 
 # importing the modules populates the registry
-from . import core, events, llm, similarity  # noqa: F401  (registration side effect)
+from . import (  # noqa: F401  (registration side effect)
+    core,
+    events,
+    llm,
+    relational2,
+    similarity,
+    stats,
+    technical,
+)
 
 __all__ = ["Query", "all_queries", "query"]

@@ -1,0 +1,121 @@
+"""Statistical pipelines: winsorize/z/clamp (F6) and the water-fill
+weight cap (A5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.semantics import clamp, zscore
+from ..operators.waterfill import water_fill_cap
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "winsorized_price_z",
+    doc="F6 winsorize + z-score + clamp pipeline (factor-vectors.ts:"
+    "191-260): 1%/99% linear-interp percentile clip (type-7 — exact "
+    "`percentile`, not approx), population z over the clipped column, "
+    "clamp to ±3, NULL→0. Global stats broadcast back as a 1-row "
+    "cross join — no per-row recompute.",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem
+    ), clipped AS (
+      SELECT l_orderkey, l_linenumber,
+             least(greatest(l_extendedprice, p01), p99) AS cp
+      FROM lineitem, b
+    ), stats AS (
+      SELECT avg(cp) AS mu, stddev_pop(cp) AS sigma FROM clipped
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(cp, 6) AS clipped_price,
+           round(coalesce(
+             least(greatest(CASE WHEN sigma = 0 THEN 0.0 ELSE (cp - mu) / sigma END,
+                            -3.0), 3.0), 0.0), 6) AS z_clamped
+    FROM clipped, stats
+    """,
+)
+def winsorized_price_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clipped = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")).alias("cp"),
+    )
+    stats = clipped.agg(
+        F.avg("cp").alias("mu"), F.stddev_pop("cp").alias("sigma")
+    )
+    z = zscore(F.col("cp"), F.col("mu"), F.col("sigma"))
+    return clipped.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("cp", 6).alias("clipped_price"),
+        F.round(F.coalesce(clamp(z, -3.0, 3.0), F.lit(0.0)), 6).alias("z_clamped"),
+    )
+
+
+@query(
+    "nation_capped_weights",
+    doc="A5 water-filling weight cap (basket-valuation.ts:279-318) in "
+    "closed form: capped prefix via running-AND over the desc-sorted "
+    "weights — pure windows, no driver loop, scales to all groups at "
+    "once. Cap 0.3 within nation; groups of >=5 positive balances.",
+    oracle="""
+    WITH pos AS (
+      SELECT c_nationkey, c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0
+    ), big AS (
+      SELECT c_nationkey FROM pos GROUP BY 1 HAVING count(*) >= 5
+    ), w AS (
+      SELECT p.c_nationkey, p.c_custkey,
+             p.c_acctbal / sum(p.c_acctbal) OVER (PARTITION BY p.c_nationkey) AS w
+      FROM pos p JOIN big b USING (c_nationkey)
+    ), o AS (
+      SELECT *, row_number() OVER wo AS i,
+             sum(w) OVER (PARTITION BY c_nationkey ORDER BY w DESC, c_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w
+      WINDOW wo AS (PARTITION BY c_nationkey ORDER BY w DESC, c_custkey)
+    ), fl AS (
+      SELECT *, min(CASE WHEN w * (1 - (i - 1) * 0.3) / (1 - (cum - w)) >= 0.3
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY c_nationkey ORDER BY w DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flag
+      FROM o
+    ), k AS (
+      SELECT *, max(CASE WHEN flag = 1 THEN i END) OVER (PARTITION BY c_nationkey) AS k_star,
+                max(CASE WHEN flag = 1 THEN cum END) OVER (PARTITION BY c_nationkey) AS cum_k
+      FROM fl
+    )
+    SELECT c_nationkey, c_custkey,
+           round(CASE WHEN flag = 1 THEN 0.3
+                 ELSE w * (CASE WHEN k_star IS NULL THEN 1.0
+                           ELSE (1 - k_star * 0.3) / (1 - cum_k) END) END, 6) AS capped_weight
+    FROM k
+    """,
+)
+def nation_capped_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    big = (
+        pos.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("c_nationkey")
+    )
+    grp = pos.join(F.broadcast(big), "c_nationkey")
+    out = water_fill_cap(
+        grp, ["c_nationkey"], "c_acctbal", 0.3, tiebreak="c_custkey"
+    )
+    return out.select(
+        "c_nationkey", "c_custkey", F.round("capped_weight", 6).alias("capped_weight")
+    )

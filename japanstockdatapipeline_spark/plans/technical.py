@@ -1,0 +1,346 @@
+"""Technical-indicator and market-breadth plans (SURVEY §2.5 W14-W22)
+mapped onto the events table: user_id = entity, ts_us = time axis,
+value = price proxy. Day axis = epoch-day index (ts_us DIV 86400e6),
+deliberately timezone-free so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+US_PER_DAY = 86_400_000_000
+
+
+def _ev(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "event_stochastic",
+    doc="W14 stochastic slow %K/%D (technical.ts:216-237): rolling "
+    "14-row HH/LL, NULL when HH==LL, then two SMA3 smoothing passes.",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN count(*) OVER w14 = 14
+                   AND max(value) OVER w14 <> min(value) OVER w14
+                  THEN 100.0 * (value - min(value) OVER w14)
+                       / (max(value) OVER w14 - min(value) OVER w14) END AS raw_k
+      FROM events
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT *, CASE WHEN count(raw_k) OVER w3 = 3 THEN avg(raw_k) OVER w3 END AS slow_k
+      FROM k
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, round(raw_k, 6) AS raw_k, round(slow_k, 6) AS slow_k,
+           round(CASE WHEN count(slow_k) OVER w3 = 3 THEN avg(slow_k) OVER w3 END, 6) AS slow_d
+    FROM d
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def event_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w14 = w.rowsBetween(-13, 0)
+    w3 = w.rowsBetween(-2, 0)
+    hh, ll = F.max("value").over(w14), F.min("value").over(w14)
+    raw_k = F.when(
+        (F.count(F.lit(1)).over(w14) == 14) & (hh != ll),
+        100.0 * (F.col("value") - ll) / (hh - ll),
+    )
+    d = ev.withColumn("raw_k", raw_k)
+    slow_k = F.when(F.count("raw_k").over(w3) == 3, F.avg("raw_k").over(w3))
+    d = d.withColumn("slow_k", slow_k)
+    slow_d = F.when(F.count("slow_k").over(w3) == 3, F.avg("slow_k").over(w3))
+    return d.select(
+        "event_id",
+        "user_id",
+        F.round("raw_k", 6).alias("raw_k"),
+        F.round("slow_k", 6).alias("slow_k"),
+        F.round(slow_d, 6).alias("slow_d"),
+    )
+
+
+@query(
+    "event_ichimoku_midlines",
+    doc="W17 Ichimoku midlines (technical.ts:279-329): (HH+LL)/2 over "
+    "9/26 rows, senkou A = midpoint average shifted; lag-26 span compare.",
+    oracle="""
+    SELECT event_id, user_id,
+           round(mid9, 6) AS tenkan,
+           round(mid26, 6) AS kijun,
+           round(lag((mid9 + mid26) / 2, 26) OVER wo, 6) AS senkou_a,
+           CASE WHEN lag((mid9 + mid26) / 2, 26) OVER wo IS NOT NULL
+                THEN value > lag((mid9 + mid26) / 2, 26) OVER wo END AS above_cloud
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN count(*) OVER w9 = 9
+                  THEN (max(value) OVER w9 + min(value) OVER w9) / 2 END AS mid9,
+             CASE WHEN count(*) OVER w26 = 26
+                  THEN (max(value) OVER w26 + min(value) OVER w26) / 2 END AS mid26
+      FROM events
+      WINDOW w9 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+    )
+    WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_ichimoku_midlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w9, w26 = w.rowsBetween(-8, 0), w.rowsBetween(-25, 0)
+
+    def mid(win, n):
+        return F.when(
+            F.count(F.lit(1)).over(win) == n,
+            (F.max("value").over(win) + F.min("value").over(win)) / 2,
+        )
+
+    d = ev.withColumn("mid9", mid(w9, 9)).withColumn("mid26", mid(w26, 26))
+    senkou_a = F.lag((F.col("mid9") + F.col("mid26")) / 2, 26).over(w)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.round("mid9", 6).alias("tenkan"),
+        F.round("mid26", 6).alias("kijun"),
+        F.round(senkou_a, 6).alias("senkou_a"),
+        F.when(senkou_a.isNotNull(), F.col("value") > senkou_a).alias("above_cloud"),
+    )
+
+
+@query(
+    "event_golden_cross",
+    doc="W18 golden/dead cross + age (technical.ts:334-353): sign of "
+    "SMA5-SMA20, cross where sign flips, age = rows since last flip.",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN count(*) OVER w5 = 5 THEN avg(value) OVER w5 END AS sma5,
+             CASE WHEN count(*) OVER w20 = 20 THEN avg(value) OVER w20 END AS sma20
+      FROM events
+      WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), st AS (
+      SELECT *, CASE WHEN sma5 IS NULL OR sma20 IS NULL THEN NULL
+                     WHEN sma5 >= sma20 THEN 1 ELSE -1 END AS state,
+             row_number() OVER wo AS rn
+      FROM s
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+      SELECT *, CASE WHEN state IS NOT NULL AND lag(state) OVER wo IS NOT NULL
+                      AND state <> lag(state) OVER wo THEN rn END AS change_rn
+      FROM st
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, CAST(state AS INT) AS state,
+           (change_rn IS NOT NULL) AS is_cross,
+           CAST(rn - max(change_rn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bars_since_cross
+    FROM ch
+    """,
+)
+def event_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w5, w20 = w.rowsBetween(-4, 0), w.rowsBetween(-19, 0)
+    sma5 = F.when(F.count(F.lit(1)).over(w5) == 5, F.avg("value").over(w5))
+    sma20 = F.when(F.count(F.lit(1)).over(w20) == 20, F.avg("value").over(w20))
+    d = ev.withColumn("sma5", sma5).withColumn("sma20", sma20)
+    state = F.when(
+        F.col("sma5").isNull() | F.col("sma20").isNull(), F.lit(None).cast("int")
+    ).otherwise(F.when(F.col("sma5") >= F.col("sma20"), 1).otherwise(-1))
+    d = d.withColumn("state", state).withColumn("rn", F.row_number().over(w))
+    prev_state = F.lag("state").over(w)
+    change_rn = F.when(
+        F.col("state").isNotNull() & prev_state.isNotNull() & (F.col("state") != prev_state),
+        F.col("rn"),
+    )
+    d = d.withColumn("change_rn", change_rn)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.col("state").cast("int").alias("state"),
+        F.col("change_rn").isNotNull().alias("is_cross"),
+        (F.col("rn") - F.max("change_rn").over(run)).cast("bigint").alias("bars_since_cross"),
+    )
+
+
+@query(
+    "daily_adv_dec_ratio",
+    doc="W19 rolling 25-day advance/decline ratio on the canonical day "
+    "axis with completeness guard (market-breadth.ts:283-299): per-user "
+    "daily close vs previous day, per-day adv/dec counts, 25-complete-"
+    "day rolling ratio.",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), closes AS (
+      SELECT user_id, day, value AS close FROM r WHERE rn = 1
+    ), delta AS (
+      SELECT user_id, day, close,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+      FROM closes
+    ), daily AS (
+      SELECT day,
+             CAST(sum(CASE WHEN close > prev_close THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+             CAST(sum(CASE WHEN close < prev_close THEN 1 ELSE 0 END) AS BIGINT) AS decliners
+      FROM delta WHERE prev_close IS NOT NULL GROUP BY day
+    )
+    SELECT day, advancers, decliners,
+           round(CASE WHEN count(*) OVER w25 = 25 AND sum(decliners) OVER w25 > 0
+                 THEN 100.0 * sum(advancers) OVER w25 / sum(decliners) OVER w25 END, 6)
+             AS adv_dec_ratio_25d
+    FROM daily
+    WINDOW w25 AS (ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_adv_dec_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
+    # daily close = value of the last event of the (user, day)
+    closes = (
+        ev.groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct("ts_us", "event_id")).alias("close"))
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+    delta = closes.withColumn("prev_close", F.lag("close").over(wday)).filter(
+        F.col("prev_close").isNotNull()
+    )
+    daily = delta.groupBy("day").agg(
+        F.sum(F.when(F.col("close") > F.col("prev_close"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("advancers"),
+        F.sum(F.when(F.col("close") < F.col("prev_close"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("decliners"),
+    )
+    w25 = Window.orderBy("day").rowsBetween(-24, 0)
+    ratio = F.when(
+        (F.count(F.lit(1)).over(w25) == 25) & (F.sum("decliners").over(w25) > 0),
+        100.0 * F.sum("advancers").over(w25) / F.sum("decliners").over(w25),
+    )
+    return daily.select(
+        "day", "advancers", "decliners", F.round(ratio, 6).alias("adv_dec_ratio_25d")
+    )
+
+
+@query(
+    "pct_above_sma_breadth",
+    doc="W21 %-above-SMA breadth (market-breadth.ts:100-212): per-user "
+    "SMA20 (full-window gated), then per-day fraction of qualifying "
+    "users above their SMA; denominator excludes users without a full "
+    "window (excluded, not zeroed — SURVEY §7.3 null-semantics).",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS tu, event_id, value,
+             CASE WHEN count(*) OVER w20 = 20 THEN avg(value) OVER w20 END AS sma20
+      FROM events
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                   ORDER BY tu DESC, event_id DESC) AS rn
+      FROM s
+    ), eod AS (
+      SELECT user_id, day, value AS close, sma20 FROM r WHERE rn = 1
+    )
+    SELECT day,
+           CAST(count(sma20) AS BIGINT) AS n_qualified,
+           round(CASE WHEN count(sma20) > 0
+                 THEN CAST(sum(CASE WHEN close > sma20 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(sma20) END, 6) AS pct_above_sma20
+    FROM eod GROUP BY day
+    """,
+)
+def pct_above_sma_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
+    w20 = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-19, 0)
+    s = ev.withColumn(
+        "sma20", F.when(F.count(F.lit(1)).over(w20) == 20, F.avg("value").over(w20))
+    )
+    eod = s.groupBy("user_id", "day").agg(
+        F.max_by("value", F.struct("ts_us", "event_id")).alias("close"),
+        F.max_by("sma20", F.struct("ts_us", "event_id")).alias("sma20"),
+    )
+    return eod.groupBy("day").agg(
+        F.count("sma20").cast("bigint").alias("n_qualified"),
+        F.round(
+            F.when(
+                F.count("sma20") > 0,
+                F.sum(F.when(F.col("close") > F.col("sma20"), 1).otherwise(0)).cast("double")
+                / F.count("sma20"),
+            ),
+            6,
+        ).alias("pct_above_sma20"),
+    )
+
+
+@query(
+    "overheat_heat_score",
+    doc="W22 cross-sectional percentile heat score with NULL-aware "
+    "weight renormalization (00120:85-93): per (day, user) metrics, "
+    "percent_rank across the day's cross-section, weights 0.4/0.4/0.2 "
+    "renormalized when the purchase metric is absent.",
+    oracle="""
+    WITH m AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+             sum(value) AS value_sum,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN value END) AS max_purchase
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT day, user_id, value_sum, n_events, max_purchase,
+             percent_rank() OVER (PARTITION BY day ORDER BY value_sum) AS p1,
+             percent_rank() OVER (PARTITION BY day ORDER BY n_events) AS p2,
+             CASE WHEN max_purchase IS NOT NULL THEN
+               percent_rank() OVER (PARTITION BY day, (max_purchase IS NULL)
+                                    ORDER BY max_purchase) END AS p3
+      FROM m
+    )
+    SELECT day, user_id,
+           round((0.4 * p1 + 0.4 * p2 + coalesce(0.2 * p3, 0.0))
+                 / (0.8 + CASE WHEN p3 IS NOT NULL THEN 0.2 ELSE 0.0 END), 6) AS heat_score
+    FROM p
+    """,
+)
+def overheat_heat_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
+    m = ev.groupBy("day", "user_id").agg(
+        F.sum("value").alias("value_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+            "max_purchase"
+        ),
+    )
+    wd = Window.partitionBy("day")
+    p1 = F.percent_rank().over(wd.orderBy("value_sum"))
+    p2 = F.percent_rank().over(wd.orderBy("n_events"))
+    # rank non-null purchases only: partition nulls into their own bucket
+    w3 = Window.partitionBy("day", F.col("max_purchase").isNull()).orderBy("max_purchase")
+    p3 = F.when(F.col("max_purchase").isNotNull(), F.percent_rank().over(w3))
+    scored = m.select(
+        "day",
+        "user_id",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        p3.alias("p3"),
+    )
+    score = (0.4 * F.col("p1") + 0.4 * F.col("p2") + F.coalesce(0.2 * F.col("p3"), F.lit(0.0))) / (
+        0.8 + F.when(F.col("p3").isNotNull(), 0.2).otherwise(0.0)
+    )
+    return scored.select("day", "user_id", F.round(score, 6).alias("heat_score"))
