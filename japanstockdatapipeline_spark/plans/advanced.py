@@ -1,0 +1,194 @@
+"""Advanced plans: running argmax (W5), latest×published join (J5),
+JSON build/parse (F11), catch-up planning (ST2), and the rows-only
+recursive operators (EMA/RSI smoothers, grouped-map snapshot)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.smoothers import with_smoothers
+from ..operators.snapshot import technical_snapshot
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "event_running_argmax",
+    doc="W5 running argmax via max(struct) with a frame including "
+    "same-ts peers (00116:136-144: max(ARRAY[rank, eps]) OVER ...).",
+    oracle="""
+    SELECT event_id, user_id,
+           round((max({'v': value, 'id': event_id}) OVER w).v, 6) AS best_value,
+           (max({'v': value, 'id': event_id}) OVER w).id AS best_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def event_running_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    best = F.max(F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(best["v"], 6).alias("best_value"),
+        best["id"].alias("best_event_id"),
+    )
+
+
+@query(
+    "screen_latest_published",
+    doc="J5 latest-snapshot LEFT JOIN published-snapshot (stock_screen, "
+    "00051:18-53): per-customer latest order joined to the customer's "
+    "state at a fixed 'published' cutoff; the cutoff is a scalar "
+    "subquery evaluated once (computed literal).",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ), cutoff AS (
+      SELECT max(o_orderdate) - INTERVAL 365 DAY AS pub FROM orders
+    ), published AS (
+      SELECT o_custkey, max(o_totalprice) AS pub_max_price,
+             CAST(count(*) AS BIGINT) AS pub_n_orders
+      FROM orders, cutoff WHERE o_orderdate <= pub
+      GROUP BY o_custkey
+    )
+    SELECT l.o_custkey, l.o_orderkey,
+           round(l.o_totalprice, 2) AS latest_price,
+           round(p.pub_max_price, 2) AS pub_max_price,
+           p.pub_n_orders
+    FROM latest l LEFT JOIN published p ON l.o_custkey = p.o_custkey
+    """,
+)
+def screen_latest_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    # scalar subquery -> computed literal (SURVEY §2.3 J5)
+    pub = o.agg(F.max("o_orderdate")).first()[0]
+    import datetime as dt
+
+    cutoff = pub - dt.timedelta(days=365)
+    published = (
+        o.filter(F.col("o_orderdate") <= F.lit(cutoff))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_totalprice").alias("pub_max_price"),
+            F.count(F.lit(1)).cast("bigint").alias("pub_n_orders"),
+        )
+    )
+    return latest.join(published, "o_custkey", "left").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("latest_price"),
+        F.round("pub_max_price", 2).alias("pub_max_price"),
+        "pub_n_orders",
+    )
+
+
+@query(
+    "event_json_roundtrip",
+    doc="F11 JSON parse + build (00002:13, 00114:60-90): extract props.k, "
+    "rebuild a compact JSON payload — to_json(struct) matches DuckDB's "
+    "to_json(struct_pack) byte-for-byte for int/string fields.",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT),
+                               t := event_type)) AS payload
+    FROM events
+    """,
+)
+def event_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("t"))).alias("payload"),
+    )
+
+
+@query(
+    "catch_up_missing_days",
+    doc="ST2/J10 catch-up planner core (catch-up.ts:86-117): calendar "
+    "days (here: all days spanned by orders) anti-joined against days "
+    "present, oldest 5 — the distributed form of determineTargetDates.",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+    ), present AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS missing_day
+    FROM cal WHERE d NOT IN (SELECT d FROM present)
+    ORDER BY d LIMIT 5
+    """,
+)
+def catch_up_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    present = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return (
+        cal.join(present, "d", "left_anti")
+        .orderBy("d")
+        .limit(5)
+        .select(F.date_format("d", "yyyy-MM-dd").alias("missing_day"))
+    )
+
+
+@query(
+    "user_value_smoothers",
+    doc="W10/W11 recursive EMA (SMA-seeded) + RSI (Wilder) via "
+    "applyInPandas per user (technical.ts:105-152) — genuinely not "
+    "window-expressible (the recurrence references its own output), "
+    "so no SQL oracle: rows-only check + numpy-parity unit tests.",
+)
+def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    out = with_smoothers(ev, "user_id", "ts_us", "value", ema_n=12, rsi_n=14)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("ema_12", 6).alias("ema_12"),
+        F.round("rsi_14", 6).alias("rsi_14"),
+    )
+
+
+@query(
+    "user_technical_snapshot",
+    doc="§2.10 grouped-map snapshot (computeTechnicalSnapshot, "
+    "technical.ts:361-410): full per-user series in, ONE row out — "
+    "SMA/RSI/MACD/stochastic/Bollinger/OBV/cross-age. applyInPandas; "
+    "recursive parts make it non-SQL-expressible: rows-only check.",
+)
+def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return technical_snapshot(ev, "user_id", "ts_us", "value")

@@ -1,0 +1,187 @@
+"""Incremental-batch ops layer (SURVEY §2.9 ST1/ST2/ST5/ST7/ST9).
+
+The reference's cron machinery (watermark forward-fill, catch-up of
+missed business days, table locks, atomic snapshot publication,
+retention pruning) collapses in Spark to: deterministic partition
+overwrite + a small driver-side planner + a run-manifest table.
+This module is that planner. It is pure DataFrame logic — the
+planners return plans as data, the writers do atomic partition
+overwrites — so the same code drives a 100 TB date-partitioned lake.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "forward_fill_plan",
+    "catch_up_plan",
+    "write_partition_overwrite",
+    "prune_retention",
+    "RunManifest",
+    "FreshnessError",
+    "assert_fresh",
+]
+
+
+def forward_fill_plan(
+    target_max_date: dt.date | None,
+    today: dt.date,
+    *,
+    overlap_days: int = 1,
+    floor_days: int = 60,
+    max_days_per_run: int = 20,
+) -> list[dt.date]:
+    """ST1 watermark forward-fill (forward-fill.ts:100-200): start at
+    the target's max date MINUS overlap (self-healing partial writes),
+    floor at today - floor_days, cap the run length. Returns the
+    ordered list of dates to (re)process.
+    """
+    floor = today - dt.timedelta(days=floor_days)
+    if target_max_date is None:
+        start = floor
+    else:
+        start = max(target_max_date - dt.timedelta(days=overlap_days - 1), floor)
+    if start > today:
+        return []
+    days = []
+    d = start
+    while d <= today and len(days) < max_days_per_run:
+        days.append(d)
+        d += dt.timedelta(days=1)
+    return days
+
+
+def catch_up_plan(
+    calendar_days: DataFrame,
+    completed_days: DataFrame,
+    *,
+    lookback_days: int = 30,
+    max_catch_up: int = 5,
+    today: dt.date | None = None,
+) -> list[dt.date]:
+    """ST2 catch-up (catch-up.ts:49-117): business days within the
+    lookback window MINUS days with a successful run; process the
+    oldest `max_catch_up`. Inputs: single-column DataFrames `d`.
+    The anti-join runs distributed; only the tiny result is collected.
+    """
+    cal = calendar_days.select(F.col(calendar_days.columns[0]).alias("d"))
+    done = completed_days.select(F.col(completed_days.columns[0]).alias("d"))
+    if today is not None:
+        lo = today - dt.timedelta(days=lookback_days)
+        cal = cal.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(today)))
+    missing = cal.join(done, "d", "left_anti").orderBy("d").limit(max_catch_up)
+    return [r["d"] for r in missing.collect()]
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """ST5 atomic snapshot publication: dynamic partition overwrite —
+    replaces exactly the partitions present in `df`, atomically per
+    partition. This replaces the reference's write-chunks-then-flip-
+    publication-marker dance (00050:20-41).
+    """
+    (
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    )
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def prune_retention(
+    spark: SparkSession, path: str, partition_col: str, keep_from: str
+) -> list[str]:
+    """ST9 retention pruning: drop partitions older than `keep_from`
+    (partition dir names `col=value`). Returns removed partition values.
+    A lake-format MERGE/DELETE would subsume this; for plain parquet
+    dirs the partition layout makes pruning a directory operation.
+    """
+    import shutil
+
+    removed = []
+    if not os.path.isdir(path):
+        return removed
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        value = entry.split("=", 1)[1]
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, entry))
+            removed.append(value)
+    return removed
+
+
+class FreshnessError(RuntimeError):
+    pass
+
+
+def assert_fresh(
+    df: DataFrame, date_col: str, *, as_of: dt.date, max_staleness_days: int = 5
+) -> None:
+    """ST9 stale guard (00117:230-247): refuse to serve precomputed
+    data older than the staleness budget — error, never silently stale."""
+    mx = df.agg(F.max(date_col)).first()[0]
+    if mx is None:
+        raise FreshnessError(f"no data in {date_col}")
+    mxd = mx.date() if isinstance(mx, dt.datetime) else mx
+    age = (as_of - mxd).days
+    if age > max_staleness_days:
+        raise FreshnessError(
+            f"stale: max({date_col})={mxd} is {age}d old (budget {max_staleness_days}d)"
+        )
+
+
+class RunManifest:
+    """ST7 run log (job_runs/job_run_items, 00002:5-95) as a JSONL
+    manifest: one record per (job, target_date) attempt, idempotency by
+    natural key. Replaces table locks/heartbeats — a single Spark
+    driver owns the pipeline run."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def start(self, job: str, target_date: str) -> str:
+        run_id = str(uuid.uuid4())
+        self._append(
+            {
+                "run_id": run_id,
+                "job": job,
+                "target_date": target_date,
+                "status": "running",
+                "ts": time.time(),
+            }
+        )
+        return run_id
+
+    def finish(self, run_id: str, status: str, **details) -> None:
+        self._append(
+            {"run_id": run_id, "status": status, "ts": time.time(), **details}
+        )
+
+    def completed_dates(self, job: str) -> set[str]:
+        done: dict[str, str] = {}
+        started: dict[str, str] = {}
+        if not os.path.exists(self.path):
+            return set()
+        with open(self.path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("job") == job and "target_date" in rec:
+                    started[rec["run_id"]] = rec["target_date"]
+                elif rec.get("status") == "success" and rec["run_id"] in started:
+                    done[started[rec["run_id"]]] = rec["run_id"]
+        return set(done)
+
+    def _append(self, rec: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")

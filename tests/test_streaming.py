@@ -1,0 +1,115 @@
+"""Streaming + incremental ops layer tests (ST1/ST2/ST5/ST7/ST9 and
+the Structured Streaming jobs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.sources import load_table
+from japanstockdatapipeline_spark.streaming.incremental import (
+    FreshnessError,
+    RunManifest,
+    assert_fresh,
+    catch_up_plan,
+    forward_fill_plan,
+    prune_retention,
+    write_partition_overwrite,
+)
+from japanstockdatapipeline_spark.streaming.jobs import (
+    dedup_stream,
+    events_stream,
+    run_to_parquet,
+    windowed_event_counts,
+)
+
+D = dt.date
+
+
+def test_forward_fill_overlap_and_cap():
+    # overlap 1: restart from the max date itself (self-healing)
+    days = forward_fill_plan(D(2026, 8, 10), D(2026, 8, 13))
+    assert days == [D(2026, 8, 10), D(2026, 8, 11), D(2026, 8, 12), D(2026, 8, 13)]
+    # cap at max_days_per_run
+    days = forward_fill_plan(D(2026, 6, 1), D(2026, 8, 13), floor_days=90, max_days_per_run=5)
+    assert len(days) == 5 and days[0] == D(2026, 6, 1)
+    # floor: cold start backfills floor_days
+    days = forward_fill_plan(None, D(2026, 8, 13), floor_days=60, max_days_per_run=100)
+    assert days[0] == D(2026, 8, 13) - dt.timedelta(days=60)
+
+
+def test_catch_up_plan_anti_join(spark):
+    cal = spark.createDataFrame([(D(2026, 8, d),) for d in range(1, 11)], ["d"])
+    done = spark.createDataFrame([(D(2026, 8, d),) for d in (1, 2, 3, 5, 7, 9, 10)], ["d"])
+    missing = catch_up_plan(cal, done, max_catch_up=2)
+    assert missing == [D(2026, 8, 4), D(2026, 8, 6)]  # oldest first, capped
+
+
+def test_partition_overwrite_and_prune(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([("2026-08-01", 1), ("2026-08-02", 2)], ["d", "v"])
+    write_partition_overwrite(df1, path, "d")
+    # overwrite only the partition present in the new frame
+    df2 = spark.createDataFrame([("2026-08-02", 99)], ["d", "v"])
+    write_partition_overwrite(df2, path, "d")
+    # partition values are type-inferred on read (string -> date)
+    got = {(str(r["d"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2026-08-01", 1), ("2026-08-02", 99)}
+    removed = prune_retention(spark, path, "d", keep_from="2026-08-02")
+    assert removed == ["2026-08-01"]
+    assert {str(r["d"]) for r in spark.read.parquet(path).collect()} == {"2026-08-02"}
+
+
+def test_freshness_guard(spark):
+    df = spark.createDataFrame([(D(2026, 8, 1),)], ["d"])
+    assert_fresh(df, "d", as_of=D(2026, 8, 4), max_staleness_days=5)
+    with pytest.raises(FreshnessError):
+        assert_fresh(df, "d", as_of=D(2026, 8, 20), max_staleness_days=5)
+
+
+def test_run_manifest_idempotency(tmp_path):
+    m = RunManifest(str(tmp_path / "runs.jsonl"))
+    r1 = m.start("sync_bars", "2026-08-12")
+    m.finish(r1, "success", rows=100)
+    r2 = m.start("sync_bars", "2026-08-13")
+    m.finish(r2, "failed", error="boom")
+    assert m.completed_dates("sync_bars") == {"2026-08-12"}
+
+
+def test_streaming_windowed_counts_and_dedup(spark, sf_dir, tmp_path):
+    # stage a micro-batch drop dir from the batch events table
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "stream_src")
+    ev.limit(400).write.parquet(src)
+    # duplicate a slice to exercise dedup
+    spark.read.parquet(src).limit(50).write.mode("append").parquet(src)
+
+    stream = events_stream(spark, src)
+    deduped = dedup_stream(stream)
+    out1 = str(tmp_path / "dedup_out")
+    run_to_parquet(deduped, out1, str(tmp_path / "cp1"))
+    got = spark.read.parquet(out1)
+    assert got.count() == got.select("event_id").distinct().count() == 400
+
+    agg = windowed_event_counts(events_stream(spark, src))
+    out2 = str(tmp_path / "agg_out")
+    run_to_parquet(agg, out2, str(tmp_path / "cp2"), mode="append")
+    # append mode emits only closed windows; the final (open) window is
+    # held in state, so compare against the batch aggregate minus the
+    # last day
+    res = spark.read.parquet(out2)
+    assert res.columns == ["window_start", "event_type", "n_events", "value_sum"]
+    batch = (
+        ev.limit(400)
+        .withColumn("day", F.expr("ts_us DIV 86400000000"))
+        .groupBy("day", "event_type")
+        .count()
+    )
+    last_day = batch.agg(F.max("day")).first()[0]
+    expected = batch.filter(F.col("day") < last_day).count()
+    assert res.count() == expected
