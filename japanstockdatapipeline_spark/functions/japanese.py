@@ -1,0 +1,51 @@
+"""Japanese-era date handling (S7: MOF JGB CSV scan, mof/client.ts:
+29-104 — `令和6年1月5日` → ISO date) as pure Catalyst expressions.
+
+Era bases: 令和 (Reiwa) year 1 = 2019, 平成 (Heisei) 1 = 1989,
+昭和 (Showa) 1 = 1926. 元年 ("first year") = year 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["era_date_to_iso", "iso_to_era_date"]
+
+_ERA_BASE = {"令和": 2018, "平成": 1988, "昭和": 1925}
+
+
+def era_date_to_iso(col: Column) -> Column:
+    """Parse `<era><y>年<m>月<d>日` (with 元年 for year 1) to a DateType;
+    NULL for unparseable input."""
+    era = F.regexp_extract(col, r"^(令和|平成|昭和)", 1)
+    ystr = F.regexp_extract(col, r"^(?:令和|平成|昭和)(元|\d+)年", 1)
+    # regexp_extract yields '' on no match; try_cast maps that to NULL
+    # instead of an ANSI cast error
+    y = F.when(ystr == "元", F.lit(1)).otherwise(ystr.try_cast("int"))
+    m = F.regexp_extract(col, r"(\d+)月", 1).try_cast("int")
+    d = F.regexp_extract(col, r"(\d+)日", 1).try_cast("int")
+    base = F.lit(None).cast("int")
+    for name, b in _ERA_BASE.items():
+        base = F.when(era == name, F.lit(b)).otherwise(base)
+    ok = base.isNotNull() & y.isNotNull() & m.isNotNull() & d.isNotNull()
+    return F.when(ok, F.make_date(base + y, m, d))
+
+
+def iso_to_era_date(col: Column) -> Column:
+    """Format a DateType as the era string (era chosen by date range,
+    元年 for year 1) — the inverse of era_date_to_iso."""
+    y, m, d = F.year(col), F.month(col), F.dayofmonth(col)
+    era = (
+        F.when(y >= 2019, F.lit("令和"))
+        .when(y >= 1989, F.lit("平成"))
+        .otherwise(F.lit("昭和"))
+    )
+    base = (
+        F.when(y >= 2019, F.lit(2018)).when(y >= 1989, F.lit(1988)).otherwise(F.lit(1925))
+    )
+    ey = y - base
+    eys = F.when(ey == 1, F.lit("元")).otherwise(ey.cast("string"))
+    return F.concat(
+        era, eys, F.lit("年"), m.cast("string"), F.lit("月"), d.cast("string"), F.lit("日")
+    )

@@ -1,0 +1,116 @@
+"""Multimodal columns (BASELINE.json north-star): image/audio/video as
+opaque binary columns + typed metadata, processed with Arrow-batched
+mapInPandas.
+
+The decode step is STUBBED (this container has no image/audio libs):
+`image_stats` uses a deterministic fake decode (byte statistics), and
+`resize_images` raises NotImplementedError behind a clearly-marked
+gate. The Spark-side plumbing — schema, batch iteration, metadata
+struct, frame-sampling plan — is real and tested; swapping the stub
+for PIL/ffmpeg is a local change inside one function.
+
+Scale shape: binary payloads ride the scan (parquet binary columns),
+mapInPandas processes Arrow batches with zero per-row Python overhead
+beyond the batch loop, and metadata-only plans (frame sampling) never
+touch the payload at all — column pruning drops it at the reader.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_fake_payload",
+    "image_stats",
+    "resize_images",
+    "frame_sample_plan",
+]
+
+META_COLS = ("mime", "width", "height", "n_frames")
+
+
+def attach_fake_payload(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Deterministic binary payload + typed metadata derived from the
+    documents table — the test stand-in for real image/video bytes."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            (n % 24 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image stats via mapInPandas over Arrow batches.
+
+    The 'decode' is a deterministic fake (mean/max byte value + sha256)
+    — replace the body of `fake_decode` with a real codec to go live.
+    Output schema: doc_id, n_bytes, mean_byte, max_byte, sha256, width, height.
+    """
+
+    def fake_decode(buf: bytes) -> tuple[float, int]:
+        if not buf:
+            return 0.0, 0
+        return sum(buf) / len(buf), max(buf)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                    "mean_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[0]),
+                    "max_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[1]),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                }
+            )
+            yield out
+
+    schema = (
+        "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, "
+        "sha256 string, width int, height int"
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB — real image resize needs an image codec not present in
+    this container. The plumbing (signature, schema, batch shape) is
+    final; the body raises until a codec is wired in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "STUB: image resize requires an image codec (e.g. PIL); "
+            "not available in this environment"
+        )
+        yield  # pragma: no cover  (generator marker)
+
+    schema = "doc_id bigint, payload binary, width int, height int"
+    return media.mapInPandas(batches, schema=schema)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int) -> DataFrame:
+    """Metadata-only frame-sampling plan: explode frame indices
+    0, every_n, 2*every_n, ... < n_frames. Never reads the payload —
+    column pruning keeps the binary out of the scan entirely."""
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,89 @@
+"""Multimodal + era-date plans (north-star multimodal columns; S7
+era-date scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.japanese import era_date_to_iso, iso_to_era_date
+from ..operators.multimodal import attach_fake_payload, frame_sample_plan, image_stats
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "multimodal_image_stats",
+    doc="North-star multimodal: binary payload column + typed metadata, "
+    "Arrow-batched mapInPandas feature extraction (decode is a "
+    "deterministic fake — see operators/multimodal.py). Rows-only: "
+    "byte-level blob statistics aren't ANSI-SQL-expressible.",
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs)
+    return image_stats(media)
+
+
+@query(
+    "multimodal_frame_plan",
+    doc="North-star multimodal: metadata-only frame-sampling plan "
+    "(explode of sequence over n_frames) — the binary payload is "
+    "pruned out of the scan entirely.",
+    oracle="""
+    SELECT doc_id, CAST(u.f AS INT) AS frame_idx
+    FROM (
+      SELECT doc_id, length(text) % 24 + 1 AS n_frames FROM documents
+    ), LATERAL unnest(range(0, n_frames, 4)) AS u(f)
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs)
+    return frame_sample_plan(media, every_n=4).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@query(
+    "era_date_roundtrip",
+    doc="S7 Japanese era-date parse (mof/client.ts:29-104): format each "
+    "distinct order date as <era>N年M月D日 (元年 for year 1) and parse "
+    "it back — both directions as pure expressions, same rules in the "
+    "oracle.",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+    fmt AS (
+      SELECT d,
+             (CASE WHEN year(d) >= 2019 THEN '令和'
+                   WHEN year(d) >= 1989 THEN '平成' ELSE '昭和' END)
+             || (CASE WHEN year(d) - (CASE WHEN year(d) >= 2019 THEN 2018
+                        WHEN year(d) >= 1989 THEN 1988 ELSE 1925 END) = 1
+                 THEN '元' ELSE CAST(year(d) - (CASE WHEN year(d) >= 2019 THEN 2018
+                        WHEN year(d) >= 1989 THEN 1988 ELSE 1925 END) AS VARCHAR) END)
+             || '年' || CAST(month(d) AS VARCHAR) || '月'
+             || CAST(day(d) AS VARCHAR) || '日' AS era_str
+      FROM days
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_date, era_str,
+           strftime(make_date(
+             (CASE WHEN era_str LIKE '令和%' THEN 2018
+                   WHEN era_str LIKE '平成%' THEN 1988 ELSE 1925 END)
+             + (CASE WHEN regexp_extract(era_str, '^(?:令和|平成|昭和)(元|\\d+)年', 1) = '元'
+                THEN 1 ELSE CAST(regexp_extract(era_str, '^(?:令和|平成|昭和)(\\d+)年', 1) AS INT) END),
+             CAST(regexp_extract(era_str, '(\\d+)月', 1) AS INT),
+             CAST(regexp_extract(era_str, '(\\d+)日', 1) AS INT)), '%Y-%m-%d') AS parsed_back
+    FROM fmt
+    """,
+)
+def era_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    fmt = days.withColumn("era_str", iso_to_era_date(F.col("d")))
+    return fmt.select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        "era_str",
+        F.date_format(era_date_to_iso(F.col("era_str")), "yyyy-MM-dd").alias(
+            "parsed_back"
+        ),
+    )

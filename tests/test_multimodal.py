@@ -1,0 +1,76 @@
+"""Multimodal plumbing + era-date expression tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.functions.japanese import era_date_to_iso, iso_to_era_date
+from japanstockdatapipeline_spark.operators.multimodal import (
+    attach_fake_payload,
+    frame_sample_plan,
+    image_stats,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100), (3, "")], ["doc_id", "text"]
+    )
+    return attach_fake_payload(docs)
+
+
+def test_payload_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = media.select("meta.*").first()
+    assert meta["mime"] == "image/fake" and meta["width"] >= 16
+
+
+def test_image_stats_fake_decode(media):
+    rows = {r["doc_id"]: r for r in image_stats(media).collect()}
+    buf = b"hello world"
+    assert rows[1]["n_bytes"] == len(buf)
+    assert rows[1]["mean_byte"] == pytest.approx(sum(buf) / len(buf))
+    assert rows[1]["sha256"] == hashlib.sha256(buf).hexdigest()
+    assert rows[3]["n_bytes"] == 0 and rows[3]["mean_byte"] == 0.0
+
+
+def test_resize_is_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        resize_images(media, 64, 64).collect()
+    assert "STUB" in str(ei.value)
+
+
+def test_frame_plan_prunes_payload(media):
+    plan = frame_sample_plan(media, every_n=2)
+    # metadata-only: the binary payload must not appear in the scan
+    assert "payload" not in plan.schema.fieldNames()
+    n1 = plan.filter(F.col("doc_id") == 1).count()
+    meta = media.filter(F.col("doc_id") == 1).select("meta.n_frames").first()[0]
+    assert n1 == len(range(0, meta, 2))
+
+
+def test_era_roundtrip_edges(spark):
+    df = spark.createDataFrame(
+        [("2019-05-01",), ("2024-01-05",), ("1989-01-08",), ("1975-03-03",)], ["d"]
+    ).select(F.col("d").cast("date").alias("d"))
+    out = df.select(
+        "d",
+        iso_to_era_date(F.col("d")).alias("era"),
+        F.date_format(era_date_to_iso(iso_to_era_date(F.col("d"))), "yyyy-MM-dd").alias("back"),
+    ).collect()
+    got = {str(r["d"]): (r["era"], r["back"]) for r in out}
+    assert got["2019-05-01"] == ("令和元年5月1日", "2019-05-01")  # 元年
+    assert got["2024-01-05"] == ("令和6年1月5日", "2024-01-05")
+    assert got["1989-01-08"] == ("平成元年1月8日", "1989-01-08")
+    assert got["1975-03-03"] == ("昭和50年3月3日", "1975-03-03")
+
+
+def test_era_parse_garbage_is_null(spark):
+    df = spark.createDataFrame([("not a date",), ("令和年月日",)], ["s"])
+    out = df.select(era_date_to_iso(F.col("s")).alias("d")).collect()
+    assert all(r["d"] is None for r in out)

@@ -1,0 +1,86 @@
+"""Physical-plan audit: assert the plan shapes SCALE.md promises.
+
+Checks, per audited query:
+  - parquet scans carry PushedFilters / pruned ReadSchema where expected
+  - dimension joins are BroadcastHashJoin (not SMJ/BNLJ)
+  - no BroadcastNestedLoopJoin anywhere except the intended cross
+    joins (knn broadcast product, 1-row stats broadcasts)
+  - as-of join contains NO join operator at all (union-merge form)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from japanstockdatapipeline_spark.plans import all_queries
+from japanstockdatapipeline_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+CHECKS = {
+    "pricing_summary": [
+        ("PushedFilters: \\[IsNotNull\\(l_shipdate\\)", True, "shipdate filter pushed to scan"),
+        ("HashAggregate", True, "two-phase hash aggregate"),
+        ("hashpartitioning\\(l_returnflag", True, "single shuffle on group keys"),
+    ],
+    "revenue_by_nation": [
+        ("BroadcastHashJoin", True, "dims broadcast"),
+        ("SortMergeJoin", False, "no SMJ for dim joins"),
+    ],
+    "purchase_asof_click": [
+        ("Join", False, "as-of is union-merge: no join operator"),
+        ("Union", True, "union of tagged sides"),
+        ("RunningWindowFunction|Window", True, "last(ignorenulls) window"),
+    ],
+    "rolling_event_stats": [
+        ("hashpartitioning\\(user_id", True, "one shuffle on entity key"),
+    ],
+    "embedding_knn_topk": [
+        ("BroadcastNestedLoopJoin", True, "intended broadcast product with tiny query side"),
+    ],
+    "doc_ngram_jaccard_dups": [
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False, "join-free pair generation"),
+    ],
+    "customers_without_orders": [
+        ("BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin", True, "anti-join broadcast"),
+    ],
+    "winsorized_price_z": [
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row stats broadcast"),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    qs = all_queries()
+    failures = 0
+    for name, rules in CHECKS.items():
+        df = qs[name].fn(spark, sf_dir)
+        plan = plan_of(df)
+        for pattern, expected, why in rules:
+            found = re.search(pattern, plan, re.IGNORECASE | re.DOTALL) is not None
+            ok = found == expected
+            mark = "PASS" if ok else "FAIL"
+            if not ok:
+                failures += 1
+            print(f"{mark}  {name}: {'has' if expected else 'no'} /{pattern}/ ({why})")
+            if not ok and os.environ.get("AUDIT_VERBOSE"):
+                print(plan)
+    print(f"\n{failures} plan-audit failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
