@@ -6,6 +6,7 @@ from . import (  # noqa: F401  (registration side effect)
     core,
     events,
     llm,
+    mathfmt,
     multimodal,
     relational2,
     similarity,

@@ -25,6 +25,9 @@ __all__ = [
     "catch_up_plan",
     "write_partition_overwrite",
     "prune_retention",
+    "merge_column_groups",
+    "pending_null_cursor_days",
+    "archive_partitions",
     "RunManifest",
     "FreshnessError",
     "assert_fresh",
@@ -118,6 +121,84 @@ def prune_retention(
             shutil.rmtree(os.path.join(path, entry))
             removed.append(value)
     return removed
+
+
+def merge_column_groups(
+    wide: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """ST4 NULL-cursor incremental fill (refresh-market-indicators.ts:
+    244-259): the wide indicator table has independent column groups
+    filled by independent sources; NULL = "not yet filled". Merge an
+    update frame (key cols + its column group) into the wide table:
+    full-outer join on keys, update wins where non-NULL, existing
+    value preserved otherwise. Columns absent from one side pass
+    through unchanged."""
+    upd_cols = [c for c in updates.columns if c not in key_cols]
+    u = updates
+    for c in upd_cols:
+        u = u.withColumnRenamed(c, f"__u_{c}")
+    joined = wide.join(u, key_cols, "full_outer")
+    out = joined
+    for c in upd_cols:
+        if c in wide.columns:
+            out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+        else:
+            out = out.withColumn(c, F.col(f"__u_{c}"))
+    return out.drop(*[f"__u_{c}" for c in upd_cols])
+
+
+def pending_null_cursor_days(
+    wide: DataFrame, key_col: str, group_cols: list[str], *, boundary=None
+) -> DataFrame:
+    """ST4 pending-work query: keys where ALL of my group's columns are
+    still NULL (and past any expected-permanent-null boundary,
+    market-breadth.ts:62-89)."""
+    cond = None
+    for c in group_cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else cond & n
+    df = wide.filter(cond)
+    if boundary is not None:
+        df = df.filter(F.col(key_col) > F.lit(boundary))
+    return df.select(key_col).orderBy(key_col)
+
+
+def archive_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    archive_path: str,
+    *,
+    keep_latest: int,
+    archive_batch: int,
+) -> list[str]:
+    """S12 archival sink (archive-equity-bars.ts:26-34): export the
+    oldest `archive_batch` partitions to gzip CSV under archive_path,
+    then delete them — keeping at least `keep_latest` partitions.
+    Returns archived partition values."""
+    if not os.path.isdir(path):
+        return []
+    parts = sorted(
+        e.split("=", 1)[1] for e in os.listdir(path) if e.startswith(f"{partition_col}=")
+    )
+    if len(parts) <= keep_latest:
+        return []
+    n = min(archive_batch, len(parts) - keep_latest)
+    to_archive = parts[:n]
+    for value in to_archive:
+        df = spark.read.parquet(os.path.join(path, f"{partition_col}={value}"))
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("header", True)
+            .csv(os.path.join(archive_path, f"{partition_col}={value}"))
+        )
+    import shutil
+
+    for value in to_archive:
+        shutil.rmtree(os.path.join(path, f"{partition_col}={value}"))
+    return to_archive
 
 
 class FreshnessError(RuntimeError):

@@ -9,11 +9,18 @@ sources so tests exercise the full streaming path deterministically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["events_stream", "windowed_event_counts", "dedup_stream", "run_to_parquet"]
+__all__ = [
+    "events_stream",
+    "windowed_event_counts",
+    "dedup_stream",
+    "stateful_user_breadth",
+    "run_to_parquet",
+]
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -59,6 +66,70 @@ def dedup_stream(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     upsert semantics, batch.ts:81-141, in stream form)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def stateful_user_breadth(stream: DataFrame) -> DataFrame:
+    """ST3 stateful per-key accumulator (BreadthAccumulator, market-
+    breadth.ts:121-275) as a custom stateful streaming operator via
+    applyInPandasWithState: per user, carry {prev_value, running_max,
+    n_seen} across micro-batches; emit one row per batch with the
+    number of new highs (value > running max so far) observed.
+
+    The batch re-derivation of the same semantics is the window form
+    (event_running_high / W20); this is the streaming form with
+    explicit state, as SURVEY §2.9 maps ST3.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            prev_value, running_max, n_seen = state.get
+        else:
+            prev_value, running_max, n_seen = None, None, 0
+        new_highs = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for v in pdf["value"]:
+                if running_max is not None and v > running_max:
+                    new_highs += 1
+                running_max = v if running_max is None else max(running_max, v)
+                prev_value = v
+                n_seen += 1
+        state.update((prev_value, running_max, n_seen))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_seen": n_seen,
+                    "running_max": running_max,
+                    "new_highs_in_batch": new_highs,
+                }
+            ]
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("running_max", T.DoubleType()),
+            T.StructField("new_highs_in_batch", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("prev_value", T.DoubleType()),
+            T.StructField("running_max", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

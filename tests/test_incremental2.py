@@ -1,0 +1,112 @@
+"""Tests for ST4 null-cursor merge, ST8 rebase, S12 archival, ST3
+stateful streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.operators.rebase import (
+    detect_restatement_keys,
+    rebase_adjusted,
+)
+from japanstockdatapipeline_spark.sources import load_table
+from japanstockdatapipeline_spark.streaming.incremental import (
+    archive_partitions,
+    merge_column_groups,
+    pending_null_cursor_days,
+    write_partition_overwrite,
+)
+from japanstockdatapipeline_spark.streaming.jobs import (
+    events_stream,
+    run_to_parquet,
+    stateful_user_breadth,
+)
+
+
+def test_merge_column_groups_null_cursor(spark):
+    wide = spark.createDataFrame(
+        [("d1", 1.0, None), ("d2", None, 2.0), ("d3", None, None)],
+        ["d", "a", "b"],
+    )
+    upd = spark.createDataFrame([("d2", 20.0), ("d3", 30.0), ("d4", 40.0)], ["d", "a"])
+    out = {r["d"]: (r["a"], r["b"]) for r in merge_column_groups(wide, upd, ["d"]).collect()}
+    assert out == {
+        "d1": (1.0, None),   # untouched group preserved
+        "d2": (20.0, 2.0),   # update fills the NULL cursor
+        "d3": (30.0, None),
+        "d4": (40.0, None),  # new key appears
+    }
+
+
+def test_pending_null_cursor_days(spark):
+    wide = spark.createDataFrame(
+        [("d1", 1.0, None), ("d2", None, None), ("d3", None, 5.0)], ["d", "a", "b"]
+    )
+    pend = [r["d"] for r in pending_null_cursor_days(wide, "d", ["a", "b"]).collect()]
+    assert pend == ["d2"]
+    pend2 = [r["d"] for r in pending_null_cursor_days(wide, "d", ["a"]).collect()]
+    assert pend2 == ["d2", "d3"]
+
+
+def test_rebase_adjusted_split_semantics(spark):
+    # split factor 0.5 effective on day 3: all PRIOR days get x0.5
+    rows = [
+        ("A", 1, 100.0, 1000, None),
+        ("A", 2, 102.0, 1100, 1.0),
+        ("A", 3, 51.0, 2200, 0.5),
+        ("A", 4, 52.0, 2300, None),
+        ("B", 1, 10.0, 500, None),
+    ]
+    df = spark.createDataFrame(rows, ["code", "d", "close", "volume", "factor"])
+    out = rebase_adjusted(
+        df, "code", "d", "factor", ["close"], ["volume"], tiebreak="d"
+    )
+    got = {(r["code"], r["d"]): (r["adj_close"], r["adj_volume"]) for r in out.collect()}
+    assert got[("A", 1)] == (50.0, 2000)   # before split: halved price, doubled volume
+    assert got[("A", 2)] == (51.0, 2200)
+    assert got[("A", 3)] == (51.0, 2200)   # the split-day row itself is NOT adjusted
+    assert got[("A", 4)] == (52.0, 2300)
+    assert got[("B", 1)] == (10.0, 500)    # untouched entity
+
+    keys = detect_restatement_keys(df, "code", "d", "factor", since=2)
+    assert [r["code"] for r in keys.collect()] == ["A"]
+
+
+def test_archive_partitions(spark, tmp_path):
+    path, arch = str(tmp_path / "bars"), str(tmp_path / "archive")
+    df = spark.createDataFrame(
+        [(f"2026-08-{d:02d}", d) for d in range(1, 6)], ["d", "v"]
+    )
+    write_partition_overwrite(df, path, "d")
+    archived = archive_partitions(
+        spark, path, "d", arch, keep_latest=3, archive_batch=10
+    )
+    assert archived == ["2026-08-01", "2026-08-02"]
+    left = {str(r["d"]) for r in spark.read.parquet(path).collect()}
+    assert left == {"2026-08-03", "2026-08-04", "2026-08-05"}
+    back = spark.read.option("header", True).csv(f"{arch}/d=2026-08-01")
+    assert back.count() == 1 and back.first()["v"] == "1"
+    # nothing left to archive within the keep budget
+    assert archive_partitions(spark, path, "d", arch, keep_latest=3, archive_batch=10) == []
+
+
+def test_stateful_user_breadth_stream(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.limit(300).write.parquet(src)
+    out = stateful_user_breadth(events_stream(spark, src))
+    dst = str(tmp_path / "out")
+    run_to_parquet(out, dst, str(tmp_path / "cp"))
+    got = spark.read.parquet(dst)
+    rows = {r["user_id"]: r for r in got.collect()}
+    # state math cross-checked against the batch window form (W20)
+    batch = ev.limit(300).toPandas().sort_values(["ts_us", "event_id"])
+    for uid, grp in batch.groupby("user_id"):
+        v = grp["value"].to_list()
+        highs = sum(1 for i in range(1, len(v)) if v[i] > max(v[:i]))
+        assert rows[uid]["n_seen"] == len(v)
+        assert rows[uid]["running_max"] == pytest.approx(max(v))
+        assert rows[uid]["new_highs_in_batch"] == highs
