@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["brute_force_topk", "lsh_bucketed_topk"]
+__all__ = ["brute_force_topk", "lsh_bucketed_topk", "ivf_topk"]
 
 
 def brute_force_topk(
@@ -90,6 +90,64 @@ def lsh_bucketed_topk(
         F.col(q_id_col), as_double_array(F.col(q_vec_col)).alias("__qv")
     ).withColumn("__sig", signature(F.col("__qv")))
     pairs = c.join(F.broadcast(q), "__sig").filter(F.col("neighbor_id") != F.col(q_id_col))
+    scored = pairs.select(
+        q_id_col, "neighbor_id", cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cos")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_probe: int = 2,
+    coarse_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k, IVF-style: the corpus is inverted-listed by a
+    coarse quantizer (here: an existing cluster/label column — in a
+    full system, k-means cell ids), each query probes its `n_probe`
+    nearest cell centroids, and exact cosine runs only inside probed
+    cells.
+
+    Scale shape: centroids are tiny (one row per cell) and broadcast;
+    the probe assignment is a small cross join (queries x cells); the
+    expensive scan is an equi-join corpus⋈probes on the cell id — a
+    shuffle, never a full cross product. Recall grows with n_probe.
+    """
+    c = corpus.select(
+        F.col(coarse_col).alias("__cell"),
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("__cv"),
+    )
+    # cell centroids via posexplode + per-position mean (one shuffle)
+    ex = c.select("__cell", F.posexplode("__cv").alias("pos", "x"))
+    centroids = (
+        ex.groupBy("__cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("__cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("__cell", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
+    )
+    q = queries.select(F.col(q_id_col), as_double_array(F.col(q_vec_col)).alias("__qv"))
+    probe_w = Window.partitionBy(q_id_col).orderBy(
+        F.col("__ccos").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos", cosine_similarity(F.col("__qv"), F.col("__centroid")))
+        .withColumn("__prank", F.row_number().over(probe_w))
+        .filter(F.col("__prank") <= n_probe)
+        .select(q_id_col, "__qv", "__cell")
+    )
+    pairs = c.join(F.broadcast(probes), "__cell").filter(
+        F.col("neighbor_id") != F.col(q_id_col)
+    )
     scored = pairs.select(
         q_id_col, "neighbor_id", cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cos")
     )

@@ -111,3 +111,20 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(cosine_similarity(F.col("emb_d"), F.col("centroid")), 6).alias("centroid_cos"),
     )
+
+
+@query(
+    "embedding_ivf_topk",
+    doc="ANN scale path #2 (north-star): IVF — inverted lists by coarse "
+    "cell (label column as the quantizer), queries probe their 2 "
+    "nearest cell centroids, exact cosine only inside probed cells. "
+    "Approximate: rows-only check; recall vs brute force unit-tested.",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, _queries_df(emb), k=5, n_probe=2)
+    return out.select(
+        "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
+    )
