@@ -34,12 +34,16 @@ def _sma_tail(v: np.ndarray, n: int) -> float:
 
 
 def technical_snapshot(df: DataFrame, key_col: str, order_col: str, value_col: str) -> DataFrame:
-    """One snapshot row per key from its full ordered series."""
+    """One snapshot row per key from its full ordered series.
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        v = pdf[value_col].to_numpy(dtype=float)
-        key = pdf[key_col].iloc[0]
+    Execution: repartition by key + sortWithinPartitions, then ONE
+    mapInPandas call per partition with a pandas-side groupby. With
+    many small entities, per-group applyInPandas pays ~ms of Arrow +
+    Python-call overhead per group (measured 8.1s for 1500 groups at
+    sf0.1); amortizing it per partition cut that to the numpy cost.
+    """
+
+    def compute_one(key, v: np.ndarray) -> dict:
         n = len(v)
         close = v[-1] if n else np.nan
         sma25, sma75, sma200 = (_sma_tail(v, k) for k in (25, 75, 200))
@@ -81,35 +85,47 @@ def technical_snapshot(df: DataFrame, key_col: str, order_col: str, value_col: s
                 changes = np.where((state[1:] != state[:-1]) & (state[1:] != 0) & (state[:-1] != 0))[0]
                 cross_age = int(n - 1 - (changes[-1] + 1)) if len(changes) else None
 
-        return pd.DataFrame(
-            [
-                {
-                    "key": key,
-                    "n_bars": n,
-                    "close": close,
-                    "sma_25": sma25,
-                    "sma_75": sma75,
-                    "sma_200": sma200,
-                    "dev_25": dev25,
-                    "above_sma200": bool(close > sma200) if not np.isnan(sma200) else None,
-                    "rsi_14": rsi,
-                    "macd": macd[-1] if n else np.nan,
-                    "macd_signal": signal[-1] if n else np.nan,
-                    "macd_hist": hist[-1] if n else np.nan,
-                    "stoch_k": stoch_k,
-                    "stoch_d": stoch_d,
-                    "bb_percent_b": bb_pb,
-                    "bb_bandwidth": bb_bw,
-                    "obv": obv,
-                    "cross_25_75": cross,
-                    "cross_age": cross_age,
-                }
-            ]
-        )
+        return {
+            "key": key,
+            "n_bars": n,
+            "close": close,
+            "sma_25": sma25,
+            "sma_75": sma75,
+            "sma_200": sma200,
+            "dev_25": dev25,
+            "above_sma200": bool(close > sma200) if not np.isnan(sma200) else None,
+            "rsi_14": rsi,
+            "macd": macd[-1] if n else np.nan,
+            "macd_signal": signal[-1] if n else np.nan,
+            "macd_hist": hist[-1] if n else np.nan,
+            "stoch_k": stoch_k,
+            "stoch_d": stoch_d,
+            "bb_percent_b": bb_pb,
+            "bb_bandwidth": bb_bw,
+            "obv": obv,
+            "cross_25_75": cross,
+            "cross_age": cross_age,
+        }
 
-    src = df.select(
-        F.col(key_col).alias(key_col),
-        F.col(order_col).alias(order_col),
-        F.col(value_col).alias(value_col),
+    def per_partition(batches):
+        # the partition arrives in (key, order) sorted batches; keys
+        # never straddle partitions (hash repartition by key), but may
+        # straddle Arrow batches — concat first
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        rows = [
+            compute_one(key, g[value_col].to_numpy(dtype=float))
+            for key, g in pdf.groupby(key_col, sort=False)
+        ]
+        yield pd.DataFrame(rows)
+
+    src = (
+        df.select(key_col, order_col, value_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, order_col)
     )
-    return src.groupBy(key_col).applyInPandas(compute, schema=SNAPSHOT_SCHEMA)
+    return src.mapInPandas(per_partition, schema=SNAPSHOT_SCHEMA)

@@ -184,6 +184,7 @@ def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "user_technical_snapshot",
+    bench=True,
     doc="§2.10 grouped-map snapshot (computeTechnicalSnapshot, "
     "technical.ts:361-410): full per-user series in, ONE row out — "
     "SMA/RSI/MACD/stochastic/Bollinger/OBV/cross-age. applyInPandas; "

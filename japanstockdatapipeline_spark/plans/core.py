@@ -147,7 +147,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no recent (1998+) orders — non-empty at every sf."""
+    """Customers with no recent (2001+) orders — non-empty at every sf."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")

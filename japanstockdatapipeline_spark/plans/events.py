@@ -150,6 +150,7 @@ def event_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "purchase_asof_click",
+    bench=True,
     doc="J6 as-of join (basket-valuation.ts:239-267 pitFy): for each "
     "purchase, the latest click value of the same user at or before it. "
     "Union-merge implementation: ONE shuffle, no non-equi join.",
