@@ -165,20 +165,63 @@ def catch_up_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "user_value_smoothers",
     doc="W10/W11 recursive EMA (SMA-seeded) + RSI (Wilder) via "
-    "applyInPandas per user (technical.ts:105-152) — genuinely not "
-    "window-expressible (the recurrence references its own output), "
-    "so no SQL oracle: rows-only check + numpy-parity unit tests.",
+    "applyInPandas per user (technical.ts:105-152) — not frame-window-"
+    "expressible (the recurrence references its own output); the "
+    "oracle replays the exact recurrences as RECURSIVE CTEs, so even "
+    "the recursive family is value-checked, not just rows-only.",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), eseeds AS (
+      SELECT user_id, avg(value) AS seed FROM base WHERE rn <= 12
+      GROUP BY user_id HAVING count(*) = 12
+    ), ema AS (
+      SELECT b.user_id, b.rn, s.seed AS ema
+      FROM base b JOIN eseeds s ON b.user_id = s.user_id WHERE b.rn = 12
+      UNION ALL
+      SELECT b.user_id, b.rn, b.value * (2.0/13.0) + e.ema * (1 - 2.0/13.0)
+      FROM base b JOIN ema e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    ), delta AS (
+      SELECT user_id, rn,
+             greatest(value - lag(value) OVER w, 0) AS g,
+             greatest(lag(value) OVER w - value, 0) AS l
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), rseeds AS (
+      SELECT user_id, avg(g) AS ag, avg(l) AS al FROM delta
+      WHERE rn BETWEEN 2 AND 15 GROUP BY user_id HAVING count(*) = 14
+    ), wilder AS (
+      SELECT d.user_id, d.rn, s.ag, s.al
+      FROM delta d JOIN rseeds s ON d.user_id = s.user_id WHERE d.rn = 15
+      UNION ALL
+      SELECT d.user_id, d.rn, (w.ag * 13 + d.g) / 14, (w.al * 13 + d.l) / 14
+      FROM delta d JOIN wilder w ON d.user_id = w.user_id AND d.rn = w.rn + 1
+    )
+    SELECT b.user_id, b.event_id,
+           round(e.ema, 6) AS ema_12,
+           round(CASE WHEN w.al = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al) END, 6) AS rsi_14
+    FROM base b
+    LEFT JOIN ema e ON b.user_id = e.user_id AND b.rn = e.rn
+    LEFT JOIN wilder w ON b.user_id = w.user_id AND b.rn = w.rn
+    """,
 )
 def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts_us", "value"
     )
     out = with_smoothers(ev, "user_id", "ts_us", "value", ema_n=12, rsi_n=14)
+
+    def nan_to_null(c):
+        return F.when(~F.isnan(c), c)  # numpy NaN -> SQL NULL
+
     return out.select(
         "user_id",
         "event_id",
-        F.round("ema_12", 6).alias("ema_12"),
-        F.round("rsi_14", 6).alias("rsi_14"),
+        F.round(nan_to_null(F.col("ema_12")), 6).alias("ema_12"),
+        F.round(nan_to_null(F.col("rsi_14")), 6).alias("rsi_14"),
     )
 
 

@@ -95,8 +95,36 @@ def doc_source_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
     "user_value_atr",
     doc="W15 ATR (Wilder, technical.ts:242-265) on a synthesized "
     "high/low band (±1% of value — events carry no OHLC): true range "
-    "via prev close, Wilder recursion seeded at index n. Recursive → "
-    "applyInPandas, rows-only (numpy parity unit-tested).",
+    "via prev close, Wilder recursion seeded over the first 14 TRs. "
+    "Recursive → applyInPandas; oracle replays the recurrence as a "
+    "RECURSIVE CTE.",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             value * 1.01 AS high, value * 0.99 AS low,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), tr AS (
+      SELECT user_id, event_id, rn,
+             CASE WHEN rn = 1 THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(value) OVER w),
+                                abs(low - lag(value) OVER w)) END AS tr
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), seeds AS (
+      SELECT user_id, avg(tr) AS seed FROM tr WHERE rn BETWEEN 2 AND 15
+      GROUP BY user_id HAVING count(*) = 14
+    ), atr AS (
+      SELECT t.user_id, t.rn, s.seed AS atr
+      FROM tr t JOIN seeds s ON t.user_id = s.user_id WHERE t.rn = 15
+      UNION ALL
+      SELECT t.user_id, t.rn, (a.atr * 13 + t.tr) / 14
+      FROM tr t JOIN atr a ON t.user_id = a.user_id AND t.rn = a.rn + 1
+    )
+    SELECT b.user_id, b.event_id, round(a.atr, 6) AS atr_14
+    FROM base b LEFT JOIN atr a ON b.user_id = a.user_id AND b.rn = a.rn
+    """,
 )
 def user_value_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -116,4 +144,5 @@ def user_value_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         compute,
         schema="user_id bigint, event_id bigint, ts_us bigint, value double, atr_14 double",
     )
-    return out.select("user_id", "event_id", F.round("atr_14", 6).alias("atr_14"))
+    atr = F.when(~F.isnan("atr_14"), F.col("atr_14"))  # numpy NaN -> NULL
+    return out.select("user_id", "event_id", F.round(atr, 6).alias("atr_14"))
