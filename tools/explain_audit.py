@@ -47,7 +47,8 @@ CHECKS = {
         ("hashpartitioning\\(user_id", True, "one shuffle on entity key"),
     ],
     "embedding_knn_topk": [
-        ("BroadcastNestedLoopJoin", True, "intended broadcast product with tiny query side"),
+        ("MapInPandas", True, "BLAS matmul path: corpus streamed in Arrow batches"),
+        ("SortMergeJoin|ShuffledHashJoin", False, "no join: candidates re-ranked by window"),
     ],
     "doc_ngram_jaccard_dups": [
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False, "join-free pair generation"),
