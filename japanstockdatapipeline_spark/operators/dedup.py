@@ -25,6 +25,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
+    "dup_clusters",
 ]
 
 
@@ -235,3 +236,54 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     for c in bit_cols[1:]:
         sim = sim + c
     return hashed.select(id_col, sim.alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: each doc labeled with
+    the min doc_id reachable through the dup graph (the cluster's
+    canonical survivor).
+
+    Iterative label propagation: labels flow along edges until no
+    label changes (small-star style; converges in O(graph diameter)
+    rounds, bounded by max_iter). Each round is two shuffles; the
+    pair set after thresholding is tiny relative to the corpus, so
+    at 100 TB this loop runs on the pruned pair list, not the data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate labels: my own + the min label among my neighbors
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b2"), edges.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nmin"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -236,3 +236,83 @@ def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return technical_snapshot(ev, "user_id", "ts_us", "value")
+
+
+@query(
+    "user_value_macd",
+    doc="W12 MACD + defined-region signal (technical.ts:161-178): "
+    "EMA12-EMA26; signal = EMA9 *over the defined region of MACD* "
+    "(SMA seed at the 9th defined row); hist = macd - signal. Three "
+    "recursions, each replayed as a RECURSIVE CTE in the oracle.",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), s12 AS (
+      SELECT user_id, avg(value) AS seed FROM base WHERE rn <= 12
+      GROUP BY user_id HAVING count(*) = 12
+    ), e12 AS (
+      SELECT b.user_id, b.rn, s.seed AS v FROM base b JOIN s12 s USING (user_id) WHERE b.rn = 12
+      UNION ALL
+      SELECT b.user_id, b.rn, b.value * (2.0/13.0) + e.v * (1 - 2.0/13.0)
+      FROM base b JOIN e12 e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    ), s26 AS (
+      SELECT user_id, avg(value) AS seed FROM base WHERE rn <= 26
+      GROUP BY user_id HAVING count(*) = 26
+    ), e26 AS (
+      SELECT b.user_id, b.rn, s.seed AS v FROM base b JOIN s26 s USING (user_id) WHERE b.rn = 26
+      UNION ALL
+      SELECT b.user_id, b.rn, b.value * (2.0/27.0) + e.v * (1 - 2.0/27.0)
+      FROM base b JOIN e26 e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    ), macd AS (
+      SELECT a.user_id, a.rn, a.v - c.v AS macd
+      FROM e12 a JOIN e26 c ON a.user_id = c.user_id AND a.rn = c.rn
+    ), sseed AS (
+      -- defined region starts at rn=26; SMA seed over its first 9 rows
+      SELECT user_id, avg(macd) AS seed FROM macd WHERE rn BETWEEN 26 AND 34
+      GROUP BY user_id HAVING count(*) = 9
+    ), sig AS (
+      SELECT m.user_id, m.rn, s.seed AS v FROM macd m JOIN sseed s USING (user_id) WHERE m.rn = 34
+      UNION ALL
+      SELECT m.user_id, m.rn, m.macd * (2.0/10.0) + g.v * (1 - 2.0/10.0)
+      FROM macd m JOIN sig g ON m.user_id = g.user_id AND m.rn = g.rn + 1
+    )
+    SELECT b.user_id, b.event_id,
+           round(m.macd, 6) AS macd,
+           round(g.v, 6) AS macd_signal,
+           round(m.macd - g.v, 6) AS macd_hist
+    FROM base b
+    LEFT JOIN macd m ON b.user_id = m.user_id AND b.rn = m.rn
+    LEFT JOIN sig g ON b.user_id = g.user_id AND b.rn = g.rn
+    """,
+)
+def user_value_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.smoothers import macd_np
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us", "value")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_us").reset_index(drop=True)
+        m, s, h = macd_np(pdf["value"].to_numpy(dtype=float))
+        pdf["macd"], pdf["macd_signal"], pdf["macd_hist"] = m, s, h
+        return pdf
+
+    out = ev.groupBy("user_id").applyInPandas(
+        compute,
+        schema="user_id bigint, event_id bigint, ts_us bigint, value double, "
+        "macd double, macd_signal double, macd_hist double",
+    )
+
+    def n2n(c):
+        return F.when(~F.isnan(c), c)
+
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(n2n(F.col("macd")), 6).alias("macd"),
+        F.round(n2n(F.col("macd_signal")), 6).alias("macd_signal"),
+        F.round(n2n(F.col("macd_hist")), 6).alias("macd_hist"),
+    )

@@ -220,3 +220,94 @@ def doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_dup_clusters",
+    doc="Near-dup clustering (north-star dedup completion): connected "
+    "components over the >=0.5-Jaccard pair graph via iterative "
+    "min-label propagation; cluster id = canonical survivor (min "
+    "doc_id). Oracle: transitive closure as a RECURSIVE CTE.",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id, sh.shingle AS shingle, n_sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS shs
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks
+          FROM documents
+        ) WHERE len(toks) >= 3
+      ), LATERAL (SELECT len(shs) AS n_sh),
+         LATERAL unnest(shs) AS sh(shingle)
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id, a.n_sh, b.n_sh
+      HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
+    ), nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_clusters
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
+
+
+@query(
+    "doc_tfidf_top_terms",
+    doc="TF-IDF term scoring (north-star text analysis): tf = term "
+    "count in doc, idf = ln(N / df), top-3 terms per document by "
+    "tf*idf with deterministic tie-break.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS term FROM documents,
+      LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')) AS t(tok)
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rk
+      FROM tf JOIN df USING (term), n
+    ) WHERE rk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = float(d.count())
+    scored = tf.join(df, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(n) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", F.round("tfidf", 6).alias("tfidf"), F.col("rk").cast("int")
+        )
+    )
