@@ -270,3 +270,47 @@ def event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "user_sessions",
+    doc="Sessionization (tumbling/sliding windows exist in the "
+    "reference as daily cadence; session windows are the Spark-native "
+    "extension — SURVEY §2.9 note): per user, a >30-minute gap opens "
+    "a new session; emit per-session bounds, event count, value sum. "
+    "Batch form via lag+cumsum; the streaming form is "
+    "F.session_window in streaming/jobs.py.",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(tu) AS session_start_us, max(tu) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_start = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    s = ev.withColumn("is_start", is_start).withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )

