@@ -18,6 +18,7 @@ __all__ = [
     "events_stream",
     "windowed_event_counts",
     "dedup_stream",
+    "session_window_counts",
     "stateful_user_breadth",
     "run_to_parquet",
 ]
@@ -66,6 +67,24 @@ def dedup_stream(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     upsert semantics, batch.ts:81-141, in stream form)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def session_window_counts(stream: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows (the streaming twin of the batch `user_sessions`
+    plan): per user, events within `gap` of each other merge into one
+    session; watermark bounds state. Spark-native F.session_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
     )
 
 

@@ -113,3 +113,29 @@ def test_streaming_windowed_counts_and_dedup(spark, sf_dir, tmp_path):
     last_day = batch.agg(F.max("day")).first()[0]
     expected = batch.filter(F.col("day") < last_day).count()
     assert res.count() == expected
+
+
+def test_session_window_counts(spark, sf_dir, tmp_path):
+    from japanstockdatapipeline_spark.streaming.jobs import session_window_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+    out = session_window_counts(events_stream(spark, src))
+    dst = str(tmp_path / "sess_out")
+    run_to_parquet(out, dst, str(tmp_path / "sess_cp"))
+    got = spark.read.parquet(dst)
+    # closed sessions only (watermark holds the open tail); compare
+    # against the batch lag+cumsum sessionization on the same slice
+    from japanstockdatapipeline_spark.plans.events import user_sessions
+
+    batch = user_sessions(spark, sf_dir)
+    assert got.count() > 0
+    assert got.count() <= batch.count()
+    # every streamed session's event count must match a batch session
+    b = {(r["user_id"], r["session_start_us"] // 1000000): r["n_events"] for r in batch.collect()}
+    for r in got.collect():
+        key = (r["user_id"], int(r["session_start"].timestamp()))
+        assert b.get(key) == r["n_events"], f"session mismatch at {key}"
