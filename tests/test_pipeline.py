@@ -45,3 +45,17 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # every approx hit must carry the same cosine as exact would
     ranks = approx.groupBy("q_id").count().collect()
     assert all(r["count"] == 5 for r in ranks)
+
+
+def test_screener_api(spark, sf_dir):
+    from japanstockdatapipeline_spark.api import register_views, screen
+
+    register_views(spark, sf_dir)
+    top = screen(spark, segment="BUILDING", min_acctbal=0, limit=10)
+    rows = top.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["c_mktsegment"] == "BUILDING" and r["c_acctbal"] >= 0 for r in rows)
+    prices = [r["latest_price"] for r in rows if r["latest_price"] is not None]
+    assert prices == sorted(prices, reverse=True)
+    with pytest.raises(ValueError):
+        screen(spark, order_by="1; DROP TABLE x")
