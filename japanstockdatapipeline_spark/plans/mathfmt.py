@@ -20,7 +20,7 @@ from .registry import query
            round(ln(o_totalprice), 6) AS log_price,
            round(sqrt(o_totalprice), 6) AS sqrt_price,
            round(pow(o_totalprice / 100000, 2), 6) AS pow_price,
-           round(least(greatest((o_totalprice - 150000) / 50000, -3.0), 3.0), 6) AS clamped,
+           round(least(greatest((o_totalprice - 150000) / 50000, -3.0), 3.0), 6) + 0.0 AS clamped,
            round(CASE WHEN o_totalprice > 0 THEN 100000.0 / o_totalprice END, 6) AS inv_yield
     FROM orders
     """,
@@ -33,7 +33,9 @@ def order_math_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(tp), 6).alias("log_price"),
         F.round(F.sqrt(tp), 6).alias("sqrt_price"),
         F.round(F.pow(tp / 100000, 2), 6).alias("pow_price"),
-        F.round(clamp((tp - 150000) / 50000, -3.0, 3.0), 6).alias("clamped"),
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (engines disagree on the
+        # sign of round(-2e-7, 6) and a value-hash would see "-0" != "0")
+        (F.round(clamp((tp - 150000) / 50000, -3.0, 3.0), 6) + 0.0).alias("clamped"),
         F.round(safe_div(F.lit(100000.0), tp), 6).alias("inv_yield"),
     )
 

@@ -43,7 +43,7 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     out.append("NaN")
                 else:
-                    out.append(f"{v:.9g}")
+                    out.append(f"{v + 0.0:.9g}")  # -0.0 -> 0.0
             elif v is None:
                 out.append("NULL")
             else:
