@@ -311,3 +311,67 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", F.round("tfidf", 6).alias("tfidf"), F.col("rk").cast("int")
         )
     )
+
+
+@query(
+    "doc_bpe_token_stats",
+    doc="BPE-ish regex token counting (north-star 'whitespace + a "
+    "BPE-ish regex'): letter runs / digit runs / single punctuation as "
+    "pieces (the GPT-2 pre-tokenizer shape, portable regex subset), "
+    "compared with whitespace token counts.",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS bpe_pieces,
+           round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS DOUBLE) / nullif(len(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0), 6)
+             AS pieces_per_word
+    FROM documents
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = TX.n_tokens(F.col("text"))
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+        F.round(bpe.cast("double") / F.nullif(ws, F.lit(0)), 6).alias("pieces_per_word"),
+    )
+
+
+@query(
+    "doc_rolling_hash_fingerprint",
+    doc="Rolling polynomial hash document fingerprint (north-star "
+    "'document fingerprinting (rolling hash)'): Rabin-Karp-style fold "
+    "h = (h*B + tokenhash) mod M over the token stream — identical "
+    "md5-derived token hashes and fold on both sides.",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> x <> ''),
+                 s -> ('0x' || substr(md5('rh:' || s), 1, 7))::BIGINT)),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS rolling_hash
+    FROM documents
+    """,
+)
+def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    # 7 hex chars = 28 bits; B=1000003, M=2^31-1 keeps a*B+b < 2^52 (exact)
+    th = F.transform(
+        toks,
+        lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("rh:"), s)), 1, 7), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    h = F.aggregate(th, F.lit(0).cast("bigint"), lambda a, b: (a * 1000003 + b) % 2147483647)
+    return d.select("doc_id", h.alias("rolling_hash"))

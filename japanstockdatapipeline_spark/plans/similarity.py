@@ -131,3 +131,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    doc="Embedding-cosine near-dup (north-star dedup family): pairs "
+    "with cosine >= 0.3 — brute-force on the query slice here; at "
+    "scale the identical predicate runs after LSH/IVF blocking.",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, a.id_a < b.id_b)
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= 0.3
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
