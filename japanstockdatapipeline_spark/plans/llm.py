@@ -375,3 +375,88 @@ def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.aggregate(th, F.lit(0).cast("bigint"), lambda a, b: (a * 1000003 + b) % 2147483647)
     return d.select("doc_id", h.alias("rolling_hash"))
+
+
+@query(
+    "corpus_prep_pipeline",
+    doc="North-star flagship composition — the full training-corpus "
+    "prep in one plan: quality filter (score >= 0.5) -> exact-dup "
+    "removal (md5 canonical, keep min id) -> near-dup removal (Jaccard "
+    ">= 0.5 clusters, keep min id) -> surviving docs with lang + "
+    "quality. Every stage is the already-verified operator; this "
+    "checks their composition end-to-end.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, text,
+             0.4 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * (1.0 - coalesce(CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) END, 0.0))
+             + 0.3 * (1.0 - least(coalesce(CASE WHEN len_text > 0
+                 THEN CAST(n_punct AS DOUBLE) / len_text END, 0.0) * 10.0, 1.0)) AS score
+      FROM t
+    ), quality AS (
+      SELECT * FROM q WHERE score >= 0.5
+    ), exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM quality
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ), sh AS (
+      SELECT q.doc_id AS id, sh.shingle AS shingle, n_sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks2[i:i+2], ' ')
+                              for i in range(1, len(toks2) - 1)]) AS shs
+        FROM (
+          SELECT e.doc_id,
+                 list_transform(list_filter(regexp_split_to_array(trim(q2.text), '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks2
+          FROM exact_keep e JOIN quality q2 ON e.doc_id = q2.doc_id
+        ) WHERE len(toks2) >= 3
+      ) q, LATERAL (SELECT len(shs) AS n_sh), LATERAL unnest(shs) AS sh(shingle)
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id, a.n_sh, b.n_sh
+      HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
+    ), drop_ids AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        WITH RECURSIVE nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id
+        )
+        SELECT id AS id_b FROM (SELECT id, min(r) AS c FROM reach GROUP BY id) WHERE id <> c
+      )
+    )
+    SELECT e.doc_id, q.lang, round(q.score, 6) AS quality_score
+    FROM exact_keep e
+    JOIN quality q ON e.doc_id = q.doc_id
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text", TX.quality_score(F.col("text")).alias("score")
+    )
+    quality = scored.filter(F.col("score") >= 0.5)
+    exact_keep = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    kept = quality.join(exact_keep, "doc_id")
+    pairs = ngram_jaccard_pairs(kept, threshold=0.5, k=3)
+    clusters = dup_clusters(pairs)
+    drop_ids = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = kept.join(drop_ids, "doc_id", "left_anti")
+    return survivors.select(
+        "doc_id", "lang", F.round("score", 6).alias("quality_score")
+    )
