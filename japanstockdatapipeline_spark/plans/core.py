@@ -454,3 +454,51 @@ def table_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")).distinct()
+
+
+@query(
+    "lineitem_cube_totals",
+    doc="CUBE grouping sets (SURVEY §2.4 note: 'the Spark engine "
+    "exposes them for free'): per (returnflag, linestatus) with all "
+    "subtotal combinations; NULL marks the rolled-up dimension.",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "orders_status_native_pivot",
+    doc="Native pivot (groupBy().pivot(), §2.10 UDTF family inverse): "
+    "order counts per customer pivoted by status into columns.",
+    oracle="""
+    SELECT o_custkey,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_f,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS st_o,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS st_p
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def orders_status_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_custkey",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("st_p"),
+    )
