@@ -314,3 +314,48 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
+
+
+@query(
+    "series_asof_read",
+    doc="Macro as-of read with the two-sided PIT predicate "
+    "(get_latest_macro_indicators, 00033:8-24): per series, latest row "
+    "with released_at <= cutoff AND indicator_date <= cutoff, ordered "
+    "by (indicator_date DESC, released_at DESC) — DISTINCT ON form. "
+    "events stand-in: series = event_type, indicator ts = ts_us, "
+    "released = ts_us + props.k seconds (publication lag).",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS series_id, event_id, value,
+             epoch_us(ts) AS ind_us,
+             epoch_us(ts) + CAST(json_extract(props, '$.k') AS BIGINT) * 1000000 AS rel_us
+      FROM events
+    ), f AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY series_id ORDER BY ind_us DESC, rel_us DESC, event_id DESC) AS rn
+      FROM r
+      WHERE rel_us <= 1705881600000000 AND ind_us <= 1705881600000000
+    )
+    SELECT series_id, event_id, ind_us, rel_us, round(value, 6) AS value
+    FROM f WHERE rn = 1
+    """,
+)
+def series_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = 1_705_881_600_000_000  # 2024-01-22T00:00:00Z
+    ev = _ev(spark, sf_dir)
+    rel = F.col("ts_us") + F.get_json_object("props", "$.k").cast("bigint") * 1_000_000
+    r = ev.select(
+        F.col("event_type").alias("series_id"),
+        "event_id",
+        "value",
+        F.col("ts_us").alias("ind_us"),
+        rel.alias("rel_us"),
+    ).filter((F.col("rel_us") <= cutoff) & (F.col("ind_us") <= cutoff))
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("ind_us").desc(), F.col("rel_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("series_id", "event_id", "ind_us", "rel_us", F.round("value", 6).alias("value"))
+    )
