@@ -54,7 +54,8 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int,
     *,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
@@ -64,33 +65,42 @@ def lsh_bucketed_topk(
     """Approximate top-k: random-hyperplane (sign) LSH bucketing, then
     exact cosine within bucket. The scale path — turns the cross join
     into an equi-join on the bucket signature, i.e. a shuffle instead
-    of an O(n*m) product. Recall < 1.0 by construction; raise recall
-    with multiple hash tables (union of signatures).
+    of an O(n*m) product. Recall < 1.0 by construction; `n_tables`
+    independent hash tables union their candidates (each vector gets
+    n_tables (table, signature) keys, so the join stays an equi-join).
     """
     import random
 
     dim = len(corpus.select(vec_col).first()[0])
     rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    tables = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
 
-    def signature(vec_dbl):
-        bits = []
-        for p in planes:
-            plane = F.array(*[F.lit(x) for x in p])
-            d = F.aggregate(
-                F.zip_with(vec_dbl, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    def signatures(vec_dbl):
+        sigs = []
+        for ti, planes in enumerate(tables):
+            bits = []
+            for p in planes:
+                plane = F.array(*[F.lit(x) for x in p])
+                d = F.aggregate(
+                    F.zip_with(vec_dbl, plane, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+            sigs.append(F.concat(F.lit(f"{ti}:"), *bits))
+        return F.array(*sigs)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("__cv")
-    ).withColumn("__sig", signature(F.col("__cv")))
+    ).withColumn("__sig", F.explode(signatures(F.col("__cv"))))
     q = queries.select(
         F.col(q_id_col), as_double_array(F.col(q_vec_col)).alias("__qv")
-    ).withColumn("__sig", signature(F.col("__qv")))
+    ).withColumn("__sig", F.explode(signatures(F.col("__qv"))))
     pairs = c.join(F.broadcast(q), "__sig").filter(F.col("neighbor_id") != F.col(q_id_col))
-    scored = pairs.select(
+    scored = pairs.dropDuplicates([q_id_col, "neighbor_id"]).select(
         q_id_col, "neighbor_id", cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cos")
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

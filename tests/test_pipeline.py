@@ -59,3 +59,18 @@ def test_screener_api(spark, sf_dir):
     assert prices == sorted(prices, reverse=True)
     with pytest.raises(ValueError):
         screen(spark, order_by="1; DROP TABLE x")
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    from japanstockdatapipeline_spark.operators.topk import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, 5).collect()}
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(emb, queries, 5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5

