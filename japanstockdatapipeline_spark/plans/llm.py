@@ -460,3 +460,78 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", "lang", F.round("score", 6).alias("quality_score")
     )
+
+
+@query(
+    "doc_stratified_sample",
+    doc="Deterministic stratified sampling (training-data op): per-"
+    "language keep rates applied via an md5-hash threshold on doc_id "
+    "— reproducible across engines and runs (no rand()), the "
+    "downsample-overrepresented-language recipe.",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('en', 30), ('zh', 80), ('de', 80),
+                            ('fr', 80), ('es', 80)) r(lang, keep_pct)
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('samp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < r.keep_pct
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        [("en", 30), ("zh", 80), ("de", 80), ("fr", 80), ("es", 80)],
+        ["lang", "keep_pct"],
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("keep_pct"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "doc_vocab_stats",
+    doc="Corpus vocabulary statistics (training-data op): top-20 tokens "
+    "by frequency with document frequency and corpus share; "
+    "deterministic tie-break on the token.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS term FROM documents,
+      LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')) AS t(tok)
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           round(count(*) / any_value(tot.n), 6) AS corpus_share
+    FROM tok, tot
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+    total = tok.count()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .withColumn("corpus_share", F.round(F.col("tf") / F.lit(float(total)), 6))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
