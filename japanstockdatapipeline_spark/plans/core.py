@@ -605,3 +605,68 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "returned_items_by_customer",
+    doc="Returned-revenue customer ranking (TPC-H Q10 shape; the "
+    "reference's screener-style ranked read, 00051/00120, at fact "
+    "scale): returnflag-filtered lineitems ⋈ quarter of orders ⋈ "
+    "customer ⋈ nation, lost revenue per customer, deterministic "
+    "top 20. Fact join shuffles on orderkey; customer/nation "
+    "broadcast; both date and flag predicates pushed to the scans. "
+    "Revenue accumulates in DECIMAL(18,4) — exact and summation-"
+    "order-insensitive, so the top-k cutoff is stable across "
+    "engines AND across executor merge order at cluster scale "
+    "(a float sum here is nondeterministic at 2dp boundaries).",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS cust_name,
+           n.n_name AS nation,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS lost_revenue,
+           round(max(c.c_acctbal), 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("lost_revenue"), "custkey")
+        .limit(20)
+    )
