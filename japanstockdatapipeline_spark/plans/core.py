@@ -514,7 +514,7 @@ def orders_status_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey AS orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -541,9 +541,16 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             F.col("l_orderkey").alias("orderkey"),
