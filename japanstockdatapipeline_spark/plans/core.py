@@ -677,3 +677,48 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "custkey")
         .limit(20)
     )
+
+
+@query(
+    "small_quantity_part_revenue",
+    doc="Correlated scalar subquery → window rewrite (TPC-H Q17 shape; "
+    "the reference's per-group-threshold screens, 00120:82): revenue "
+    "of lineitems whose quantity is under half their part's average "
+    "quantity. The naive form re-scans lineitem per part (correlated "
+    "subquery / self-join); here the per-part average is a window "
+    "over one shuffle on partkey and the threshold filter follows — "
+    "one pass over the fact, no second scan, no join. Brand filter "
+    "pushed to the (broadcast) part dim.",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_extendedprice,
+             l.l_quantity,
+             avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+    )
+    SELECT count(*) AS n_small,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly_revenue
+    FROM flagged
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2
+        )
+        .cast("double")
+        .alias("avg_yearly_revenue"),
+    )
