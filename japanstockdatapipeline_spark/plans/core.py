@@ -722,3 +722,52 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_yearly_revenue"),
     )
+
+
+@query(
+    "promo_revenue_share",
+    doc="Conditional-ratio aggregate (TPC-H Q14 shape; the reference's "
+    "coverage-% pattern, A9 / 00105:96-98): monthly share of revenue "
+    "from PROMO-type parts. One fact pass — the CASE rides the same "
+    "aggregation as the denominator; part dim broadcast; decimal "
+    "accumulation pins the ratio across summation orders.",
+    oracle="""
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+           CAST(round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+             / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))),
+             6) AS DOUBLE) AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pa = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                ))
+                / F.sum(rev),
+                6,
+            )
+            .cast("double")
+            .alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
