@@ -810,3 +810,49 @@ def priority_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFra
     return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+
+
+@query(
+    "dormant_rich_customers",
+    doc="Global scalar subquery + anti-join (TPC-H Q22 shape; the "
+    "reference's scalar-subquery published-date lookup, 00051:18-53): "
+    "customers whose balance exceeds the global average of positive "
+    "balances and who placed no orders since 2000, counted per "
+    "nation. The scalar average is a 1-row aggregate crossJoin-"
+    "broadcast back onto the scan — fully declarative, no driver "
+    "collect, so the plan reoptimizes at any scale; the existence "
+    "check is a left_anti that shuffles only custkeys.",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    global_avg = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
