@@ -158,3 +158,41 @@ def cardinality_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sketch_within_5pct"),
     )
+
+
+@query(
+    "quantile_sketch_accuracy",
+    doc="Quantile sketch for the 100 TB path (twin of the HLL query; "
+    "SURVEY §2.4 / F6 note that exact percentile collects full-column "
+    "digests): per order priority, exact totalprice median/p95 "
+    "(oracle-checked) beside approx_percentile estimates, asserting "
+    "the sketch lands within 5% relative error in-plan (the sketch returns a real element, not an interpolation, so tiny groups sit a gap away from the exact interpolated value). Exact "
+    "percentile is the reference-parity operator at group scale; the "
+    "sketch is the map-side-mergeable substitute for global columns.",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS p50_exact,
+           CAST(round(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS p95_exact,
+           CAST(1 AS BIGINT) AS sketch_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("p95_approx"),
+    )
+    within = (
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact") <= 0.05)
+        & (F.abs(F.col("p95_approx") - F.col("p95_exact")) / F.col("p95_exact") <= 0.05)
+    )
+    return agg.select(
+        "priority",
+        "p50_exact",
+        "p95_exact",
+        within.cast("bigint").alias("sketch_within_5pct"),
+    )
