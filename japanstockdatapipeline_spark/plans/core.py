@@ -922,3 +922,63 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
+
+
+@query(
+    "regional_rollup_totals",
+    doc="Hierarchical ROLLUP with grouping() level labels (SURVEY "
+    "§2.4 note: grouping sets are Spark freebies beyond reference "
+    "parity; companion to lineitem_cube_totals): supplier revenue at "
+    "region → nation → grand-total levels in one pass. grouping() "
+    "disambiguates rollup NULLs from data NULLs — the same "
+    "expand-then-aggregate plan at every scale, no per-level rescans.",
+    oracle="""
+    SELECT coalesce(r.r_name, '(all)') AS region,
+           coalesce(n.n_name, '(all)') AS nation,
+           CAST(grouping(r.r_name) AS BIGINT) AS region_rolled,
+           CAST(grouping(n.n_name) AS BIGINT) AS nation_rolled,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def regional_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("region_rolled"),
+            F.grouping("n_name").cast("bigint").alias("nation_rolled"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "region_rolled",
+            "nation_rolled",
+            "revenue",
+            "n_items",
+        )
+    )
