@@ -59,6 +59,26 @@ CHECKS = {
     "winsorized_price_z": [
         ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row stats broadcast"),
     ],
+    "shipping_priority_topk": [
+        ("PushedFilters: \\[IsNotNull\\(l_shipdate\\)", True, "shipdate filter pushed to fact scan"),
+        ("TakeOrderedAndProject", True, "top-k is TakeOrdered, not global sort"),
+    ],
+    "local_supplier_volume": [
+        ("PushedFilters: \\[IsNotNull\\(o_orderdate\\)", True, "order-date range pushed to scan"),
+        ("BroadcastHashJoin", True, "supplier/nation/region broadcast"),
+    ],
+    "small_quantity_part_revenue": [
+        ("BroadcastHashJoin", True, "part dim broadcast"),
+        ("SortMergeJoin|ShuffledHashJoin", False, "no self-join: threshold via window"),
+        ("Window", True, "per-part average as window"),
+    ],
+    "dormant_rich_customers": [
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row scalar aggregate broadcast"),
+        ("LeftAnti", True, "existence check as anti-join"),
+    ],
+    "regional_rollup_totals": [
+        ("Expand", True, "single expand-then-aggregate, no per-level rescans"),
+    ],
 }
 
 
