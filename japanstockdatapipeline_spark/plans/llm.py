@@ -535,3 +535,70 @@ def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+@query(
+    "doc_boilerplate_ratio",
+    doc="Corpus-common n-gram (boilerplate) ratio, the C4/Gopher-style "
+    "cross-document repetition signal: a doc's distinct 5-gram "
+    "shingles are scored against corpus document frequency; the "
+    "fraction appearing in >= 5 distinct docs is its boilerplate "
+    "ratio. Explode -> distinct -> df-count -> join-back -> per-doc "
+    "agg: two shuffles (gram df, doc re-agg), both map-side-"
+    "combinable; the gram df table is the same posting-list shape "
+    "(and df-cap mitigation) as the Jaccard dedup operator.",
+    oracle="""
+    WITH raw_words AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS word,
+             generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS raw_pos
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
+      FROM raw_words WHERE word <> ''
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+                  || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram
+      FROM words
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(word, 4) OVER w IS NOT NULL
+    ),
+    gram_df AS (
+      SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(round(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE)
+             AS boilerplate_ratio
+    FROM grams g JOIN gram_df f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), k=5)).alias("gram")
+    )
+    gram_df = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_common"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("boilerplate_ratio"),
+        )
+    )
