@@ -602,3 +602,45 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boilerplate_ratio"),
         )
     )
+
+
+@query(
+    "doc_repetition_ratio",
+    doc="Within-document repetition signal (Gopher repetition rules, "
+    "companion to the cross-document boilerplate ratio): per doc, the "
+    "mass fraction of its single most frequent token and the distinct-"
+    "token fraction. Explode -> (doc, token) count -> per-doc max/sum "
+    "in one re-agg; shuffles only (doc_id, token) pairs, both stages "
+    "map-side combinable, no window over the token stream.",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(max(c) AS BIGINT) AS top_token_count,
+           CAST(round(max(c) * 1.0 / sum(c), 6) AS DOUBLE) AS top_token_frac,
+           CAST(round(count(*) * 1.0 / sum(c), 6) AS DOUBLE) AS distinct_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.max("c").cast("bigint").alias("top_token_count"),
+        F.round(F.max("c") / F.sum("c"), 6).cast("double").alias("top_token_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).cast("double").alias("distinct_frac"),
+    )
