@@ -100,6 +100,31 @@ def write_partition_overwrite(
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def write_with_audit(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    *,
+    count_nulls: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """ST7 in-flight audit metrics (job_run_items row/issue counts,
+    00002:41-60) the Spark-native way: `df.observe` accumulates row
+    and null counts DURING the write — no second scan of the input,
+    unlike a count()-then-write which reads everything twice. Returns
+    {"rows": n, "nulls_<col>": n, ...} for the run manifest.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in count_nulls
+    ]
+    observed = df.observe(obs, *metrics)
+    write_partition_overwrite(observed, path, partition_col)
+    return {k: int(v) for k, v in obs.get.items()}
+
+
 def prune_retention(
     spark: SparkSession, path: str, partition_col: str, keep_from: str
 ) -> list[str]:

@@ -110,3 +110,18 @@ def test_stateful_user_breadth_stream(spark, sf_dir, tmp_path):
         assert rows[uid]["n_seen"] == len(v)
         assert rows[uid]["running_max"] == pytest.approx(max(v))
         assert rows[uid]["new_highs_in_batch"] == highs
+
+
+def test_write_with_audit_observes_rows_and_nulls(spark, tmp_path):
+    from japanstockdatapipeline_spark.streaming.incremental import write_with_audit
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, None), ("2024-01-01", 2, 5.0), ("2024-01-02", 3, None)],
+        "d string, k int, v double",
+    )
+    metrics = write_with_audit(
+        df, str(tmp_path / "audited"), "d", count_nulls=("v",)
+    )
+    assert metrics == {"rows": 3, "nulls_v": 2}
+    back = spark.read.parquet(str(tmp_path / "audited"))
+    assert back.count() == 3
