@@ -167,3 +167,40 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_upsert(
+    out: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    partition_col: str,
+    *,
+    count_nulls: tuple[str, ...] = (),
+) -> list[dict]:
+    """Stream → idempotent partition upsert with in-flight audit
+    (ST1+ST5+ST7 composed): each micro-batch lands through
+    `write_with_audit`, so late or replayed batches OVERWRITE exactly
+    the partitions they carry (the reference's ON CONFLICT upsert,
+    batch.ts:81-141) instead of appending duplicates, and the
+    job_run_items-style row/null metrics come from the same pass.
+    Returns the per-batch metric dicts (batch_id included) —
+    checkpoint + deterministic overwrite give exactly-once end to end.
+    """
+    from .incremental import write_with_audit
+
+    audits: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        m = write_with_audit(
+            batch_df, target_dir, partition_col, count_nulls=count_nulls
+        )
+        audits.append({"batch_id": int(batch_id), **m})
+
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return audits

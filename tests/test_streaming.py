@@ -139,3 +139,28 @@ def test_session_window_counts(spark, sf_dir, tmp_path):
     for r in got.collect():
         key = (r["user_id"], int(r["session_start"].timestamp()))
         assert b.get(key) == r["n_events"], f"session mismatch at {key}"
+
+
+def test_foreach_batch_upsert_is_idempotent_with_audit(spark, sf_dir, tmp_path):
+    from japanstockdatapipeline_spark.streaming.jobs import run_foreach_batch_upsert
+
+    src = tmp_path / "src"
+    (
+        spark.createDataFrame(
+            [("2024-01-01", 1, None), ("2024-01-01", 2, 5.0), ("2024-01-02", 3, 1.0)],
+            "d string, k int, v double",
+        ).write.parquet(str(src))
+    )
+    stream = spark.readStream.schema("d string, k int, v double").parquet(str(src))
+    audits = run_foreach_batch_upsert(
+        stream, str(tmp_path / "gold"), str(tmp_path / "ckpt"), "d", count_nulls=("v",)
+    )
+    assert sum(a["rows"] for a in audits) == 3
+    assert sum(a["nulls_v"] for a in audits) == 1
+    # replay the same input with a FRESH checkpoint: partitions are
+    # overwritten, not appended — the idempotent-upsert contract
+    stream2 = spark.readStream.schema("d string, k int, v double").parquet(str(src))
+    run_foreach_batch_upsert(
+        stream2, str(tmp_path / "gold"), str(tmp_path / "ckpt2"), "d"
+    )
+    assert spark.read.parquet(str(tmp_path / "gold")).count() == 3
