@@ -196,3 +196,61 @@ def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95_exact",
         within.cast("bigint").alias("sketch_within_5pct"),
     )
+
+
+@query(
+    "audience_overlap_sketch",
+    doc="Sketch set algebra for audience overlap (completes the "
+    "sketch family: HLL cardinalities compose by inclusion-"
+    "exclusion, |A∩B| ≈ |A|+|B|-|A∪B|): exact distinct-user overlap "
+    "of click vs purchase audiences (oracle-checked) beside the "
+    "estimate from three mergeable HLL sketches, asserting <=5% "
+    "relative error in-plan. The exact side shuffles user_ids twice "
+    "(per-set distinct + intersect); the sketch side is one "
+    "conditional-agg pass with three map-side-mergeable sketches — "
+    "at 100 TB only the sketch side is feasible, and sketches also "
+    "persist/merge across partitions and days.",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS click_users,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS purchase_users,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
+             AS overlap_exact,
+           CAST(1 AS BIGINT) AS sketch_within_5pct
+    """,
+)
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    click_u = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purch_u = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    agg = ev.agg(
+        F.countDistinct(click_u).cast("bigint").alias("click_users"),
+        F.countDistinct(purch_u).cast("bigint").alias("purchase_users"),
+        (
+            F.countDistinct(click_u)
+            + F.countDistinct(purch_u)
+            - F.countDistinct("user_id")
+        )
+        .cast("bigint")
+        .alias("overlap_exact"),
+        (
+            F.approx_count_distinct(click_u, rsd=0.01)
+            + F.approx_count_distinct(purch_u, rsd=0.01)
+            - F.approx_count_distinct("user_id", rsd=0.01)
+        ).alias("overlap_sketch"),
+    )
+    return agg.select(
+        "click_users",
+        "purchase_users",
+        "overlap_exact",
+        (
+            F.abs(F.col("overlap_sketch") - F.col("overlap_exact"))
+            / F.col("overlap_exact")
+            <= 0.05
+        )
+        .cast("bigint")
+        .alias("sketch_within_5pct"),
+    )
