@@ -61,6 +61,7 @@ def ngram_jaccard_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by k-token-shingle Jaccard >= threshold.
 
@@ -70,6 +71,15 @@ def ngram_jaccard_pairs(
     J = shared / (|A| + |B| - shared). Each pair is emitted once
     (id_a < id_b). This is the exact-Jaccard path; MinHash+LSH below
     is the approximate scale path.
+
+    `max_df` caps the document frequency of a shingle: posting lists
+    longer than max_df are dropped before pair generation. Without it
+    one stop-shingle shared by 10^6 docs emits 10^12 pairs from a
+    single row (the df^2 cliff); with it the per-shingle work is
+    bounded by max_df^2. Standard blocking practice for exact-Jaccard
+    dedup — shingles that common carry no near-dup signal. The posting
+    array itself is linear in df (same materialization cost as the
+    uncapped collect_list), only the quadratic expansion is cut.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
@@ -83,7 +93,7 @@ def ngram_jaccard_pairs(
     # per-doc shingling. Two shuffles total: by shingle, then by pair.
     posting = ex.groupBy("shingle").agg(
         F.collect_list(F.struct("id", "n_sh")).alias("members")
-    )
+    ).filter(F.size("members") <= max_df)
     m = F.col("members")
     pair_arr = F.flatten(
         F.transform(
@@ -129,7 +139,14 @@ def minhash_signature(
     Computed as array expressions over the shingle array — stays
     JVM-side, no UDF, no explode (signature built per row).
     """
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    # Docs shorter than k tokens have no shingles; array_min over an
+    # empty array would yield an all-NULL signature, and concat_ws drops
+    # NULLs, so every such doc would share one degenerate bucket in every
+    # band -> quadratic spurious candidates. Filter them out up front
+    # (mirrors the oracle's len(tokens) >= k predicate).
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh")).filter(
+        F.size("sh") >= 1
+    )
 
     def hash_with_seed(seed):
         # closure factory (a default-arg lambda would be treated as a
@@ -253,11 +270,15 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
+        # materialized once: every round joins against it, and the loop
+        # must not re-derive it from the (expensive) pair plan each time
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate labels: my own + the min label among my neighbors
@@ -275,6 +296,10 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
                     "cluster"
                 ),
             )
+            # truncate lineage each round: without this, round k re-executes
+            # the joins of rounds 1..k-1 (the `changed` count below is an
+            # action per round) and the plan grows without bound
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

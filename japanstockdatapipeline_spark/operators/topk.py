@@ -61,6 +61,7 @@ def lsh_bucketed_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (sign) LSH bucketing, then
     exact cosine within bucket. The scale path — turns the cross join
@@ -68,10 +69,18 @@ def lsh_bucketed_topk(
     of an O(n*m) product. Recall < 1.0 by construction; `n_tables`
     independent hash tables union their candidates (each vector gets
     n_tables (table, signature) keys, so the join stays an equi-join).
+
+    Pass `dim` explicitly to keep plan construction action-free; the
+    fallback peeks one row from the (small by construction) query side,
+    never the corpus.
     """
     import random
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        row = queries.select(q_vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("lsh_bucketed_topk: empty query set and no dim given")
+        dim = len(row[0])
     rng = random.Random(seed)
     tables = [
         [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -136,11 +136,15 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE len(toks) >= 3
       ), LATERAL (SELECT len(shs) AS n_sh),
          LATERAL unnest(shs) AS sh(shingle)
+    ), shc AS (
+      -- document-frequency cap (max_df=256): mirrors the engine's
+      -- posting-list blocking cap
+      SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 256
     )
     SELECT a.id AS id_a, b.id AS id_b,
            round(CAST(count(*) AS DOUBLE)
                  / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
     GROUP BY a.id, b.id
     HAVING CAST(count(*) AS DOUBLE)
            / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
@@ -242,9 +246,11 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE len(toks) >= 3
       ), LATERAL (SELECT len(shs) AS n_sh),
          LATERAL unnest(shs) AS sh(shingle)
+    ), shc AS (
+      SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 256
     ), pairs AS (
       SELECT a.id AS id_a, b.id AS id_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id, a.n_sh, b.n_sh
       HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
     ), nodes AS (
@@ -418,9 +424,11 @@ def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM exact_keep e JOIN quality q2 ON e.doc_id = q2.doc_id
         ) WHERE len(toks2) >= 3
       ) q, LATERAL (SELECT len(shs) AS n_sh), LATERAL unnest(shs) AS sh(shingle)
+    ), shc AS (
+      SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 256
     ), pairs AS (
       SELECT a.id AS id_a, b.id AS id_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id, a.n_sh, b.n_sh
       HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
     ), drop_ids AS (

@@ -124,3 +124,36 @@ def test_minhash_signature_shape_and_determinism(spark):
     assert len(sigs[1]) == 8
     assert sigs[1] == sigs[2]  # identical docs -> identical signatures
     assert sigs[1] != sigs[3]
+
+
+def test_minhash_short_docs_excluded(spark):
+    from japanstockdatapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    # docs shorter than k tokens have no shingles; without the filter
+    # they would all collide in one degenerate empty bucket per band
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c d"), (4, "x y z w"), (5, "x y z w")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, n_hashes=8, bands=2, k=3).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(4, 5)}  # only the real near-dup pair, no short-doc noise
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    from japanstockdatapipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # hot-shingle corpus: every doc shares the stop-shingle "the of and"
+    # plus a unique tail. With max_df below the corpus size the hot
+    # posting list is dropped, so no pair reaches the 0.5 threshold;
+    # a genuine near-dup pair sharing *rare* shingles still surfaces.
+    rows = [(i, f"the of and u{i} v{i} w{i}") for i in range(20)]
+    rows += [(100, "p q r s t u"), (101, "p q r s t u")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, k=3, max_df=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(100, 101)}
+    # uncapped control: the hot shingle alone still can't push disjoint
+    # docs over the threshold, but it does generate the df^2 candidates
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, k=3, max_df=10_000).collect()
+    assert len(uncapped) > len(pairs)
