@@ -43,6 +43,16 @@ def ema_np(values: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _rsi_from(ag: float, al: float) -> float:
+    # reference rsiFrom (technical.ts:122-127): flat series -> 50,
+    # all-gain -> 100, all-loss -> 0
+    if al == 0:
+        return 50.0 if ag == 0 else 100.0
+    if ag == 0:
+        return 0.0
+    return 100.0 - 100.0 / (1.0 + ag / al)
+
+
 def rsi_np(close: np.ndarray, n: int = 14) -> np.ndarray:
     out = np.full(len(close), np.nan)
     if len(close) <= n:
@@ -52,11 +62,11 @@ def rsi_np(close: np.ndarray, n: int = 14) -> np.ndarray:
     loss = np.where(delta < 0, -delta, 0.0)
     ag = np.mean(gain[:n])
     al = np.mean(loss[:n])
-    out[n] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    out[n] = _rsi_from(ag, al)
     for i in range(n + 1, len(close)):
         ag = (ag * (n - 1) + gain[i - 1]) / n
         al = (al * (n - 1) + loss[i - 1]) / n
-        out[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+        out[i] = _rsi_from(ag, al)
     return out
 
 

@@ -201,7 +201,8 @@ def catch_up_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.user_id, b.event_id,
            round(e.ema, 6) AS ema_12,
-           round(CASE WHEN w.al = 0 THEN 100.0
+           round(CASE WHEN w.al = 0 AND w.ag = 0 THEN 50.0
+                      WHEN w.al = 0 THEN 100.0
                       ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al) END, 6) AS rsi_14
     FROM base b
     LEFT JOIN ema e ON b.user_id = e.user_id AND b.rn = e.rn
@@ -230,12 +231,27 @@ def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     doc="§2.10 grouped-map snapshot (computeTechnicalSnapshot, "
     "technical.ts:361-410): full per-user series in, ONE row out — "
-    "SMA/RSI/MACD/stochastic/Bollinger/OBV/cross-age. applyInPandas; "
-    "recursive parts make it non-SQL-expressible: rows-only check.",
+    "the complete 22-field reference snapshot (SMA/dev family, "
+    "SMA25×75 cross+age, RSI, MACD, stochastic, Bollinger, ATR, "
+    "vol_ratio_20, ichimoku cloud state at n-1-26) pinned by the "
+    "golden-vector acceptance test. OHLCV synthesized from the value "
+    "series (±1%% band, volume=value — events carry no OHLC). "
+    "mapInPandas; recursive parts make it non-SQL-expressible: "
+    "rows-only check here, golden test carries the numeric parity.",
 )
 def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return technical_snapshot(ev, "user_id", "ts_us", "value")
+    from ..operators.snapshot import technical_snapshot_ohlcv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        F.col("value").alias("o"),
+        (F.col("value") * 1.01).alias("h"),
+        (F.col("value") * 0.99).alias("l"),
+        F.col("value").alias("c"),
+        F.col("value").alias("v"),
+    )
+    return technical_snapshot_ohlcv(ev, "user_id", "ts_us", "o", "h", "l", "c", "v")
 
 
 @query(
