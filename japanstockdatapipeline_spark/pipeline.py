@@ -75,7 +75,21 @@ def run_daily_pipeline(
             os.path.join(out_dir, "gold", "market_indicators")
         ).count()
 
+    def metrics_screen():
+        # §7.1 slice: rebase -> momentum pivot -> FY/prev-FY -> sector
+        # scores -> total score -> screen table (00108/00049/00051)
+        from .plans.composed import stock_metrics_pipeline
+
+        screen = stock_metrics_pipeline(spark, sf_dir).withColumn(
+            "as_of", F.lit(run_date)
+        )
+        write_partition_overwrite(
+            screen, os.path.join(out_dir, "gold", "stock_screen"), "as_of"
+        )
+        return spark.read.parquet(os.path.join(out_dir, "gold", "stock_screen")).count()
+
     step("silver_events", silver)
     step("gold_snapshot", snapshot)
     step("gold_market_indicators", indicators)
+    step("gold_stock_screen", metrics_screen)
     return counts

@@ -18,12 +18,13 @@ def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert counts["silver_events"] == 1000
     assert counts["gold_snapshot"] == 15  # one row per user
     assert counts["gold_market_indicators"] > 0
+    assert counts["gold_stock_screen"] == 150  # one screen row per customer
     # idempotent re-run: same run_date overwrites, counts unchanged
     counts2 = run_daily_pipeline(spark, sf_dir, out_dir, "2026-08-13")
     assert counts2 == counts
     # manifest recorded 2 successful runs per job
     recs = [json.loads(line) for line in open(f"{out_dir}/ops/runs.jsonl")]
-    assert sum(r.get("status") == "success" for r in recs) == 6
+    assert sum(r.get("status") == "success" for r in recs) == 8
     # wide indicators table carries both column groups (ST4 merge)
     wide = spark.read.parquet(f"{out_dir}/gold/market_indicators")
     assert {"adv_dec_ratio_25d", "pct_above_sma20"} <= set(wide.columns)
