@@ -89,16 +89,40 @@ def image_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — real image resize needs an image codec not present in
-    this container. The plumbing (signature, schema, batch shape) is
-    final; the body raises until a codec is wired in."""
+    """Nearest-neighbor resize over the fake single-channel decode:
+    the payload is interpreted as a row-major (meta.height x meta.width)
+    grayscale image (truncated/zero-padded to fit), resampled to the
+    target size, and re-emitted as bytes. Deterministic and codec-free
+    — swapping the interpretation step for PIL/ffmpeg decode is a local
+    change here, the Spark plumbing (Arrow batches, binary columns,
+    metadata struct) is the real thing."""
+    import numpy as np
+
+    def one(buf: bytes, src_w: int, src_h: int) -> bytes:
+        src_w, src_h = max(int(src_w), 1), max(int(src_h), 1)
+        arr = np.frombuffer(buf or b"", dtype=np.uint8)
+        need = src_w * src_h
+        if len(arr) < need:
+            arr = np.concatenate([arr, np.zeros(need - len(arr), dtype=np.uint8)])
+        img = arr[:need].reshape(src_h, src_w)
+        # nearest-neighbor index maps (floor sampling, the classic rule)
+        yi = (np.arange(height) * src_h) // height
+        xi = (np.arange(width) * src_w) // width
+        return img[np.ix_(yi, xi)].tobytes()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "STUB: image resize requires an image codec (e.g. PIL); "
-            "not available in this environment"
-        )
-        yield  # pragma: no cover  (generator marker)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(b, m["width"], m["height"])
+                        for b, m in zip(pdf["payload"], pdf["meta"])
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     schema = "doc_id bigint, payload binary, width int, height int"
     return media.mapInPandas(batches, schema=schema)

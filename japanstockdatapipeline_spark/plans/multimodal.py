@@ -16,13 +16,38 @@ from .registry import query
     "multimodal_image_stats",
     doc="North-star multimodal: binary payload column + typed metadata, "
     "Arrow-batched mapInPandas feature extraction (decode is a "
-    "deterministic fake — see operators/multimodal.py). Rows-only: "
-    "byte-level blob statistics aren't ANSI-SQL-expressible.",
+    "deterministic fake — see operators/multimodal.py). Oracle: the "
+    "payload is the UTF-8 encoding of an ASCII corpus, so DuckDB "
+    "recomputes every byte statistic (codepoints == bytes) and the "
+    "sha256 digest from the text column — a true value-level check of "
+    "the binary-column plumbing, not rows-only.",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE list_avg(list_transform(range(1, length(text) + 1),
+                                              i -> unicode(text[i]))) END, 6) AS mean_byte,
+           CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
+                                  i -> unicode(text[i]))), 0) AS INT) AS max_byte,
+           sha256(text) AS sha256,
+           CAST(length(text) % 640 + 16 AS INT) AS width,
+           CAST(length(text) % 480 + 16 AS INT) AS height
+    FROM documents
+    """,
 )
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_payload(docs)
-    return image_stats(media)
+    out = image_stats(media)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
+        "sha256",
+        "width",
+        "height",
+    )
 
 
 @query(

@@ -39,10 +39,19 @@ def test_image_stats_fake_decode(media):
     assert rows[3]["n_bytes"] == 0 and rows[3]["mean_byte"] == 0.0
 
 
-def test_resize_is_stubbed(media):
-    with pytest.raises(Exception) as ei:
-        resize_images(media, 64, 64).collect()
-    assert "STUB" in str(ei.value)
+def test_resize_nearest_neighbor(media):
+    rows = {r["doc_id"]: r for r in resize_images(media, 8, 4).collect()}
+    # every output payload is exactly the target pixel count, any input
+    assert all(len(r["payload"]) == 8 * 4 for r in rows.values())
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows.values())
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: r for r in resize_images(media, 8, 4).collect()}
+    assert all(bytes(rows[k]["payload"]) == bytes(again[k]["payload"]) for k in rows)
+    # a constant image stays constant under nearest-neighbor
+    src = media.filter(F.col("doc_id") == 2)  # "x" * 100 payload
+    out = resize_images(src, 5, 5).first()
+    body = set(bytes(out["payload"]))
+    assert body <= {ord("x"), 0}  # payload bytes, zero-padded tail
 
 
 def test_frame_plan_prunes_payload(media):
