@@ -33,14 +33,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as a long and normalize to epoch micros
-        # (bigint `ts_us`) — the same truncation DuckDB applies when it
-        # coerces ns to its µs TIMESTAMP, so orderings/values agree.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts_us", F.expr("ts DIV 1000").cast("bigint")).drop("ts")
+        return _load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with a normalized bigint `ts_us` (epoch microseconds).
+
+    The driver has generated `events.ts` as parquet TIMESTAMP(NANOS) in
+    some rounds and TIMESTAMP(MICROS) in others, so dispatch on the type
+    Spark actually loads rather than assuming one:
+
+    - ``timestamp[ns]``: Spark's reader rejects nanos unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set; retry the read with
+      the flag scoped (set → read → restore) and truncate ns → µs, the
+      same coercion DuckDB applies for its µs TIMESTAMP.
+    - ``timestamp[us]`` (NTZ or LTZ): convert directly to epoch micros,
+      matching DuckDB's ``epoch_us(ts)``.
+
+    Everything downstream (windows, as-of joins, sessionization) orders
+    and arithmetics on the bigint, which is also the cheapest sort key.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Likely TIMESTAMP(NANOS); retry with the legacy flag, scoped so
+        # the session-wide setting is not mutated as a load side effect.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+            # Force schema resolution while the flag is active.
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        ts_us = F.expr("ts DIV 1000")
+    elif ts_type == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    elif ts_type == "timestamp":
+        ts_us = F.unix_micros(F.col("ts"))
+    else:
+        raise TypeError(f"unexpected events.ts type {ts_type!r} at {path}")
+    return df.withColumn("ts_us", ts_us.cast("bigint")).drop("ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
