@@ -14,7 +14,31 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["brute_force_topk", "brute_force_topk_matmul", "lsh_bucketed_topk", "ivf_topk"]
+__all__ = [
+    "brute_force_topk",
+    "brute_force_topk_matmul",
+    "lsh_bucketed_topk",
+    "ivf_topk",
+    "lsh_planes",
+    "lsh_signature_expr",
+    "lsh_near_dup_pairs",
+]
+
+
+def lsh_planes(
+    dim: int, n_planes: int = 4, n_tables: int = 8, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random-hyperplane tables: tables[t][p] is a dim-long
+    Gaussian vector. Shared by the Spark operator and the DuckDB oracle
+    (which inlines these exact float literals), so both engines bucket
+    identically."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
 
 
 def brute_force_topk(
@@ -49,6 +73,79 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_signature_expr(tables):
+    """Builder for the per-vector LSH signature array expression.
+
+    For hyperplane tables[t][p], the signature for table t is
+    "t:<sign bits>" where bit p is 1 iff dot(vec, plane) >= 0 —
+    pure Catalyst array folds, no UDF. Vectors share a signature
+    exactly when all plane signs agree, so bucket candidacy is an
+    equi-join on the signature string.
+    """
+
+    def signatures(vec_dbl):
+        sigs = []
+        for ti, planes in enumerate(tables):
+            bits = []
+            for p in planes:
+                plane = F.array(*[F.lit(x) for x in p])
+                d = F.aggregate(
+                    F.zip_with(vec_dbl, plane, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+            sigs.append(F.concat(F.lit(f"{ti}:"), *bits))
+        return F.array(*sigs)
+
+    return signatures
+
+
+def lsh_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs with LSH blocking: candidates are pairs
+    sharing >= 1 bucket signature (equi-join on the signature — a
+    shuffle, never an all-pairs product), then the exact cosine >=
+    threshold filter runs only on candidates.
+
+    Output (id_a, id_b, cos), id_a < id_b, each pair once. Recall < 1
+    by construction (pairs whose signs differ in every table are
+    missed) and grows with n_tables; the brute-force all-pairs form is
+    the test-only cross-check. This is the shape that survives 100 TB:
+    per-bucket work is bounded by bucket occupancy, not corpus^2.
+    """
+    signatures = lsh_signature_expr(lsh_planes(dim, n_planes, n_tables, seed))
+    v = vecs.select(
+        F.col(id_col).alias("__id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__sig", F.explode(signatures(F.col("__v"))))
+    a = v.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__sig"
+    )
+    b = v.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__sig"
+    )
+    pairs = (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,34 +171,13 @@ def lsh_bucketed_topk(
     fallback peeks one row from the (small by construction) query side,
     never the corpus.
     """
-    import random
-
     if dim is None:
         row = queries.select(q_vec_col).first()
         if row is None or row[0] is None:
             raise ValueError("lsh_bucketed_topk: empty query set and no dim given")
         dim = len(row[0])
-    rng = random.Random(seed)
-    tables = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        for _ in range(n_tables)
-    ]
-
-    def signatures(vec_dbl):
-        sigs = []
-        for ti, planes in enumerate(tables):
-            bits = []
-            for p in planes:
-                plane = F.array(*[F.lit(x) for x in p])
-                d = F.aggregate(
-                    F.zip_with(vec_dbl, plane, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-            sigs.append(F.concat(F.lit(f"{ti}:"), *bits))
-        return F.array(*sigs)
-
+    tables = lsh_planes(dim, n_planes, n_tables, seed)
+    signatures = lsh_signature_expr(tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("__cv")
     ).withColumn("__sig", F.explode(signatures(F.col("__cv"))))

@@ -13,15 +13,98 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
-from ..operators.topk import brute_force_topk, brute_force_topk_matmul, lsh_bucketed_topk
+from ..operators.topk import (
+    brute_force_topk,
+    brute_force_topk_matmul,
+    lsh_bucketed_topk,
+    lsh_near_dup_pairs,
+    lsh_planes,
+)
 from ..sources import load_table
 from .registry import query
+
+EMB_DIM = 64
 
 
 def _queries_df(emb: DataFrame, every: int = 50) -> DataFrame:
     return emb.filter(F.col("vec_id") % every == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
+
+
+def _lsh_oracle_sql(
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, seed: int = 42, every: int = 50
+) -> str:
+    """DuckDB replica of lsh_bucketed_topk: the exact hyperplane floats
+    are inlined as literals (repr round-trips IEEE doubles), so both
+    engines compute identical bucket signatures; candidates, exact
+    cosine, and the deterministic rank are then plain SQL."""
+    tables = lsh_planes(EMB_DIM, n_planes, n_tables, seed)
+    rows = []
+    for t, planes in enumerate(tables):
+        for p, v in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in v) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tbl, pidx, pv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+      SELECT e.vec_id,
+             p.tbl::VARCHAR || ':' || string_agg(
+               CASE WHEN list_dot_product(e.v, p.pv) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY p.pidx) AS sig
+      FROM e, planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.sig = c.sig
+      WHERE q.vec_id % {every} = 0 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.neighbor_id,
+             list_cosine_similarity(ec.v, eq.v) AS cos
+      FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+                JOIN e ec ON ec.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+_IVF_ORACLE_SQL = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, r.i AS i, v[r.i] AS x
+           FROM e, LATERAL unnest(range(1, 65)) AS r(i)),
+    comp AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT q_id, qv, label FROM (
+        SELECT q.q_id, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+                          c.label ASC) AS pr
+        FROM q CROSS JOIN cent c)
+      WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v, p.qv) AS cos
+      FROM e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id <> p.q_id
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
 
 
 @query(
@@ -62,11 +145,15 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_lsh_topk",
     doc="ANN scale path (north-star): random-hyperplane LSH bucketing "
     "then exact cosine within bucket — no cross join, shuffle on the "
-    "signature only. Approximate: rows-only check.",
+    "signature only. Value-checked: the oracle inlines the identical "
+    "hyperplane constants, so DuckDB reproduces the exact bucket "
+    "candidates, cosines, and ranks.",
+    oracle=_lsh_oracle_sql(),
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(emb, _queries_df(emb), k=5)  # planes=4, tables=8: ~0.76 recall at ~half-corpus candidate cost (sf0.01)
+    # planes=4, tables=8: ~0.76 recall at ~half-corpus candidate cost (sf0.01)
+    out = lsh_bucketed_topk(emb, _queries_df(emb), k=5, dim=EMB_DIM)
     return out.select(
         "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
     )
@@ -121,7 +208,10 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ANN scale path #2 (north-star): IVF — inverted lists by coarse "
     "cell (label column as the quantizer), queries probe their 2 "
     "nearest cell centroids, exact cosine only inside probed cells. "
-    "Approximate: rows-only check; recall vs brute force unit-tested.",
+    "Value-checked: cells/centroids/probes are data-deterministic, so "
+    "the oracle reproduces them in SQL; recall vs brute force is also "
+    "unit-tested.",
+    oracle=_IVF_ORACLE_SQL,
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import ivf_topk
@@ -133,25 +223,55 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_oracle_sql(
+    threshold: float = 0.3, n_planes: int = 4, n_tables: int = 8, seed: int = 42, every: int = 10
+) -> str:
+    """DuckDB replica of lsh_near_dup_pairs on the vec_id % every slice:
+    identical hyperplane literals -> identical bucket signatures ->
+    identical candidate pairs -> exact cosine filter."""
+    tables = lsh_planes(EMB_DIM, n_planes, n_tables, seed)
+    rows = []
+    for t, planes in enumerate(tables):
+        for p, v in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in v) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tbl, pidx, pv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % {every} = 0),
+    sigs AS (
+      SELECT e.vec_id,
+             p.tbl::VARCHAR || ':' || string_agg(
+               CASE WHEN list_dot_product(e.v, p.pv) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY p.pidx) AS sig
+      FROM e, planes p
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.sig = b.sig
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+              JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    """
+
+
 @query(
     "embedding_near_dup_pairs",
-    doc="Embedding-cosine near-dup (north-star dedup family): pairs "
-    "with cosine >= 0.3 — brute-force on the query slice here; at "
-    "scale the identical predicate runs after LSH/IVF blocking.",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
-    """,
+    doc="Embedding-cosine near-dup (north-star dedup family): LSH "
+    "bucket-blocked candidates (equi-join on signature — a shuffle, "
+    "no all-pairs product), then the exact cosine >= 0.3 filter on "
+    "candidates only. The oracle replicates the blocking with the "
+    "same hyperplane literals; recall vs brute force is unit-tested.",
+    oracle=_near_dup_oracle_sql(),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array(F.col("embedding")).alias("vb"))
-    pairs = a.join(b, a.id_a < b.id_b)
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
-    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
-        F.col("cos") >= 0.3
-    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    pairs = lsh_near_dup_pairs(emb, threshold=0.3, dim=EMB_DIM)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))

@@ -157,3 +157,9 @@ def test_ngram_jaccard_max_df_cap(spark):
     # docs over the threshold, but it does generate the df^2 candidates
     uncapped = ngram_jaccard_pairs(df, threshold=0.01, k=3, max_df=10_000).collect()
     assert len(uncapped) > len(pairs)
+    # the default (max_df=None) is EXACT Jaccard: identical to any cap
+    # large enough to keep every posting list
+    default = ngram_jaccard_pairs(df, threshold=0.01, k=3).collect()
+    assert {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in default} == {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in uncapped
+    }

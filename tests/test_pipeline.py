@@ -75,3 +75,29 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
         for r in lsh_bucketed_topk(emb, queries, 5).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_lsh_near_dup_recall_vs_brute_force(spark, sf_dir):
+    from japanstockdatapipeline_spark.functions.vectors import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from japanstockdatapipeline_spark.operators.topk import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array(F.col("embedding")).alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, a.id_a < b.id_b)
+        .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    blocked = lsh_near_dup_pairs(emb, threshold=0.3, dim=64).collect()
+    got = {(r["id_a"], r["id_b"]) for r in blocked}
+    # blocked output is a subset of the true pair set (exact cosine on
+    # candidates — no false positives) with bounded recall loss
+    assert got <= brute
+    if brute:
+        assert len(got) / len(brute) >= 0.5

@@ -79,6 +79,13 @@ CHECKS = {
     "regional_rollup_totals": [
         ("Expand", True, "single expand-then-aggregate, no per-level rescans"),
     ],
+    "embedding_near_dup_pairs": [
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "LSH-blocked: no all-pairs product"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "equi-join on bucket signature"),
+    ],
+    "embedding_lsh_topk": [
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "bucketed: no cross join"),
+    ],
 }
 
 
