@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from japanstockdatapipeline_spark.plans import all_queries
+from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.session import get_spark
 
 
@@ -27,7 +27,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("jsdp-bench")
 
-    bench_set = {name: q for name, q in all_queries().items() if q.bench}
+    bench_set = {
+        name: q
+        for name, q in {**all_queries(), **all_members()}.items()
+        if q.bench
+    }
     # warm the JVM + parquet footers once with the cheapest query
     next(iter(bench_set.values())).fn(spark, sf_dir).count()
 

@@ -1,4 +1,4 @@
-from .registry import Query, all_queries, query
+from .registry import Query, all_members, all_queries, member, query
 
 # importing the modules populates the registry
 from . import (  # noqa: F401  (registration side effect)
@@ -15,4 +15,8 @@ from . import (  # noqa: F401  (registration side effect)
     technical,
 )
 
-__all__ = ["Query", "all_queries", "query"]
+# panels fold members into driver-checked composites; import last so
+# every member is registered first
+from . import panels  # noqa: F401  (registration side effect)
+
+__all__ = ["Query", "all_members", "all_queries", "member", "query"]

@@ -10,10 +10,10 @@ from pyspark.sql import functions as F
 from ..operators.smoothers import with_smoothers
 from ..operators.snapshot import technical_snapshot
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
-@query(
+@member(
     "event_running_argmax",
     doc="W5 running argmax via max(struct) with a frame including "
     "same-ts peers (00116:136-144: max(ARRAY[rank, eps]) OVER ...).",
@@ -42,7 +42,7 @@ def event_running_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "screen_latest_published",
     doc="J5 latest-snapshot LEFT JOIN published-snapshot (stock_screen, "
     "00051:18-53): per-customer latest order joined to the customer's "
@@ -162,7 +162,7 @@ def catch_up_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "user_value_smoothers",
     doc="W10/W11 recursive EMA (SMA-seeded) + RSI (Wilder) via "
     "applyInPandas per user (technical.ts:105-152) — not frame-window-"
@@ -254,7 +254,7 @@ def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return technical_snapshot_ohlcv(ev, "user_id", "ts_us", "o", "h", "l", "c", "v")
 
 
-@query(
+@member(
     "user_value_macd",
     doc="W12 MACD + defined-region signal (technical.ts:161-178): "
     "EMA12-EMA26; signal = EMA9 *over the defined region of MACD* "

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.semantics import zscore
 from ..operators.breadth import year_bucket_high_low
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 US_PER_DAY = 86_400_000_000
 
@@ -37,7 +37,7 @@ def _daily_bars(ev: DataFrame) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_year_bucket_highs",
     doc="W20 Nikkei year-bucket new-high/low rule (market-breadth.ts:"
     "121-275): per entity, base period = current-year days strictly "
@@ -95,7 +95,7 @@ def event_year_bucket_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "pit_basket_valuation",
     doc="PIT basket valuation pipeline in one plan (basket-valuation.ts): "
     "purchases play FY disclosures (fy = event year - 1, deterministic "
@@ -344,7 +344,7 @@ def pit_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "stock_metrics_pipeline",
     doc="SURVEY §7.1 end-to-end slice as ONE program (00108_refresh_"
     "stock_metrics_perf.sql:41-52 momentum pivot; 00049:39-55 FY/prev-"

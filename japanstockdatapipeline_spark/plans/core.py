@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.semantics import zscore
 from ..operators.windows import top_n_per_key
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
 @query(
@@ -68,7 +68,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "revenue_by_nation",
     doc="J1 equi joins to broadcast dimensions (00049:82-84): "
     "lineitem ⋈ supplier ⋈ nation ⋈ region, revenue per nation. "
@@ -155,7 +155,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
-@query(
+@member(
     "acctbal_nation_scores",
     doc="W2/W3/W8 sector-relative scoring (00049:87-105): percent_rank, "
     "population z-score with sigma=0→0, population count — one window "
@@ -190,7 +190,7 @@ def acctbal_nation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "order_discount_product",
     doc="A2 exact product aggregate (numeric_product, 00093:24-37): "
     "per-order product of (1 - discount), exact fold — not exp(sum(ln)).",
@@ -288,7 +288,7 @@ def segment_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "status_pivot_per_customer",
     doc="J3 conditional-agg pivot (00108:41-52) — the reference's "
     ">120 s → 23.4 s rewrite: one scan, max(when) per bucket.",
@@ -315,7 +315,7 @@ def status_pivot_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "order_price_delta",
     doc="J2→J4 rank-offset self-join re-expressed as lag() windows "
     "(00049:21-37 momentum; Spark-native form per SURVEY §2.3 J2).",
@@ -340,7 +340,7 @@ def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "order_date_dense_rank",
     doc="W4 dense_rank → numeric ordinal (fiscal-year-end rank, 00116:128-134).",
     oracle="""
@@ -357,7 +357,7 @@ def order_date_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "lineitem_suffix_product",
     doc="W6 window product with frame excluding current row — the split "
     "suffix-product (00093:50-71), exact fold not exp(sum(log)).",
@@ -444,7 +444,7 @@ def table_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "distinct_order_dates",
     doc="U3 DISTINCT dates RPC (00012:56-86).",
     oracle="""
@@ -477,7 +477,7 @@ def lineitem_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "orders_status_native_pivot",
     doc="Native pivot (groupBy().pivot(), §2.10 UDTF family inverse): "
     "order counts per customer pivoted by status into columns.",
@@ -562,7 +562,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "local_supplier_volume",
     doc="Five-way join with a cross-table equality constraint (TPC-H Q5 "
     "shape): revenue where customer and supplier share a nation, one "
@@ -679,7 +679,7 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "small_quantity_part_revenue",
     doc="Correlated scalar subquery → window rewrite (TPC-H Q17 shape; "
     "the reference's per-group-threshold screens, 00120:82): revenue "
@@ -773,7 +773,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "priority_orders_with_late_items",
     doc="Semi-join existence query (TPC-H Q4 shape; the reference's "
     "implicit semi-joins via IN/=ANY filters, 00116:104,164): count "

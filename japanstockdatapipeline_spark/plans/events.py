@@ -18,7 +18,7 @@ from ..operators.windows import (
     sma,
 )
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
 def _ev(spark, sf_dir):
@@ -45,7 +45,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts_us", "event_type", "value")
 
 
-@query(
+@member(
     "rolling_event_stats",
     doc="W9/W13 SMA + Bollinger with full-window guard "
     "(technical.ts:75-102, 189-208): 5-row mean / population sigma, "
@@ -77,7 +77,7 @@ def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_running_high",
     doc="W20 running max excluding current row — the Nikkei new-high "
     "rule (market-breadth.ts:121-275): prior max is NULL on the first "
@@ -108,7 +108,7 @@ def event_running_high(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_obv",
     doc="W16 OBV cumulative signed sum (technical.ts:268-275): sign of "
     "value vs previous value, cumulative sum of sign*value per user.",
@@ -148,7 +148,7 @@ def event_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "purchase_asof_click",
     bench=True,
     doc="J6 as-of join (basket-valuation.ts:239-267 pitFy): for each "
@@ -245,7 +245,7 @@ def click_span_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_type_corr",
     doc="A8 Pearson correlation / tracking error (basket-valuation.ts:"
     "623-651): corr(value, props.k) and stddev_samp(diff)*sqrt(252) per type.",

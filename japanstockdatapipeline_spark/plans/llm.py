@@ -14,13 +14,13 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 # stopword list shared verbatim with the oracles
 _SW = "', '".join(TX.STOPWORDS)
 
 
-@query(
+@member(
     "doc_text_stats",
     doc="Text analysis: token counting (whitespace), avg token length, "
     "stopword ratio, punctuation ratio, quality score — all Catalyst "
@@ -67,7 +67,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_lang_id",
     doc="Language-ID marker heuristic (north-star): deterministic "
     "marker-word argmax with fixed-order tie-break, fallback 'en'.",
@@ -117,7 +117,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@query(
+@member(
     "doc_ngram_jaccard_dups",
     doc="n-gram Jaccard near-dup (north-star): 3-token shingles, "
     "inverted-index blocking (equi-join on shingle, never a cross "
@@ -156,7 +156,7 @@ def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query(
+@member(
     "doc_minhash_lsh_dups",
     doc="MinHash+LSH near-dup (north-star scale path): 16 md5-derived "
     "minhashes, 4 bands, bucket equi-join for candidates; estimated "
@@ -202,7 +202,7 @@ def doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-@query(
+@member(
     "doc_simhash",
     doc="SimHash document fingerprint (north-star): 60-bit signed-bit "
     "aggregate of md5 token hashes; identical bit recipe in the oracle.",
@@ -226,7 +226,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
-@query(
+@member(
     "doc_dup_clusters",
     doc="Near-dup clustering (north-star dedup completion): connected "
     "components over the >=0.5-Jaccard pair graph via iterative "
@@ -319,7 +319,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_bpe_token_stats",
     doc="BPE-ish regex token counting (north-star 'whitespace + a "
     "BPE-ish regex'): letter runs / digit runs / single punctuation as "
@@ -352,7 +352,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_rolling_hash_fingerprint",
     doc="Rolling polynomial hash document fingerprint (north-star "
     "'document fingerprinting (rolling hash)'): Rabin-Karp-style fold "
@@ -383,7 +383,7 @@ def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h.alias("rolling_hash"))
 
 
-@query(
+@member(
     "corpus_prep_pipeline",
     doc="North-star flagship composition — the full training-corpus "
     "prep in one plan: quality filter (score >= 0.5) -> exact-dup "
@@ -470,7 +470,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_stratified_sample",
     doc="Deterministic stratified sampling (training-data op): per-"
     "language keep rates applied via an md5-hash threshold on doc_id "
@@ -545,7 +545,7 @@ def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_boilerplate_ratio",
     doc="Corpus-common n-gram (boilerplate) ratio, the C4/Gopher-style "
     "cross-document repetition signal: a doc's distinct 5-gram "
@@ -612,7 +612,7 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "doc_repetition_ratio",
     doc="Within-document repetition signal (Gopher repetition rules, "
     "companion to the cross-document boilerplate ratio): per doc, the "

@@ -7,10 +7,10 @@ from pyspark.sql import functions as F
 
 from ..functions.semantics import clamp, safe_div
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
-@query(
+@member(
     "order_math_features",
     doc="F5 math expression family (factor-vectors.ts:162-234): log "
     "market-cap, sqrt, pow, clamp ±3, inverse-PER earnings yield with "
@@ -68,7 +68,7 @@ def embedding_vector_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", lit.alias("vec_literal"))
 
 
-@query(
+@member(
     "doc_source_null_normalization",
     doc="P5 null normalization (fins-summary.ts:156-161: empty-string→"
     "NULL across numeric columns; PostgREST numeric-as-string→number): "
@@ -93,7 +93,7 @@ def doc_source_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
+@member(
     "user_value_atr",
     doc="W15 ATR (Wilder, technical.ts:242-265) on a synthesized "
     "high/low band (±1% of value — events carry no OHLC): true range "

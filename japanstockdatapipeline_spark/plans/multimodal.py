@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from ..functions.japanese import era_date_to_iso, iso_to_era_date
 from ..operators.multimodal import attach_fake_payload, frame_sample_plan, image_stats
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
 @query(
@@ -70,7 +70,7 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "era_date_roundtrip",
     doc="S7 Japanese era-date parse (mof/client.ts:29-104): format each "
     "distinct order date as <era>N年M月D日 (元年 for year 1) and parse "

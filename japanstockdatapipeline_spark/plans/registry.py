@@ -41,7 +41,9 @@ def query(
     return deco
 
 
-def member(name: str, *, oracle: Optional[str] = None, doc: str = "", tags: tuple = ()):
+def member(
+    name: str, *, oracle: Optional[str] = None, doc: str = "", tags: tuple = (), bench: bool = False
+):
     """Like @query, but registers into the side table of *composite
     members* instead of the driver-visible registry.
 
@@ -56,7 +58,7 @@ def member(name: str, *, oracle: Optional[str] = None, doc: str = "", tags: tupl
     def deco(fn: QueryFn) -> QueryFn:
         if name in _MEMBERS or name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _MEMBERS[name] = Query(name, fn, oracle, doc, tags)
+        _MEMBERS[name] = Query(name, fn, oracle, doc, tags, bench)
         return fn
 
     return deco

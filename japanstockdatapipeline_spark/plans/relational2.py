@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import build_validity_spans
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
 @query(
@@ -37,7 +37,7 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
 
 
-@query(
+@member(
     "order_calendar_math",
     doc="F1/F2/F3 date calculus (date.ts:38-136, business-day.ts, "
     "add_months clamp): JST shift (+9h fixed, as the reference "
@@ -149,7 +149,7 @@ def customer_cohort_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_add.unionByName(to_close)
 
 
-@query(
+@member(
     "segment_rank_nulls_last",
     doc="T4 ranking with NULLS LAST over a liquidity-style partition "
     "(00120:168-177): rank customers per segment by max open-order "
@@ -190,7 +190,7 @@ def segment_rank_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "order_id_synthesis",
     doc="F10 ID synthesis (generateDisclosureId, fins-summary.ts:49-73): "
     "coalesce(native id, composite of code_date_type) — NULLIF models "

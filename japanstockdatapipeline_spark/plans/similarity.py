@@ -21,7 +21,7 @@ from ..operators.topk import (
     lsh_planes,
 )
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 EMB_DIM = 64
 
@@ -107,7 +107,7 @@ _IVF_ORACLE_SQL = """
     """
 
 
-@query(
+@member(
     "embedding_knn_topk",
     doc="T2/J8 exact cosine top-k (00101:86-96): crossJoin(broadcast("
     "queries)) + per-query rank; deterministic tie-break (cos desc, id).",
@@ -141,7 +141,7 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "embedding_lsh_topk",
     doc="ANN scale path (north-star): random-hyperplane LSH bucketing "
     "then exact cosine within bucket — no cross join, shuffle on the "
@@ -203,7 +203,7 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "embedding_ivf_topk",
     doc="ANN scale path #2 (north-star): IVF — inverted lists by coarse "
     "cell (label column as the quantizer), queries probe their 2 "

@@ -9,10 +9,10 @@ from pyspark.sql import functions as F
 from ..functions.semantics import clamp, zscore
 from ..operators.waterfill import water_fill_cap
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
-@query(
+@member(
     "winsorized_price_z",
     doc="F6 winsorize + z-score + clamp pipeline (factor-vectors.ts:"
     "191-260): 1%/99% linear-interp percentile clip (type-7 — exact "
@@ -121,7 +121,7 @@ def nation_capped_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "cardinality_sketch_accuracy",
     doc="Sketch-based distinct counting for the 100 TB path (SURVEY "
     "§2.4 note: approx_count_distinct is the scale substitute for "
@@ -160,7 +160,7 @@ def cardinality_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "quantile_sketch_accuracy",
     doc="Quantile sketch for the 100 TB path (twin of the HLL query; "
     "SURVEY §2.4 / F6 note that exact percentile collects full-column "
@@ -198,7 +198,7 @@ def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "audience_overlap_sketch",
     doc="Sketch set algebra for audience overlap (completes the "
     "sketch family: HLL cardinalities compose by inclusion-"

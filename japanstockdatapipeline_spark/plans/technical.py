@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 US_PER_DAY = 86_400_000_000
 
@@ -19,7 +19,7 @@ def _ev(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
-@query(
+@member(
     "event_stochastic",
     doc="W14 stochastic slow %K/%D (technical.ts:216-237): rolling "
     "14-row HH/LL, NULL when HH==LL, then two SMA3 smoothing passes.",
@@ -69,7 +69,7 @@ def event_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_ichimoku_midlines",
     doc="W17 Ichimoku midlines (technical.ts:279-329): (HH+LL)/2 over "
     "9/26 rows, senkou A = midpoint average shifted; lag-26 span compare.",
@@ -118,7 +118,7 @@ def event_ichimoku_midlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "event_golden_cross",
     doc="W18 golden/dead cross + age (technical.ts:334-353): sign of "
     "SMA5-SMA20, cross where sign flips, age = rows since last flip.",
@@ -178,7 +178,7 @@ def event_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "daily_adv_dec_ratio",
     doc="W19 rolling 25-day advance/decline ratio on the canonical day "
     "axis with completeness guard (market-breadth.ts:283-299): per-user "
@@ -239,7 +239,7 @@ def daily_adv_dec_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "pct_above_sma_breadth",
     doc="W21 %-above-SMA breadth (market-breadth.ts:100-212): per-user "
     "SMA20 (full-window gated), then per-day fraction of qualifying "

@@ -13,7 +13,7 @@ import os
 import duckdb
 import pytest
 
-from japanstockdatapipeline_spark.plans import all_queries
+from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.sources import TABLE_NAMES
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -44,7 +44,9 @@ def _normalize(rows, cols):
     return sorted(key(r) for r in rows)
 
 
-QUERIES = all_queries()
+# registered queries (driver-visible, incl. panels) AND panel members:
+# each member keeps its own oracle and is verified individually here
+QUERIES = {**all_queries(), **all_members()}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

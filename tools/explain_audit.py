@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from japanstockdatapipeline_spark.plans import all_queries
+from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.session import get_spark
 
 
@@ -92,7 +92,7 @@ CHECKS = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
-    qs = all_queries()
+    qs = {**all_queries(), **all_members()}
     failures = 0
     for name, rules in CHECKS.items():
         df = qs[name].fn(spark, sf_dir)

@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from japanstockdatapipeline_spark.plans import all_queries
+from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.session import get_spark
 from japanstockdatapipeline_spark.sources import TABLE_NAMES
 
@@ -59,7 +59,7 @@ def main() -> int:
     spark = get_spark("verify-local")
     con = duck_con(sf_dir)
     failures = []
-    for name, q in all_queries().items():
+    for name, q in {**all_queries(), **all_members()}.items():
         if only and name not in only:
             continue
         try:
