@@ -245,3 +245,83 @@ def part_brand_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_valid_brand"),
     )
+
+
+@query(
+    "scd2_master_apply",
+    doc="SCD2 write path (equity-master.ts:469-530, 00010:18-53): "
+    "apply a snapshot to a Type-2 master — close-old/insert-new on "
+    "attribute change, close on delisting, insert on new/relisting; "
+    "valid_from inclusive, valid_to exclusive (NULL = current). "
+    "Master = each customer's latest-1994 order priority; snapshot = "
+    "latest-1995; effective 1995-01-01. One full-outer join, 0-2 "
+    "output rows per key via exploded struct array — no driver loop.",
+    oracle="""
+    WITH m94 AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS attr
+      FROM (SELECT o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+            WHERE o_orderdate >= DATE '1994-01-01'
+              AND o_orderdate < DATE '1995-01-01')
+      WHERE rn = 1
+    ), s95 AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS attr
+      FROM (SELECT o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01')
+      WHERE rn = 1
+    ), j AS (
+      SELECT m.custkey AS m_key, m.attr AS m_attr,
+             s.custkey AS s_key, s.attr AS s_attr
+      FROM m94 m FULL JOIN s95 s ON m.custkey = s.custkey
+    )
+    SELECT custkey, attr, valid_from, valid_to, is_current FROM (
+      SELECT m_key AS custkey, m_attr AS attr, '1994-01-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+      FROM j WHERE m_key IS NOT NULL AND s_key IS NOT NULL AND m_attr = s_attr
+      UNION ALL
+      SELECT m_key, m_attr, '1994-01-01', '1995-01-01', false
+      FROM j WHERE m_key IS NOT NULL AND (s_key IS NULL OR m_attr <> s_attr)
+      UNION ALL
+      SELECT s_key, s_attr, '1995-01-01', CAST(NULL AS VARCHAR), true
+      FROM j WHERE s_key IS NOT NULL AND (m_key IS NULL OR m_attr <> s_attr)
+    )
+    """,
+)
+def scd2_master_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def latest_priority(year: int) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("date"))
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("attr"),
+            )
+        )
+
+    master = latest_priority(1994).select(
+        "custkey",
+        "attr",
+        F.lit("1994-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_apply(
+        master, latest_priority(1995), ["custkey"], ["attr"], "1995-01-01"
+    )

@@ -163,3 +163,53 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in default} == {
         (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in uncapped
     }
+
+
+def test_scd2_apply_delist_relist_roundtrip(spark):
+    from japanstockdatapipeline_spark.operators.scd2 import scd2_apply
+
+    def snap(rows):
+        return spark.createDataFrame(rows, ["code", "name"])
+
+    empty_master = spark.createDataFrame(
+        [], "code string, name string, valid_from string, valid_to string, is_current boolean"
+    )
+    # day 1: A and B list
+    m1 = scd2_apply(empty_master, snap([("A", "x"), ("B", "y")]), ["code"], ["name"], "d1")
+    rows1 = {(r["code"], r["name"], r["valid_from"], r["valid_to"], r["is_current"])
+             for r in m1.collect()}
+    assert rows1 == {("A", "x", "d1", None, True), ("B", "y", "d1", None, True)}
+
+    # day 2: A changes attrs, B delists, C lists
+    m2 = scd2_apply(m1, snap([("A", "x2"), ("C", "z")]), ["code"], ["name"], "d2")
+    rows2 = {(r["code"], r["name"], r["valid_from"], r["valid_to"], r["is_current"])
+             for r in m2.collect()}
+    assert rows2 == {
+        ("A", "x", "d1", "d2", False),
+        ("A", "x2", "d2", None, True),
+        ("B", "y", "d1", "d2", False),
+        ("C", "z", "d2", None, True),
+    }
+
+    # day 3: B relists with new attrs, A unchanged, C delists
+    m3 = scd2_apply(m2, snap([("A", "x2"), ("B", "y2")]), ["code"], ["name"], "d3")
+    rows3 = {(r["code"], r["name"], r["valid_from"], r["valid_to"], r["is_current"])
+             for r in m3.collect()}
+    assert rows3 == {
+        ("A", "x", "d1", "d2", False),
+        ("A", "x2", "d2", None, True),      # unchanged row untouched
+        ("B", "y", "d1", "d2", False),
+        ("B", "y2", "d3", None, True),      # relisting = fresh insert
+        ("C", "z", "d2", "d3", False),
+    }
+    # invariant from 00010's partial unique index: <=1 current row per code
+    cur_counts = (
+        m3.filter(F.col("is_current")).groupBy("code").count().collect()
+    )
+    assert all(r["count"] == 1 for r in cur_counts)
+    # round-trip with the P3 as-of predicate: state at "d2 <= t < d3"
+    asof = m3.filter(
+        (F.col("valid_from") <= "d2")
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > "d2"))
+    )
+    assert {(r["code"], r["name"]) for r in asof.collect()} == {("A", "x2"), ("C", "z")}
