@@ -4,10 +4,12 @@ mapInPandas.
 
 The decode step is STUBBED (this container has no image/audio libs):
 `image_stats` uses a deterministic fake decode (byte statistics), and
-`resize_images` raises NotImplementedError behind a clearly-marked
-gate. The Spark-side plumbing — schema, batch iteration, metadata
-struct, frame-sampling plan — is real and tested; swapping the stub
-for PIL/ffmpeg is a local change inside one function.
+`resize_images` interprets the payload as a raw grayscale raster and
+does a real nearest-neighbor resample — codec-free but numerically
+real. The Spark-side plumbing — schema, batch iteration, metadata
+struct, frame-sampling plan — is real and tested; swapping the fake
+interpretation for PIL/ffmpeg decode is a local change inside one
+function.
 
 Scale shape: binary payloads ride the scan (parquet binary columns),
 mapInPandas processes Arrow batches with zero per-row Python overhead

@@ -40,7 +40,12 @@ def water_fill_cap(
     """Normalize `weight_col` within each group, then cap at `cap` with
     proportional redistribution (water-filling fixpoint).
 
-    Requires cap * group_size > 1 for feasibility (caller filters).
+    Infeasible groups (cap * group_size <= 1) follow the reference's
+    guard (basket-valuation.ts:312-317 + its pathological test): every
+    member pins to the cap, then the sum < 1 is re-normalized by cap
+    ratio — with a uniform cap that is exactly 1/n per member. The
+    closed form below branches on feasibility, so mixed feasible/
+    infeasible groups are handled in the same single-shuffle pass.
     `tiebreak` makes the desc sort total, so results are deterministic.
     """
     wsum = Window.partitionBy(*group_cols)
@@ -64,4 +69,8 @@ def water_fill_cap(
         (1 - k_star * F.lit(cap)) / (1 - cum_k)
     )
     out = F.when(F.col("__flag") == 1, F.lit(cap)).otherwise(F.col("__w") * s_k)
+    # infeasible guard: cap*n <= 1 -> all pinned to cap, normalized by
+    # cap ratio (uniform cap => 1/n each), matching the reference
+    n = F.count(F.lit(1)).over(grp)
+    out = F.when(n * F.lit(cap) <= 1.0, 1.0 / n).otherwise(out)
     return o.withColumn(out_col, out).drop("__w", "__i", "__cum", "__flag")

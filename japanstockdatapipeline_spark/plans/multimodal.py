@@ -17,22 +17,30 @@ from .registry import member, query
     doc="North-star multimodal: binary payload column + typed metadata, "
     "Arrow-batched mapInPandas feature extraction (decode is a "
     "deterministic fake — see operators/multimodal.py). Oracle: the "
-    "payload is the UTF-8 encoding of an ASCII corpus, so DuckDB "
-    "recomputes every byte statistic (codepoints == bytes) and the "
-    "sha256 digest from the text column — a true value-level check of "
-    "the binary-column plumbing, not rows-only.",
+    "payload is the UTF-8 encoding of the text column, so DuckDB "
+    "recomputes every statistic over the actual UTF-8 octets (hex-"
+    "decoded, so non-ASCII corpora match too) plus the sha256 digest "
+    "— a true value-level check of the binary-column plumbing, not "
+    "rows-only.",
     oracle="""
+    WITH b AS (
+      SELECT doc_id, text, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           round(CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE list_avg(list_transform(range(1, length(text) + 1),
-                                              i -> unicode(text[i]))) END, 6) AS mean_byte,
-           CAST(coalesce(list_max(list_transform(range(1, length(text) + 1),
-                                  i -> unicode(text[i]))), 0) AS INT) AS max_byte,
+           CAST(nb AS BIGINT) AS n_bytes,
+           round(CASE WHEN nb = 0 THEN 0.0
+                 ELSE list_avg(list_transform(range(1, nb + 1),
+                        i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT))) END,
+                 6) AS mean_byte,
+           CAST(coalesce(list_max(list_transform(range(1, nb + 1),
+                        i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT))), 0)
+                AS INT) AS max_byte,
            sha256(text) AS sha256,
            CAST(length(text) % 640 + 16 AS INT) AS width,
            CAST(length(text) % 480 + 16 AS INT) AS height
-    FROM documents
+    FROM b
     """,
 )
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,8 @@ __all__ = [
     "forward_fill_plan",
     "catch_up_plan",
     "write_partition_overwrite",
+    "list_partitions",
+    "remove_partition",
     "prune_retention",
     "merge_column_groups",
     "pending_null_cursor_days",
@@ -32,6 +34,39 @@ __all__ = [
     "FreshnessError",
     "assert_fresh",
 ]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FS API — resolves
+    local paths, HDFS, and object stores (s3a://, gs://, abfs://)
+    through the same interface, so partition maintenance is not tied
+    to a POSIX filesystem."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath
+
+
+def list_partitions(spark: SparkSession, path: str, partition_col: str) -> list[str]:
+    """Sorted partition values under `path` (dirs named `col=value`),
+    listed through the Hadoop FS API. On a real deployment a catalog
+    (HMS/Glue/Delta log) answers this; the FS listing is the
+    catalog-free fallback with the same contract."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    prefix = f"{partition_col}="
+    vals = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            vals.append(name.split("=", 1)[1])
+    return sorted(vals)
+
+
+def remove_partition(spark: SparkSession, path: str, partition_col: str, value: str) -> None:
+    fs, hpath = _hadoop_fs(spark, f"{path}/{partition_col}={value}")
+    fs.delete(hpath, True)
 
 
 def forward_fill_plan(
@@ -131,19 +166,14 @@ def prune_retention(
     """ST9 retention pruning: drop partitions older than `keep_from`
     (partition dir names `col=value`). Returns removed partition values.
     A lake-format MERGE/DELETE would subsume this; for plain parquet
-    dirs the partition layout makes pruning a directory operation.
+    dirs the partition layout makes pruning a directory operation —
+    routed through the Hadoop FS API so the same code prunes an
+    object-store lake.
     """
-    import shutil
-
     removed = []
-    if not os.path.isdir(path):
-        return removed
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith(f"{partition_col}="):
-            continue
-        value = entry.split("=", 1)[1]
+    for value in list_partitions(spark, path, partition_col):
         if value < keep_from:
-            shutil.rmtree(os.path.join(path, entry))
+            remove_partition(spark, path, partition_col, value)
             removed.append(value)
     return removed
 
@@ -200,12 +230,9 @@ def archive_partitions(
     """S12 archival sink (archive-equity-bars.ts:26-34): export the
     oldest `archive_batch` partitions to gzip CSV under archive_path,
     then delete them — keeping at least `keep_latest` partitions.
-    Returns archived partition values."""
-    if not os.path.isdir(path):
-        return []
-    parts = sorted(
-        e.split("=", 1)[1] for e in os.listdir(path) if e.startswith(f"{partition_col}=")
-    )
+    Returns archived partition values. Listing and deletion go through
+    the Hadoop FS API, so the same code archives an object-store lake."""
+    parts = list_partitions(spark, path, partition_col)
     if len(parts) <= keep_latest:
         return []
     n = min(archive_batch, len(parts) - keep_latest)
@@ -219,10 +246,8 @@ def archive_partitions(
             .option("header", True)
             .csv(os.path.join(archive_path, f"{partition_col}={value}"))
         )
-    import shutil
-
     for value in to_archive:
-        shutil.rmtree(os.path.join(path, f"{partition_col}={value}"))
+        remove_partition(spark, path, partition_col, value)
     return to_archive
 
 

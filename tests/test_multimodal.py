@@ -83,3 +83,24 @@ def test_era_parse_garbage_is_null(spark):
     df = spark.createDataFrame([("not a date",), ("令和年月日",)], ["s"])
     out = df.select(era_date_to_iso(F.col("s")).alias("d")).collect()
     assert all(r["d"] is None for r in out)
+
+
+def test_image_stats_non_ascii_bytes(spark):
+    """Byte stats are over UTF-8 octets, not codepoints — a non-ASCII
+    corpus must produce multi-byte-aware means/maxes (the oracle
+    hex-decodes the same octets)."""
+    from japanstockdatapipeline_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aé"), (2, "日本語"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in image_stats(attach_fake_payload(docs)).collect()}
+    for doc_id, text in [(1, "aé"), (2, "日本語"), (3, "")]:
+        raw = text.encode("utf-8")
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["max_byte"] == (max(raw) if raw else 0)
+        expected_mean = sum(raw) / len(raw) if raw else 0.0
+        assert abs(out[doc_id]["mean_byte"] - expected_mean) < 1e-9

@@ -52,3 +52,58 @@ def test_no_cap_binding_is_identity(spark):
     out = {r["id"]: r["capped_weight"] for r in water_fill_cap(df, ["g"], "w", 0.5, tiebreak="id").collect()}
     assert out[3] == pytest.approx(2.0 / 6.0)
     assert out[1] == pytest.approx(1.0 / 6.0)
+
+
+def reference_water_fill(w: np.ndarray, cap: float) -> np.ndarray:
+    """Straight port of the reference loop incl. the infeasible guard
+    (basket-valuation.ts:280-318): pin violators, redistribute, and if
+    everything ends up capped with sum != 1, normalize by cap ratio."""
+    share = w / w.sum()
+    capped: dict[int, float] = {}
+    un = list(range(len(w)))
+    for _ in range(len(w) + 1):
+        capped_sum = sum(capped.values())
+        remaining = 1.0 - capped_sum
+        un_sum = sum(share[i] for i in un)
+        if not un or un_sum <= 0 or remaining <= 0:
+            break
+        viol = [i for i in un if share[i] / un_sum * remaining > cap + 1e-12]
+        if not viol:
+            for i in un:
+                capped[i] = share[i] / un_sum * remaining
+            break
+        for i in viol:
+            capped[i] = cap
+        un = [i for i in un if i not in viol]
+    total = sum(capped.values())
+    if total > 0 and abs(total - 1.0) > 1e-9:
+        capped = {i: v / total for i, v in capped.items()}
+    return np.array([capped[i] for i in range(len(w))])
+
+
+@pytest.mark.parametrize("n,cap", [(2, 0.3), (5, 0.2), (4, 0.25), (10, 0.05)])
+def test_infeasible_cap_matches_reference_guard(spark, n, cap):
+    # cap * n <= 1: the reference pins everyone to cap then normalizes
+    # by cap ratio -> uniform 1/n regardless of the raw shares
+    rng = np.random.default_rng(n)
+    w = rng.uniform(0.1, 10.0, n)
+    expected = reference_water_fill(w.copy(), cap)
+    np.testing.assert_allclose(expected, np.full(n, 1.0 / n), rtol=1e-9)
+
+    rows = [(1, i, float(w[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    out = water_fill_cap(df, ["g"], "w", cap, tiebreak="id")
+    got = out.orderBy("id").toPandas()["capped_weight"].to_numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_mixed_feasible_infeasible_groups_single_pass(spark):
+    rows = [(1, 1, 5.0), (1, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0),  # feasible at 0.4
+            (2, 1, 9.0), (2, 2, 1.0)]                            # infeasible: 2*0.4 < 1
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    out = {(r["g"], r["id"]): r["capped_weight"]
+           for r in water_fill_cap(df, ["g"], "w", 0.4, tiebreak="id").collect()}
+    assert out[(1, 1)] == pytest.approx(0.4)
+    assert out[(1, 2)] == pytest.approx(0.2)
+    assert out[(2, 1)] == pytest.approx(0.5)
+    assert out[(2, 2)] == pytest.approx(0.5)
