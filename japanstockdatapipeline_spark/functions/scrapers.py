@@ -1,0 +1,116 @@
+"""Pure parsing/heuristic halves of the reference's scrapers (S9).
+
+The network clients themselves (HTTP fetch, rate limit, retry, proxy
+routing) are out of scope for a Spark engine — but the reference
+deliberately keeps its parsers as pure, unit-tested functions
+(nikkei225jp-client.ts:115-230, kabuyutai-client.ts:36-84), and those
+port directly to Catalyst expressions: a lake of raw scraped payloads
+(one row per fetch) parses in parallel at scan speed, no UDFs.
+
+Covered here:
+  - JS ``var X = [...]`` payload normalization -> JSON string
+    (nikkei225jp-client.ts:115-127: slice from first '[', strip the
+    trailing ';', normalize empty elements ``[,`` / ``,,`` / ``,]``
+    to null) and `from_json` row explosion
+  - epoch-ms -> JST date string (nikkei225jp-client.ts:101-110)
+  - per-column range checks that null only the offending column
+    (nikkei225jp-client.ts:62-70 RANGE_CHECKS)
+  - benefit-value yen extraction (kabuyutai-client.ts:36-48:
+    "1,000円相当" -> 1000; 0 and >=1,000,000 rejected)
+  - benefit category heuristic (kabuyutai-client.ts:53-71: ordered
+    regex buckets, その他 catch-all)
+  - local-code extraction (kabuyutai-client.ts:76-84: 4-or-5-char
+    code in full/half-width parens, uppercased, 4-char padded with
+    '0' — JPX new format 285A -> 285A0)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "js_var_array_to_json",
+    "epoch_ms_to_jst_date",
+    "in_range",
+    "estimate_benefit_value",
+    "estimate_category",
+    "extract_local_code",
+    "NIKKEI_RANGE_CHECKS",
+]
+
+# nikkei225jp-client.ts:62-70 (deliberately loose; stress regimes kept)
+NIKKEI_RANGE_CHECKS: dict[str, tuple[float, float]] = {
+    "nikkei_close": (5000.0, 200000.0),
+    "per": (5.0, 120.0),
+    "nikkei_vi": (8.0, 100.0),
+    "short_selling_restricted": (10.0, 55.0),
+    "short_selling_unrestricted": (2.0, 25.0),
+    "margin_pl_ratio": (-50.0, 15.0),
+}
+
+
+def js_var_array_to_json(payload: Column) -> Column:
+    """``var X = [[1,,2],];`` -> ``[[1,null,2],null]`` (JSON text).
+
+    NULL when no '[' exists (the reference throws; in a set-oriented
+    scan a bad payload nulls its row and the caller filters/alerts).
+    Empty elements are normalized with the same two rewrites as the
+    reference: ``[<ws>,`` -> ``[null,`` then any ``,`` directly
+    followed by ``,`` or ``]`` gets a null injected (lookahead, so
+    runs of commas all fill).
+    """
+    body = F.regexp_extract(payload, r"(\[[\s\S]*)", 1)
+    body = F.regexp_replace(F.trim(body), r";$", "")
+    body = F.regexp_replace(body, r"\[\s*,", "[null,")
+    body = F.regexp_replace(body, r",(?=\s*[,\]])", ",null")
+    return F.when(body == "", None).otherwise(body)
+
+
+def epoch_ms_to_jst_date(epoch_ms: Column) -> Column:
+    """Epoch milliseconds -> JST calendar date string (YYYY-MM-DD)."""
+    return F.date_format(
+        F.from_utc_timestamp(F.timestamp_millis(epoch_ms.cast("bigint")), "Asia/Tokyo"),
+        "yyyy-MM-dd",
+    )
+
+
+def in_range(col: Column, bounds: tuple[float, float]) -> Column:
+    """Reference range check: out-of-range nulls ONLY this column."""
+    lo, hi = bounds
+    return F.when((col >= lo) & (col <= hi), col)
+
+
+def estimate_benefit_value(content: Column) -> Column:
+    """Yen amount from 「1,000円相当」「2000円分」「500円」; NULL when
+    absent, zero, or implausibly large (>= 1,000,000)."""
+    raw = F.regexp_replace(F.regexp_extract(content, r"([0-9,]+)\s*円", 1), ",", "")
+    v = F.when(raw.rlike("^[0-9]+$"), raw).cast("bigint")  # no-match '' -> NULL (ANSI-safe)
+    return F.when((v > 0) & (v < 1_000_000), v)
+
+
+_CATEGORIES: list[tuple[str, str]] = [
+    ("食品", "食品|食事|お米|米|グルメ|飲料|お茶|コーヒー|ビール|ワイン|菓子|食料"),
+    ("金券", "クオカード|QUOカード|図書カード|ギフトカード|商品券|お買物券|割引券|金券"),
+    ("優待券", "優待券|食事券|飲食券|入場券|宿泊券|施設利用|レジャー|映画"),
+    ("カタログ", "カタログ|選べる|ポイント"),
+    ("自社製品", "自社製品|自社商品|自社サービス"),
+    ("日用品", "日用品|化粧品|ヘルスケア|健康"),
+]
+
+
+def estimate_category(content: Column) -> Column:
+    """Ordered regex buckets; その他 catch-all (NULL stays NULL)."""
+    expr = F.lit("その他")
+    for cat, pattern in reversed(_CATEGORIES):
+        expr = F.when(content.rlike(pattern), F.lit(cat)).otherwise(expr)
+    return F.when(content.isNotNull(), expr)
+
+
+def extract_local_code(text: Column) -> Column:
+    """4/5-char local code in（全角）or (half-width) parens, uppercased;
+    4-char new-format codes padded to 5 with '0' (285A -> 285A0)."""
+    code = F.upper(F.regexp_extract(text, r"[（(]([0-9]{3}[0-9A-Za-z][0-9]?)[）)]", 1))
+    return F.when(
+        code != "", F.when(F.length(code) == 4, F.concat(code, F.lit("0"))).otherwise(code)
+    )

@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (registration side effect)
     mathfmt,
     multimodal,
     relational2,
+    scrape,
     similarity,
     stats,
     technical,

@@ -1,0 +1,132 @@
+"""S9 scraper-parse plans: the pure parsing halves of the reference's
+HTML/JS scrapers, exercised as format->parse round trips over testdata
+(same pattern as era_date_roundtrip: synthesize the wire format from
+table columns in-engine, parse it back with the expression library,
+oracle computes the expected values directly from the source columns).
+
+Reference: nikkei225jp-client.ts:101-230 (JS var-array payload,
+column range checks, epoch-ms JST dates), kabuyutai-client.ts:36-84
+(benefit value/category heuristics, local-code extraction). The
+network clients are out of scope; these plans prove the parsers are
+Catalyst expressions that run at scan speed over a payload lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scrapers import (
+    NIKKEI_RANGE_CHECKS,
+    epoch_ms_to_jst_date,
+    estimate_benefit_value,
+    estimate_category,
+    extract_local_code,
+    in_range,
+    js_var_array_to_json,
+)
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "scraper_var_array_roundtrip",
+    doc="S9 nikkei225jp JS-var payload parse (nikkei225jp-client.ts:"
+    "115-175): build a `var D = [[epoch_ms, close,, vi,]];` payload "
+    "per order (with empty elements), normalize to JSON, from_json, "
+    "explode, then JST date + per-column range checks. Oracle computes "
+    "the expected values directly from the source columns, so the "
+    "whole format->parse->check path is value-verified.",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS jst_date,
+           CASE WHEN o_totalprice >= 5000 AND o_totalprice <= 200000
+                THEN o_totalprice END AS close,
+           CASE WHEN (o_orderkey % 120) >= 8 AND (o_orderkey % 120) <= 100
+                THEN CAST(o_orderkey % 120 AS DOUBLE) END AS vi,
+           true AS gap_is_null
+    FROM orders
+    """,
+)
+def scraper_var_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # date-based epoch ms (00:00 UTC = 09:00 JST same calendar day)
+    ms = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    ) * F.lit(86400000)
+    vi_raw = (F.col("o_orderkey") % 120).cast("double")
+    payload = F.concat(
+        F.lit("var D = [["),
+        ms.cast("string"),
+        F.lit(","),
+        F.col("o_totalprice").cast("string"),
+        F.lit(",,"),
+        vi_raw.cast("string"),
+        F.lit(",]];"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_json(js_var_array_to_json(payload), "array<array<double>>").alias("__rows"),
+    ).select("o_orderkey", F.element_at("__rows", 1).alias("__r"))
+    return parsed.select(
+        "o_orderkey",
+        epoch_ms_to_jst_date(F.element_at("__r", 1)).alias("jst_date"),
+        in_range(F.element_at("__r", 2), NIKKEI_RANGE_CHECKS["nikkei_close"]).alias("close"),
+        in_range(F.element_at("__r", 4), NIKKEI_RANGE_CHECKS["nikkei_vi"]).alias("vi"),
+        F.element_at("__r", 3).isNull().alias("gap_is_null"),
+    )
+
+
+@query(
+    "benefit_parse_roundtrip",
+    doc="S9 kabuyutai benefit heuristics (kabuyutai-client.ts:36-84): "
+    "synthesize a benefit line per part — category keyword + yen "
+    "amount + local code in full-width parens (numeric old format and "
+    "letter new format, mixed case) — then extract value, category, "
+    "and 5-digit code with the expression parsers. Oracle derives the "
+    "expected values from the same arithmetic.",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN amt > 0 AND amt < 1000000 THEN amt END AS benefit_value,
+           CASE WHEN p_partkey % 3 = 0 THEN '金券'
+                WHEN p_partkey % 3 = 1 THEN '食品' ELSE 'その他' END AS category,
+           CASE WHEN p_partkey % 2 = 0
+                THEN lpad(CAST(p_partkey % 10000 AS VARCHAR), 4, '0') || '0'
+                ELSE lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0')
+                     || chr(65 + CAST(p_partkey % 26 AS INT)) || '0' END AS local_code
+    FROM (SELECT p_partkey, CAST(round(p_retailprice) AS BIGINT) * 100 AS amt FROM part)
+    """,
+)
+def benefit_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    amt = F.round("p_retailprice").cast("bigint") * 100
+    kw = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("クオカード "))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("お米詰め合わせ "))
+        .otherwise(F.lit("記念品 "))
+    )
+    # old format: 4-digit numeric; new format: 3 digits + letter,
+    # lower-cased on the wire to exercise the uppercase normalization
+    code = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.lpad((F.col("p_partkey") % 10000).cast("string"), 4, "0"),
+    ).otherwise(
+        F.concat(
+            F.lpad((F.col("p_partkey") % 1000).cast("string"), 3, "0"),
+            F.lower(F.expr("char(65 + pmod(p_partkey, 26))")),
+        )
+    )
+    content = F.concat(
+        kw,
+        F.format_number(amt, 0),
+        F.lit("円相当 （"),
+        code,
+        F.lit("）"),
+    )
+    out = p.select("p_partkey", content.alias("__c"))
+    return out.select(
+        "p_partkey",
+        estimate_benefit_value(F.col("__c")).alias("benefit_value"),
+        estimate_category(F.col("__c")).alias("category"),
+        extract_local_code(F.col("__c")).alias("local_code"),
+    )
