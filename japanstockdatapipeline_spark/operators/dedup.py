@@ -85,7 +85,13 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    # hash shingles to int64 BEFORE the shuffle: 8-byte keys instead of
+    # ~k*word-length strings cuts shuffle volume several-fold at scale;
+    # shared-shingle counts are preserved (distinct-per-doc shingling +
+    # 64-bit xxhash => collision probability ~n^2/2^65, negligible)
+    ex = sh.select(
+        "id", "n_sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
+    )
     # Join-free pair generation: group the (id, n_sh) posting list per
     # shingle, emit ordered pairs with nested array transforms. Evaluates
     # the (expensive) shingle expression once instead of twice as the two
