@@ -226,6 +226,243 @@ def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT user_id, value, value*1.01 AS high, value*0.99 AS low, value AS vol,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    lastbar AS (SELECT user_id, n, value AS close, vol FROM base WHERE rn = n),
+    aggs AS (
+      SELECT user_id,
+        avg(CASE WHEN n >= 25 AND rn > n - 25 THEN value END) AS sma_25,
+        avg(CASE WHEN n >= 75 AND rn > n - 75 THEN value END) AS sma_75,
+        avg(CASE WHEN n >= 200 AND rn > n - 200 THEN value END) AS sma_200,
+        avg(CASE WHEN n >= 20 AND rn > n - 20 THEN value END) AS bb_mid,
+        var_pop(CASE WHEN n >= 20 AND rn > n - 20 THEN value END) AS bb_var,
+        avg(CASE WHEN n >= 20 AND rn > n - 20 THEN vol END) AS vol_avg20
+      FROM base GROUP BY user_id
+    ),
+    obvc AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN rn > 1 THEN sign(value - pv) * vol END), 0) AS obv
+      FROM (SELECT user_id, rn, value, vol,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS pv FROM base)
+      GROUP BY user_id
+    ),
+    sser AS (
+      SELECT user_id, rn, n,
+        CASE WHEN rn >= 25 THEN avg(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) END AS s25,
+        CASE WHEN rn >= 75 THEN avg(value) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 74 PRECEDING AND CURRENT ROW) END AS s75
+      FROM base
+    ),
+    signs AS (
+      SELECT user_id, rn, n, sign(s25 - s75) AS sg FROM sser
+      WHERE s25 IS NOT NULL AND s75 IS NOT NULL AND s25 <> s75
+    ),
+    flips AS (
+      SELECT user_id, rn, n, sg,
+             lag(sg) OVER (PARTITION BY user_id ORDER BY rn) AS psg
+      FROM signs
+    ),
+    lastflip AS (
+      SELECT user_id, max(rn) AS frn FROM flips
+      WHERE psg IS NOT NULL AND sg <> psg GROUP BY user_id
+    ),
+    crossinfo AS (
+      SELECT f.user_id,
+             CASE WHEN f.sg > 0 THEN 'golden' ELSE 'dead' END AS cross_25_75,
+             CAST(f.n - f.rn AS BIGINT) AS cross_25_75_age
+      FROM flips f JOIN lastflip lf ON f.user_id = lf.user_id AND f.rn = lf.frn
+    ),
+    sto1 AS (
+      SELECT user_id, rn, n, value,
+        CASE WHEN rn >= 14 THEN max(high) OVER wst END AS hh,
+        CASE WHEN rn >= 14 THEN min(low) OVER wst END AS ll
+      FROM base
+      WINDOW wst AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    sto2 AS (
+      SELECT user_id, rn, n,
+        CASE WHEN hh IS NOT NULL AND hh <> ll
+             THEN 100.0*(value - ll)/(hh - ll) END AS raw_k
+      FROM sto1
+    ),
+    sto3 AS (
+      SELECT user_id, rn, n,
+        CASE WHEN rn >= 3 AND count(raw_k) OVER w3 = 3
+             THEN avg(raw_k) OVER w3 END AS k_s
+      FROM sto2
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ),
+    sto4 AS (
+      SELECT user_id, rn, n, k_s,
+        CASE WHEN rn >= 3 AND count(k_s) OVER w3b = 3
+             THEN avg(k_s) OVER w3b END AS d_s
+      FROM sto3
+      WINDOW w3b AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ),
+    stolast AS (
+      SELECT user_id, k_s AS stoch_k, d_s AS stoch_d FROM sto4
+      WHERE rn = n AND n >= 14
+    ),
+    ichrow AS (
+      SELECT user_id, rn, n,
+        CASE WHEN rn >= 9 THEN (max(high) OVER w9 + min(low) OVER w9)/2 END AS tenkan,
+        CASE WHEN rn >= 26 THEN (max(high) OVER w26 + min(low) OVER w26)/2 END AS kijun,
+        CASE WHEN rn >= 52 THEN (max(high) OVER w52 + min(low) OVER w52)/2 END AS senkou_b
+      FROM base
+      WINDOW w9 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w52 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    ),
+    ichstate AS (
+      SELECT i.user_id,
+        CASE WHEN i.tenkan IS NOT NULL AND i.kijun IS NOT NULL AND i.senkou_b IS NOT NULL THEN
+          CASE WHEN l.close > greatest((i.tenkan + i.kijun)/2.0, i.senkou_b) THEN 'above'
+               WHEN l.close < least((i.tenkan + i.kijun)/2.0, i.senkou_b) THEN 'below'
+               ELSE 'inside' END
+        END AS ichimoku_state
+      FROM ichrow i JOIN lastbar l USING (user_id)
+      WHERE i.rn = i.n - 26
+    ),
+    delta AS (
+      SELECT user_id, rn,
+             greatest(value - lag(value) OVER wdl, 0) AS g,
+             greatest(lag(value) OVER wdl - value, 0) AS l
+      FROM base WINDOW wdl AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    rseeds AS (
+      SELECT user_id, avg(g) AS ag, avg(l) AS al FROM delta
+      WHERE rn BETWEEN 2 AND 15 GROUP BY user_id HAVING count(*) = 14
+    ),
+    wilder AS (
+      SELECT d.user_id, d.rn, s.ag, s.al
+      FROM delta d JOIN rseeds s ON d.user_id = s.user_id WHERE d.rn = 15
+      UNION ALL
+      SELECT d.user_id, d.rn, (w.ag * 13 + d.g) / 14, (w.al * 13 + d.l) / 14
+      FROM delta d JOIN wilder w ON d.user_id = w.user_id AND d.rn = w.rn + 1
+    ),
+    rsilast AS (
+      SELECT l.user_id,
+        CASE WHEN w.al = 0 AND w.ag = 0 THEN 50.0 WHEN w.al = 0 THEN 100.0
+             ELSE 100.0 - 100.0/(1.0 + w.ag/w.al) END AS rsi_14
+      FROM lastbar l JOIN wilder w ON w.user_id = l.user_id AND w.rn = l.n
+    ),
+    s12 AS (
+      SELECT user_id, avg(value) AS seed FROM base WHERE rn <= 12
+      GROUP BY user_id HAVING count(*) = 12
+    ),
+    e12 AS (
+      SELECT b.user_id, b.rn, s.seed AS v FROM base b JOIN s12 s USING (user_id) WHERE b.rn = 12
+      UNION ALL
+      SELECT b.user_id, b.rn, b.value * (2.0/13.0) + e.v * (1 - 2.0/13.0)
+      FROM base b JOIN e12 e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    ),
+    s26 AS (
+      SELECT user_id, avg(value) AS seed FROM base WHERE rn <= 26
+      GROUP BY user_id HAVING count(*) = 26
+    ),
+    e26 AS (
+      SELECT b.user_id, b.rn, s.seed AS v FROM base b JOIN s26 s USING (user_id) WHERE b.rn = 26
+      UNION ALL
+      SELECT b.user_id, b.rn, b.value * (2.0/27.0) + e.v * (1 - 2.0/27.0)
+      FROM base b JOIN e26 e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    ),
+    macd AS (
+      SELECT a.user_id, a.rn, a.v - c.v AS macd
+      FROM e12 a JOIN e26 c ON a.user_id = c.user_id AND a.rn = c.rn
+    ),
+    sseed AS (
+      SELECT user_id, avg(macd) AS seed FROM macd WHERE rn BETWEEN 26 AND 34
+      GROUP BY user_id HAVING count(*) = 9
+    ),
+    sig AS (
+      SELECT m.user_id, m.rn, s.seed AS v FROM macd m JOIN sseed s USING (user_id) WHERE m.rn = 34
+      UNION ALL
+      SELECT m.user_id, m.rn, m.macd * (2.0/10.0) + g.v * (1 - 2.0/10.0)
+      FROM macd m JOIN sig g ON m.user_id = g.user_id AND m.rn = g.rn + 1
+    ),
+    macdlast AS (
+      SELECT l.user_id, m.macd, g.v AS macd_signal
+      FROM lastbar l
+      LEFT JOIN macd m ON m.user_id = l.user_id AND m.rn = l.n
+      LEFT JOIN sig g ON g.user_id = l.user_id AND g.rn = l.n
+    ),
+    tr AS (
+      SELECT user_id, rn,
+             CASE WHEN rn = 1 THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(value) OVER wtr),
+                                abs(low - lag(value) OVER wtr)) END AS tr
+      FROM base WINDOW wtr AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    aseeds AS (
+      SELECT user_id, avg(tr) AS seed FROM tr WHERE rn BETWEEN 2 AND 15
+      GROUP BY user_id HAVING count(*) = 14
+    ),
+    atr AS (
+      SELECT t.user_id, t.rn, s.seed AS atr
+      FROM tr t JOIN aseeds s ON t.user_id = s.user_id WHERE t.rn = 15
+      UNION ALL
+      SELECT t.user_id, t.rn, (a.atr * 13 + t.tr) / 14
+      FROM tr t JOIN atr a ON t.user_id = a.user_id AND t.rn = a.rn + 1
+    ),
+    atrlast AS (
+      SELECT l.user_id, a.atr AS atr_14
+      FROM lastbar l JOIN atr a ON a.user_id = l.user_id AND a.rn = l.n
+    )
+    SELECT l.user_id AS key,
+      CAST(l.n AS BIGINT) AS n_bars,
+      round(l.close, 6) AS close,
+      round(a.sma_25, 6) AS sma_25,
+      round(a.sma_75, 6) AS sma_75,
+      round(a.sma_200, 6) AS sma_200,
+      round(CASE WHEN a.sma_25 IS NOT NULL AND a.sma_25 <> 0
+            THEN (l.close - a.sma_25)/a.sma_25*100 END, 6) AS dev_25,
+      round(CASE WHEN a.sma_75 IS NOT NULL AND a.sma_75 <> 0
+            THEN (l.close - a.sma_75)/a.sma_75*100 END, 6) AS dev_75,
+      round(CASE WHEN a.sma_200 IS NOT NULL AND a.sma_200 <> 0
+            THEN (l.close - a.sma_200)/a.sma_200*100 END, 6) AS dev_200,
+      CASE WHEN a.sma_200 IS NOT NULL THEN l.close > a.sma_200 END AS above_sma200,
+      c.cross_25_75,
+      c.cross_25_75_age,
+      round(r.rsi_14, 6) AS rsi_14,
+      round(m.macd, 6) AS macd,
+      round(m.macd_signal, 6) AS macd_signal,
+      round(m.macd - m.macd_signal, 6) AS macd_hist,
+      round(s.stoch_k, 6) AS stoch_k,
+      round(s.stoch_d, 6) AS stoch_d,
+      round(CASE WHEN a.bb_mid IS NOT NULL AND sqrt(a.bb_var) <> 0
+            THEN (l.close - (a.bb_mid - 2*sqrt(a.bb_var))) / (4*sqrt(a.bb_var)) END,
+            6) AS bb_percent_b,
+      round(CASE WHEN a.bb_mid IS NOT NULL AND a.bb_mid <> 0
+            THEN 4*sqrt(a.bb_var)/a.bb_mid END, 6) AS bb_bandwidth,
+      round(t.atr_14, 6) AS atr_14,
+      round(CASE WHEN t.atr_14 IS NOT NULL AND l.close <> 0
+            THEN t.atr_14/l.close*100 END, 6) AS atr_pct,
+      round(CASE WHEN a.vol_avg20 IS NOT NULL AND a.vol_avg20 <> 0
+            THEN l.vol / a.vol_avg20 END, 6) AS vol_ratio_20,
+      i.ichimoku_state,
+      round(o.obv, 6) AS obv
+    FROM lastbar l
+    LEFT JOIN aggs a USING (user_id)
+    LEFT JOIN crossinfo c USING (user_id)
+    LEFT JOIN rsilast r USING (user_id)
+    LEFT JOIN macdlast m USING (user_id)
+    LEFT JOIN stolast s USING (user_id)
+    LEFT JOIN ichstate i USING (user_id)
+    LEFT JOIN obvc o USING (user_id)
+    LEFT JOIN atrlast t USING (user_id)
+    """
+
+
 @query(
     "user_technical_snapshot",
     bench=True,
@@ -236,8 +473,13 @@ def user_value_smoothers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vol_ratio_20, ichimoku cloud state at n-1-26) pinned by the "
     "golden-vector acceptance test. OHLCV synthesized from the value "
     "series (±1%% band, volume=value — events carry no OHLC). "
-    "mapInPandas; recursive parts make it non-SQL-expressible: "
-    "rows-only check here, golden test carries the numeric parity.",
+    "mapInPandas on the Spark side; the oracle replays the whole "
+    "field set in SQL — windows for SMA/stoch/Bollinger/ichimoku/"
+    "cross, RECURSIVE CTEs for the Wilder/EMA recurrences — so even "
+    "the grouped-map operator is value-checked, not rows-only. "
+    "Registered output rounds to 6 dp (NaN->NULL); the golden test "
+    "pins the raw unrounded kernel.",
+    oracle=_SNAPSHOT_ORACLE,
 )
 def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.snapshot import technical_snapshot_ohlcv
@@ -251,7 +493,19 @@ def user_technical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("c"),
         F.col("value").alias("v"),
     )
-    return technical_snapshot_ohlcv(ev, "user_id", "ts_us", "o", "h", "l", "c", "v")
+    out = technical_snapshot_ohlcv(ev, "user_id", "ts_us", "o", "h", "l", "c", "v")
+    dbl = [
+        "close", "sma_25", "sma_75", "sma_200", "dev_25", "dev_75", "dev_200",
+        "rsi_14", "macd", "macd_signal", "macd_hist", "stoch_k", "stoch_d",
+        "bb_percent_b", "bb_bandwidth", "atr_14", "atr_pct", "vol_ratio_20", "obv",
+    ]
+    cols = []
+    for c in out.columns:
+        if c in dbl:
+            cols.append(F.round(F.when(~F.isnan(c), F.col(c)), 6).alias(c))
+        else:
+            cols.append(F.col(c))
+    return out.select(*cols)
 
 
 @member(
