@@ -1,0 +1,209 @@
+"""Ingestion-side control utilities (S1-S4): the pure logic halves of
+the reference's HTTP machinery, with injectable clock/sleep/rng so
+they are deterministic under test.
+
+Reference parity:
+  - TokenBucket: jquants/rate-limiter.ts:26-108 — token-bucket with
+    per-minute refill AND a minimum inter-request interval; capacity
+    = requests_per_minute; fractional refill.
+  - backoff_delay / with_retry: utils/retry.ts:56-140 — exponential
+    backoff base*2^attempt capped at max_delay plus uniform jitter;
+    NonRetryableError fails immediately; the last attempt re-raises.
+  - classify_status: utils/retry.ts fetchWithRetry — 429/5xx retry
+    by default.
+  - paginate: equity-master.ts:478-502 — ORDER-BY-stable
+    offset/limit paging, stop on short (or empty) page, hard page
+    cap as a safety valve (kabuyutai-client.ts MAX_PAGES).
+
+In a Spark deployment these guard the DRIVER-side edge of ingestion:
+a foreachBatch sink calling an external API, or the seed scripts
+that land raw payload parquet for `plans/scrape.py` to parse at scan
+speed. They are deliberately plain Python — no Spark dependency —
+because rate limiting belongs at the single choke point, not on
+executors.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from typing import Any, Optional
+
+__all__ = [
+    "TokenBucket",
+    "RetryableError",
+    "NonRetryableError",
+    "backoff_delay",
+    "classify_status",
+    "with_retry",
+    "paginate",
+]
+
+
+class TokenBucket:
+    """Token-bucket rate limiter with a minimum inter-request interval.
+
+    `clock` returns milliseconds; `sleep` takes milliseconds. Inject
+    fakes for deterministic tests (the reference uses wall time).
+    """
+
+    def __init__(
+        self,
+        requests_per_minute: int = 60,
+        min_interval_ms: int = 1000,
+        *,
+        clock: Callable[[], float] = lambda: time.monotonic() * 1000.0,
+        sleep: Callable[[float], None] = lambda ms: time.sleep(ms / 1000.0),
+    ):
+        self.requests_per_minute = requests_per_minute
+        self.min_interval_ms = min_interval_ms
+        self.bucket_capacity = float(requests_per_minute)
+        self._clock = clock
+        self._sleep = sleep
+        self.tokens = self.bucket_capacity
+        self.last_refill_time = clock()
+        # -inf, not 0: with an injectable clock starting at 0, a zero
+        # sentinel would make the FIRST request wait out min_interval
+        # (the reference's 0 only works because Date.now() is epoch ms)
+        self.last_request_time = float("-inf")
+
+    def _refill(self) -> None:
+        now = self._clock()
+        elapsed_ms = now - self.last_refill_time
+        self.tokens = min(
+            self.bucket_capacity,
+            self.tokens + (elapsed_ms / 60000.0) * self.requests_per_minute,
+        )
+        self.last_refill_time = now
+
+    def wait_time_ms(self) -> float:
+        """Delay before the next request may fire (0 = go now)."""
+        self._refill()
+        if self.tokens >= 1:
+            since_last = self._clock() - self.last_request_time
+            if since_last < self.min_interval_ms:
+                return self.min_interval_ms - since_last
+            return 0.0
+        ms_per_token = 60000.0 / self.requests_per_minute
+        return (1.0 - self.tokens) * ms_per_token
+
+    def acquire(self) -> None:
+        """Block (via the injected sleep) until a token is available,
+        then consume it."""
+        wait = self.wait_time_ms()
+        if wait > 0:
+            self._sleep(wait)
+            self._refill()
+        self.tokens -= 1
+        self.last_request_time = self._clock()
+
+    @property
+    def available_tokens(self) -> int:
+        self._refill()
+        return int(self.tokens)
+
+    def reset(self) -> None:
+        self.tokens = self.bucket_capacity
+        self.last_refill_time = self._clock()
+        self.last_request_time = float("-inf")
+
+
+class RetryableError(Exception):
+    def __init__(self, message: str, status_code: Optional[int] = None):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+class NonRetryableError(Exception):
+    def __init__(self, message: str, status_code: Optional[int] = None):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+DEFAULT_RETRY_STATUS_CODES = (429, 500, 502, 503, 504)
+
+
+def classify_status(
+    status: int, retry_status_codes: tuple[int, ...] = DEFAULT_RETRY_STATUS_CODES
+) -> type[Exception] | None:
+    """None for success (2xx), RetryableError for transient statuses,
+    NonRetryableError otherwise (e.g. 403 — the reference notes 403 is
+    NOT retried, nikkei225jp-client.ts:244-250)."""
+    if 200 <= status < 300:
+        return None
+    return RetryableError if status in retry_status_codes else NonRetryableError
+
+
+def backoff_delay(
+    attempt: int,
+    *,
+    base_delay_ms: float = 500.0,
+    max_delay_ms: float = 32000.0,
+    jitter_ms: float = 100.0,
+    rng: Callable[[], float] = None,
+) -> float:
+    """base * 2^attempt, capped at max_delay, plus uniform jitter in
+    [0, jitter_ms). `rng` returns a float in [0, 1)."""
+    import random
+
+    r = rng if rng is not None else random.random
+    capped = min(base_delay_ms * (2.0**attempt), max_delay_ms)
+    return capped + r() * jitter_ms
+
+
+def with_retry(
+    fn: Callable[[], Any],
+    *,
+    max_retries: int = 5,
+    base_delay_ms: float = 500.0,
+    max_delay_ms: float = 32000.0,
+    jitter_ms: float = 100.0,
+    on_retry: Optional[Callable[[int, Exception, float], None]] = None,
+    sleep: Callable[[float], None] = lambda ms: time.sleep(ms / 1000.0),
+    rng: Callable[[], float] = None,
+) -> Any:
+    """Run `fn` with exponential-backoff retries. NonRetryableError
+    propagates immediately; the final failure re-raises the last
+    error; `on_retry(attempt, error, delay_ms)` observes each retry."""
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except NonRetryableError:
+            raise
+        except Exception as e:  # noqa: BLE001 — reference retries any other error
+            last = e
+            if attempt == max_retries:
+                raise
+            delay = backoff_delay(
+                attempt,
+                base_delay_ms=base_delay_ms,
+                max_delay_ms=max_delay_ms,
+                jitter_ms=jitter_ms,
+                rng=rng,
+            )
+            if on_retry is not None:
+                on_retry(attempt + 1, e, delay)
+            sleep(delay)
+    raise last  # unreachable
+
+
+def paginate(
+    fetch_page: Callable[[int, int], list],
+    *,
+    page_size: int = 1000,
+    max_pages: int = 1000,
+) -> Iterator[Any]:
+    """Offset/limit pager: yield rows from fetch_page(offset, limit)
+    until a short or empty page, with a hard page cap as a safety
+    valve. The caller's query must be ORDER-BY-stable (the reference
+    documents Postgres repeating rows across unordered pages)."""
+    offset = 0
+    for _ in range(max_pages):
+        page = fetch_page(offset, page_size)
+        if not page:
+            return
+        yield from page
+        if len(page) < page_size:
+            return
+        offset += page_size
