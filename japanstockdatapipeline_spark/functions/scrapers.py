@@ -37,7 +37,73 @@ __all__ = [
     "estimate_category",
     "extract_local_code",
     "NIKKEI_RANGE_CHECKS",
+    "YAHOO_CHART_SCHEMA",
+    "parse_yahoo_chart",
 ]
+
+# yahoo-chart-client.ts:60-76 response shape (only the fields read)
+YAHOO_CHART_SCHEMA = (
+    "struct<chart: struct<result: array<struct<"
+    "timestamp: array<bigint>, "
+    "indicators: struct<quote: array<struct<"
+    "close: array<double>, open: array<double>, "
+    "high: array<double>, low: array<double>>>>>>>>"
+)
+
+
+def parse_yahoo_chart(df, payload_col: str):
+    """Yahoo chart JSON payload -> daily bars, as a set-oriented plan
+    (yahoo-chart-client.ts:93-126 parseYahooChart):
+
+    - zip timestamp[] with quote.close/open/high/low[]
+    - drop rows whose close is null/NaN (reference behavior); open/
+      high/low keep their independent null holes
+    - values rounded to 2 dp; epoch seconds -> JST calendar date
+    - same JST date appearing twice -> LAST wins (intraday snapshot
+      mixed into the daily series), then date order
+
+    Input: a DataFrame with a JSON string column `payload_col` (plus
+    any passthrough columns); output: passthrough + (bar_date,
+    bar_close, bar_open, bar_high, bar_low), one row per surviving
+    bar. A malformed payload yields zero rows for that input (the
+    reference throws; a lake scan drops and the caller audits counts).
+    """
+    r = F.from_json(F.col(payload_col), YAHOO_CHART_SCHEMA)["chart"]["result"][0]
+    q = r["indicators"]["quote"][0]
+    zipped = F.arrays_zip(
+        r["timestamp"].alias("ts"),
+        q["close"].alias("close"),
+        q["open"].alias("open"),
+        q["high"].alias("high"),
+        q["low"].alias("low"),
+    )
+    passthrough = [c for c in df.columns if c != payload_col]
+    ex = df.select(*passthrough, F.posexplode(zipped).alias("__pos", "__bar"))
+
+    def pick(field):  # pickAt: null/NaN -> null, else round 2
+        v = ex["__bar"][field]
+        return F.when(v.isNotNull() & ~F.isnan(v), F.round(v, 2))
+
+    bars = ex.select(
+        *passthrough,
+        "__pos",
+        F.date_format(
+            F.from_utc_timestamp(F.timestamp_seconds(ex["__bar"]["ts"]), "Asia/Tokyo"),
+            "yyyy-MM-dd",
+        ).alias("bar_date"),
+        pick("close").alias("bar_close"),
+        pick("open").alias("bar_open"),
+        pick("high").alias("bar_high"),
+        pick("low").alias("bar_low"),
+    ).filter(F.col("bar_close").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*passthrough, "bar_date").orderBy(F.col("__pos").desc())
+    return (
+        bars.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__pos", "__rn")
+    )
 
 # nikkei225jp-client.ts:62-70 (deliberately loose; stress regimes kept)
 NIKKEI_RANGE_CHECKS: dict[str, tuple[float, float]] = {

@@ -231,10 +231,16 @@ register_panel(
 register_panel(
     "calendar_panel",
     ("order_date",),
-    ("distinct_order_dates", "order_calendar_math", "era_date_roundtrip"),
-    doc="Per-date calendar panel (U3, F1-F3, F9/S7): distinct dates, "
-    "JST/business-day/fiscal math, and era-date round-trip joined on "
-    "order_date.",
+    (
+        "distinct_order_dates",
+        "order_calendar_math",
+        "era_date_roundtrip",
+        "yahoo_chart_roundtrip",
+    ),
+    doc="Per-date calendar panel (U3, F1-F3, F9/S7, S8): distinct "
+    "dates, JST/business-day/fiscal math, era-date round-trip, and "
+    "the Yahoo-chart parse round-trip joined on order_date (bars with "
+    "an injected null close are absent -> NULL yc_* columns).",
 )
 
 register_panel(

@@ -26,7 +26,7 @@ from ..functions.scrapers import (
     js_var_array_to_json,
 )
 from ..sources import load_table
-from .registry import query
+from .registry import member, query
 
 
 @query(
@@ -129,4 +129,97 @@ def benefit_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimate_benefit_value(F.col("__c")).alias("benefit_value"),
         estimate_category(F.col("__c")).alias("category"),
         extract_local_code(F.col("__c")).alias("local_code"),
+    )
+
+
+@member(
+    "yahoo_chart_roundtrip",
+    doc="S8 Yahoo chart parse (yahoo-chart-client.ts:93-126): build a "
+    "chart-API JSON payload per order-year in-engine (timestamps at "
+    "JST midnight, close = daily avg price with injected null holes, "
+    "open with independent holes), then parse it back with "
+    "parse_yahoo_chart — zip/explode, drop null-close rows, 2 dp "
+    "rounding, JST dates, last-wins dedup. Oracle computes the "
+    "expected bars directly from orders.",
+    oracle="""
+    -- 2 dp via floor(x*100+0.5)/100 on BOTH sides: engine round()
+    -- semantics differ at representation half-way points, identical
+    -- IEEE floor arithmetic does not
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             floor(avg(o_totalprice) * 100 + 0.5) / 100 AS c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_date,
+           c AS yc_close,
+           CASE WHEN day(d) % 7 <> 0
+                THEN floor(c * 0.99 * 100 + 0.5) / 100 END AS yc_open,
+           floor(c * 1.01 * 100 + 0.5) / 100 AS yc_high,
+           floor(c * 0.98 * 100 + 0.5) / 100 AS yc_low
+    FROM daily
+    WHERE day(d) % 29 <> 0
+    """,
+)
+def yahoo_chart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scrapers import parse_yahoo_chart
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.floor(F.avg("o_totalprice") * 100 + F.lit(0.5)) / 100.0).alias("c")
+    )
+    # JST-midnight epoch seconds for date d: days*86400 - 9h
+    ts = (
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("bigint") * 86400 - 32400
+    )
+    feat = daily.select(
+        F.year("d").alias("yr"),
+        F.struct(
+            ts.alias("ts"),
+            # day%29==0 -> null close: the whole bar must be dropped
+            F.when(F.dayofmonth("d") % 29 != 0, F.col("c")).alias("close"),
+            # day%7==0 -> null open: hole preserved independently
+            F.when(
+                F.dayofmonth("d") % 7 != 0,
+                F.floor(F.col("c") * 0.99 * 100 + F.lit(0.5)) / 100.0,
+            ).alias("open"),
+            (F.floor(F.col("c") * 1.01 * 100 + F.lit(0.5)) / 100.0).alias("high"),
+            (F.floor(F.col("c") * 0.98 * 100 + F.lit(0.5)) / 100.0).alias("low"),
+        ).alias("bar"),
+    )
+    payload = (
+        feat.groupBy("yr")
+        .agg(F.sort_array(F.collect_list("bar")).alias("rows"))
+        .select(
+            "yr",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.transform("rows", lambda r: r["ts"]).alias("timestamp"),
+                                F.struct(
+                                    F.array(
+                                        F.struct(
+                                            F.transform("rows", lambda r: r["close"]).alias("close"),
+                                            F.transform("rows", lambda r: r["open"]).alias("open"),
+                                            F.transform("rows", lambda r: r["high"]).alias("high"),
+                                            F.transform("rows", lambda r: r["low"]).alias("low"),
+                                        )
+                                    ).alias("quote")
+                                ).alias("indicators"),
+                            )
+                        ).alias("result")
+                    ).alias("chart")
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("payload"),
+        )
+    )
+    bars = parse_yahoo_chart(payload, "payload")
+    return bars.select(
+        F.col("bar_date").alias("order_date"),
+        F.col("bar_close").alias("yc_close"),
+        F.col("bar_open").alias("yc_open"),
+        F.col("bar_high").alias("yc_high"),
+        F.col("bar_low").alias("yc_low"),
     )

@@ -99,3 +99,45 @@ def test_extract_local_code_vectors(spark):
     }
     for text, expected in cases.items():
         assert _one(spark, extract_local_code(F.col("x")), text) == expected
+
+
+def test_parse_yahoo_chart_null_close_and_last_wins(spark):
+    import json as _json
+
+    from japanstockdatapipeline_spark.functions.scrapers import parse_yahoo_chart
+
+    # JST midnights for 2026-07-06 and -07; the third entry repeats
+    # 07-06 (intraday snapshot) -> LAST occurrence wins
+    t1, t2 = 1783263600, 1783350000
+    payload = _json.dumps(
+        {
+            "chart": {
+                "result": [
+                    {
+                        "timestamp": [t1, t2, t1 + 3600],
+                        "indicators": {
+                            "quote": [
+                                {
+                                    "close": [100.125, None, 101.5],
+                                    "open": [99.0, 98.0, None],
+                                    "high": [102.0, 103.0, 104.0],
+                                    "low": [97.0, 96.0, 95.0],
+                                }
+                            ]
+                        },
+                    }
+                ]
+            }
+        }
+    )
+    df = spark.createDataFrame([(1, payload)], ["src", "payload"])
+    rows = {r["bar_date"]: r for r in parse_yahoo_chart(df, "payload").collect()}
+    # t2's bar dropped entirely (null close); t1 appears once, last wins
+    assert set(rows) == {"2026-07-06"}
+    r = rows["2026-07-06"]
+    assert r["bar_close"] == 101.5 and r["bar_open"] is None
+    assert r["bar_high"] == 104.0 and r["bar_low"] == 95.0
+    # rounding to 2 dp (reference toFixed(2)): first bar would have been 100.13
+    # malformed payload -> zero rows, not an exception
+    bad = spark.createDataFrame([(1, "<html>404</html>")], ["src", "payload"])
+    assert parse_yahoo_chart(bad, "payload").count() == 0
