@@ -264,6 +264,22 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     return hashed.select(id_col, sim.alias("simhash"))
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize df and cut its lineage between loop rounds.
+
+    Uses a RELIABLE checkpoint (HDFS/object store) when the session
+    has a checkpoint dir configured — on a real cluster an executor
+    loss mid-loop then recovers from storage instead of recomputing a
+    k-round lineage that no longer exists. Falls back to
+    localCheckpoint() (executor-local blocks, no dir needed) on the
+    test rig, where the single JVM cannot lose an executor.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():  # noqa: SLF001
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: each doc labeled with
     the min doc_id reachable through the dup graph (the cluster's
@@ -274,20 +290,21 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     rounds, bounded by max_iter). Each round is two shuffles; the
     pair set after thresholding is tiny relative to the corpus, so
     at 100 TB this loop runs on the pruned pair list, not the data.
+    Set `spark.sparkContext.setCheckpointDir(...)` on a cluster to
+    make the per-round materialization executor-loss-safe (see
+    _truncate_lineage).
     """
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
         # materialized once: every round joins against it, and the loop
         # must not re-derive it from the (expensive) pair plan each time
-        .localCheckpoint()
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate labels: my own + the min label among my neighbors
@@ -297,7 +314,7 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             .agg(F.min("cluster").alias("nmin"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -308,7 +325,6 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
             # truncate lineage each round: without this, round k re-executes
             # the joins of rounds 1..k-1 (the `changed` count below is an
             # action per round) and the plan grows without bound
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

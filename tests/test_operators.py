@@ -213,3 +213,24 @@ def test_scd2_apply_delist_relist_roundtrip(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > "d2"))
     )
     assert {(r["code"], r["name"]) for r in asof.collect()} == {("A", "x2"), ("C", "z")}
+
+
+def test_dup_clusters_reliable_checkpoint_branch(spark, tmp_path):
+    """With a checkpoint dir configured, the label-propagation loop
+    uses reliable checkpoints (executor-loss-safe on a cluster) and
+    produces identical clusters."""
+    from japanstockdatapipeline_spark.operators.dedup import dup_clusters
+
+    sc = spark.sparkContext
+    had = sc._jsc.sc().getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+        got = {(r["id"], r["cluster"]) for r in dup_clusters(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    finally:
+        if had.isDefined():
+            sc.setCheckpointDir(had.get())
+        else:
+            # clear it so later tests keep the localCheckpoint fast path
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
