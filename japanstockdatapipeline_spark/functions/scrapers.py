@@ -39,7 +39,45 @@ __all__ = [
     "NIKKEI_RANGE_CHECKS",
     "YAHOO_CHART_SCHEMA",
     "parse_yahoo_chart",
+    "ESTAT_MISSING_VALUES",
+    "estat_clean_value",
+    "estat_time_code_to_date",
 ]
+
+# estat/client.ts:20 — e-Stat missing-value markers
+ESTAT_MISSING_VALUES = ("-", "...", "***", "x", "X", "")
+
+
+def estat_clean_value(raw: Column) -> Column:
+    """e-Stat observation value: missing markers and non-numeric
+    strings -> NULL, else double (estat/client.ts:200-216)."""
+    v = F.when(~raw.isin(*ESTAT_MISSING_VALUES), raw)
+    return v.try_cast("double")
+
+
+def estat_time_code_to_date(code: Column) -> Column:
+    """e-Stat time code -> month-end date string (YYYY-MM-DD), the
+    reference's parseTimeCode (estat/client.ts:316-358):
+
+    - 10 digits ``YYYYaabbcc``: month is digits 7-8 if in 1..12,
+      else digits 5-6 (position varies by statistic)
+    - 6 digits ``YYYYMM``
+    - anything else (or month out of range) -> NULL
+    """
+    ten = code.rlike("^[0-9]{10}$")
+    six = code.rlike("^[0-9]{6}$")
+    y = F.substring(code, 1, 4).cast("int")
+    g2 = F.substring(code, 5, 2).cast("int")
+    g3 = F.substring(code, 7, 2).cast("int")
+
+    def valid(m):
+        return F.when((m >= 1) & (m <= 12), m)
+
+    month = F.when(ten, F.coalesce(valid(g3), valid(g2))).when(six, valid(g2))
+    return F.when(
+        month.isNotNull(),
+        F.date_format(F.last_day(F.make_date(y, month, F.lit(1))), "yyyy-MM-dd"),
+    )
 
 # yahoo-chart-client.ts:60-76 response shape (only the fields read)
 YAHOO_CHART_SCHEMA = (

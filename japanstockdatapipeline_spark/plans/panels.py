@@ -236,8 +236,9 @@ register_panel(
         "order_calendar_math",
         "era_date_roundtrip",
         "yahoo_chart_roundtrip",
+        "estat_obs_roundtrip",
     ),
-    doc="Per-date calendar panel (U3, F1-F3, F9/S7, S8): distinct "
+    doc="Per-date calendar panel (U3, F1-F3, F9/S7, S8, S6): distinct "
     "dates, JST/business-day/fiscal math, era-date round-trip, and "
     "the Yahoo-chart parse round-trip joined on order_date (bars with "
     "an injected null close are absent -> NULL yc_* columns).",

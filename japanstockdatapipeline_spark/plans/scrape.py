@@ -223,3 +223,51 @@ def yahoo_chart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bar_high").alias("yc_high"),
         F.col("bar_low").alias("yc_low"),
     )
+
+
+@member(
+    "estat_obs_roundtrip",
+    doc="S6 e-Stat observation parse (estat/client.ts:190-358): per "
+    "order date, synthesize a raw observation — a time code in one of "
+    "the reference's positional formats (YYYY00MM00 / YYYYMM) and a "
+    "value string with missing-markers mixed in — then parse back "
+    "with estat_clean_value + estat_time_code_to_date (missing/non-"
+    "numeric -> NULL, time code -> month-end date). Oracle computes "
+    "the expected values directly.",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(avg(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_date,
+           CASE WHEN day(d) % 11 = 0 OR day(d) % 13 = 0 THEN NULL
+                ELSE cents / 100.0 END AS es_value,
+           strftime(last_day(d), '%Y-%m-%d') AS es_month_end
+    FROM daily
+    """,
+)
+def estat_obs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scrapers import estat_clean_value, estat_time_code_to_date
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.floor(F.avg("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents")
+    )
+    # wire format: positional time code + raw value string with the
+    # reference's missing markers sprinkled in
+    code = F.when(
+        F.dayofmonth("d") % 2 == 0,
+        F.concat(F.date_format("d", "yyyy"), F.lit("00"), F.date_format("d", "MM"), F.lit("00")),
+    ).otherwise(F.date_format("d", "yyyyMM"))
+    raw = (
+        F.when(F.dayofmonth("d") % 11 == 0, F.lit("-"))
+        .when(F.dayofmonth("d") % 13 == 0, F.lit("x"))
+        .otherwise(F.col("cents").cast("string"))
+    )
+    wire = daily.select("d", code.alias("time_code"), raw.alias("raw_value"))
+    return wire.select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        (estat_clean_value(F.col("raw_value")) / 100.0).alias("es_value"),
+        estat_time_code_to_date(F.col("time_code")).alias("es_month_end"),
+    )

@@ -141,3 +141,36 @@ def test_parse_yahoo_chart_null_close_and_last_wins(spark):
     # malformed payload -> zero rows, not an exception
     bad = spark.createDataFrame([(1, "<html>404</html>")], ["src", "payload"])
     assert parse_yahoo_chart(bad, "payload").count() == 0
+
+
+def test_estat_clean_value_vectors(spark):
+    from japanstockdatapipeline_spark.functions.scrapers import estat_clean_value
+
+    cases = {
+        "123.45": 123.45,
+        "-5": -5.0,
+        "-": None,       # missing markers (estat/client.ts:20)
+        "...": None,
+        "***": None,
+        "x": None,
+        "X": None,
+        "": None,
+        "abc": None,     # non-numeric -> skipped
+    }
+    for raw, expected in cases.items():
+        assert _one(spark, estat_clean_value(F.col("x")), raw) == expected
+
+
+def test_estat_time_code_vectors(spark):
+    from japanstockdatapipeline_spark.functions.scrapers import estat_time_code_to_date
+
+    cases = {
+        "2024001200": "2024-12-31",  # YYYY00MM00: month at digits 7-8
+        "2024120000": "2024-12-31",  # month at digits 5-6 fallback
+        "2024000101": "2024-01-31",  # digits 7-8 valid -> wins
+        "202402": "2024-02-29",      # YYYYMM, leap-year month end
+        "2024991399": None,          # no position yields a valid month
+        "notacode": None,
+    }
+    for code, expected in cases.items():
+        assert _one(spark, estat_time_code_to_date(F.col("x")), code) == expected
