@@ -107,3 +107,24 @@ def test_partition_pruning_on_gold_tables(spark, sf_dir, tmp_path):
     # and the filter actually prunes: only matching rows come back
     days = {r["day"] for r in df.select("day").distinct().collect()}
     assert days <= {19723}
+
+
+def test_explain_audit_checks_hold(spark):
+    """The full physical-plan audit (tools/explain_audit.py CHECKS)
+    must hold at sf0.001 — pushdown, broadcast-vs-SMJ choices,
+    join-free as-of, no BNLJ in the LSH-blocked paths."""
+    import re
+
+    from tools.explain_audit import CHECKS, plan_of
+
+    from japanstockdatapipeline_spark.plans import all_members, all_queries
+
+    qs = {**all_queries(), **all_members()}
+    failures = []
+    for name, rules in CHECKS.items():
+        plan = plan_of(qs[name].fn(spark, "/root/testdata/sf0.001"))
+        for pattern, expected, why in rules:
+            found = re.search(pattern, plan, re.IGNORECASE | re.DOTALL) is not None
+            if found != expected:
+                failures.append(f"{name}: {'missing' if expected else 'unexpected'} /{pattern}/ ({why})")
+    assert not failures, "\n".join(failures)
