@@ -70,3 +70,57 @@ def test_waterfill_invariants_numpy(ws, cap):
     order = np.argsort(-w)
     fo = f[order]
     assert np.all(np.diff(fo) <= 1e-12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.sampled_from(["x", "y", "z"]),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_apply_matches_reference_simulation(spark, snapshots):
+    """Applying any snapshot sequence matches the reference's
+    row-at-a-time map simulation (equity-master.ts:469-530), and the
+    partial-unique invariant (00010: one is_current per code) holds."""
+    from japanstockdatapipeline_spark.operators.scd2 import scd2_apply
+
+    master = spark.createDataFrame(
+        [], "code string, name string, valid_from string, valid_to string, is_current boolean"
+    )
+    # reference simulation: history list + current map
+    hist, cur = [], {}
+    for i, snap in enumerate(snapshots):
+        eff = f"d{i}"
+        snap_df = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [], "code string, name string"
+        )
+        master = scd2_apply(master, snap_df, ["code"], ["name"], eff)
+        for code, rec in list(cur.items()):
+            if code not in snap:  # delist
+                hist.append((code, rec[0], rec[1], eff, False))
+                del cur[code]
+            elif snap[code] != rec[0]:  # change: close + reopen
+                hist.append((code, rec[0], rec[1], eff, False))
+                cur[code] = (snap[code], eff)
+        for code, name in snap.items():
+            if code not in cur:  # new or relisting
+                cur[code] = (name, eff)
+    expected = set(hist) | {
+        (code, name, vfrom, None, True) for code, (name, vfrom) in cur.items()
+    }
+    got = {
+        (r["code"], r["name"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in master.collect()
+    }
+    assert got == expected
+    by_code = {}
+    for code, _, _, _, is_cur in got:
+        by_code[code] = by_code.get(code, 0) + (1 if is_cur else 0)
+    assert all(v <= 1 for v in by_code.values())
