@@ -20,6 +20,8 @@ __all__ = [
     "dedup_stream",
     "session_window_counts",
     "stateful_user_breadth",
+    "enrich_with_master_current",
+    "enrich_with_master_pit",
     "run_to_parquet",
 ]
 
@@ -204,3 +206,54 @@ def run_foreach_batch_upsert(
     )
     q.awaitTermination()
     return audits
+
+
+def enrich_with_master_current(
+    stream: DataFrame, master: DataFrame, keys: list[str], attrs: list[str]
+) -> DataFrame:
+    """Stream-static enrichment against the SCD2 master's CURRENT rows
+    (the reference reads `is_current = true` for live lookups,
+    00010:52): a left stream-static join, which Structured Streaming
+    re-plans per micro-batch — so a master updated by `scd2_apply`
+    between batches is picked up by the next batch without restarting
+    the query. The master side is small by construction (one row per
+    listed key) and broadcasts."""
+    cur = master.filter(F.col("is_current")).select(*keys, *attrs)
+    return stream.join(F.broadcast(cur), keys, "left")
+
+
+def enrich_with_master_pit(
+    stream: DataFrame,
+    master: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time stream enrichment: each event joins the master row
+    whose validity window covers the EVENT time (P3 predicate —
+    valid_from <= t AND (valid_to IS NULL OR valid_to > t)), not the
+    row current at processing time. This is the streaming form of the
+    as-of read: late-arriving events attribute to the master state
+    that was true when they happened, so replays are deterministic.
+
+    Stream-static left join on the key plus the validity range
+    predicate; at most one master row matches per event (SCD2 windows
+    are disjoint), so no fan-out. History depth only grows the static
+    side, which stays broadcastable for realistic master sizes."""
+    m = master.select(
+        *[F.col(k).alias(f"__m_{k}") for k in keys],
+        F.col(valid_from).alias("__m_from"),
+        F.col(valid_to).alias("__m_to"),
+        *[F.col(a) for a in attrs],
+    )
+    cond = None
+    for k in keys:
+        c = stream[k] == m[f"__m_{k}"]
+        cond = c if cond is None else cond & c
+    cond = cond & (m["__m_from"] <= stream[ts_col])
+    cond = cond & (m["__m_to"].isNull() | (m["__m_to"] > stream[ts_col]))
+    joined = stream.join(F.broadcast(m), cond, "left")
+    return joined.drop(*[f"__m_{k}" for k in keys], "__m_from", "__m_to")

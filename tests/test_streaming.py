@@ -164,3 +164,48 @@ def test_foreach_batch_upsert_is_idempotent_with_audit(spark, sf_dir, tmp_path):
         stream2, str(tmp_path / "gold"), str(tmp_path / "ckpt2"), "d"
     )
     assert spark.read.parquet(str(tmp_path / "gold")).count() == 3
+
+
+def test_stream_enrichment_current_and_pit(spark, tmp_path):
+    """Stream-static joins against an SCD2 master: the current-row
+    join picks up master changes between micro-batches; the PIT join
+    attributes each event to the master row valid at EVENT time."""
+    from japanstockdatapipeline_spark.operators.scd2 import scd2_apply
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        enrich_with_master_current,
+        enrich_with_master_pit,
+        run_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    # master history: user 1 was 'x' in [t10, t20), 'y' from t20 on
+    empty = spark.createDataFrame(
+        [], "user_id long, name string, valid_from long, valid_to long, is_current boolean"
+    )
+    m1 = scd2_apply(empty, spark.createDataFrame([(1, "x")], ["user_id", "name"]),
+                    ["user_id"], ["name"], F.lit(10).cast("long"))
+    m2 = scd2_apply(m1, spark.createDataFrame([(1, "y")], ["user_id", "name"]),
+                    ["user_id"], ["name"], F.lit(20).cast("long"))
+
+    rows = [(100, 15, 1, "click", 1.0), (101, 25, 1, "click", 2.0), (102, 25, 2, "click", 3.0)]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+
+    cur_out = str(tmp_path / "cur")
+    run_to_parquet(
+        enrich_with_master_current(stream, m2, ["user_id"], ["name"]),
+        cur_out, str(tmp_path / "ck1"),
+    )
+    got = {r["event_id"]: r["name"] for r in spark.read.parquet(cur_out).collect()}
+    # current join: BOTH user-1 events get the current attr 'y'; user 2 unknown
+    assert got == {100: "y", 101: "y", 102: None}
+
+    pit_out = str(tmp_path / "pit")
+    run_to_parquet(
+        enrich_with_master_pit(stream, m2, ["user_id"], "ts_us", ["name"]),
+        pit_out, str(tmp_path / "ck2"),
+    )
+    got_pit = {r["event_id"]: r["name"] for r in spark.read.parquet(pit_out).collect()}
+    # PIT join: the t=15 event attributes to 'x' (valid [10,20)), t=25 to 'y'
+    assert got_pit == {100: "x", 101: "y", 102: None}
