@@ -652,3 +652,84 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c") / F.sum("c"), 6).cast("double").alias("top_token_frac"),
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).cast("double").alias("distinct_frac"),
     )
+
+
+@member(
+    "doc_hybrid_scores",
+    doc="Hybrid retrieval scoring (north-star similarity + text "
+    "analysis combined): per document, a lexical score (sum of "
+    "tf*ln(N/df) over a fixed query-term set) fused with embedding "
+    "cosine to a fixed query vector — the lexical+dense blend a "
+    "retrieval pipeline ranks with. Lexical side is two aggregates "
+    "and a broadcast 1-row max for normalization; dense side joins "
+    "documents to their embedding row and broadcasts the single "
+    "query vector; no cross join anywhere.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS term FROM documents,
+      LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')) AS t(tok)
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    lex AS (
+      SELECT tf.doc_id, sum(tf.tf * ln(n.n / df.df)) AS lex
+      FROM tf JOIN df USING (term), n GROUP BY tf.doc_id
+    ), mx AS (SELECT max(lex) AS m FROM lex),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding::DOUBLE[], q.qv) AS cos
+      FROM embeddings, q
+    )
+    SELECT d.doc_id,
+           round(coalesce(lex.lex, 0), 6) AS lex_score,
+           round(cosd.cos, 6) AS emb_cos,
+           round(0.5 * coalesce(lex.lex, 0) / mx.m + 0.5 * cosd.cos, 6)
+             AS hybrid_score
+    FROM documents d LEFT JOIN lex USING (doc_id)
+                     LEFT JOIN cosd USING (doc_id), mx
+    """,
+)
+def doc_hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import as_double_array, cosine_similarity
+
+    terms = ("spark", "join", "window")
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+    qtok = tok.filter(F.col("term").isin(*terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = float(d.count())
+    lex = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(n) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("lex"))
+    )
+    mx = lex.agg(F.max("lex").alias("m"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    cosd = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity(as_double_array(F.col("embedding")), F.col("qv")).alias("cos"),
+    )
+    out = (
+        d.select("doc_id")
+        .join(lex, "doc_id", "left")
+        .join(cosd, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+    )
+    lex0 = F.coalesce(F.col("lex"), F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.round(lex0, 6).alias("lex_score"),
+        F.round("cos", 6).alias("emb_cos"),
+        F.round(0.5 * lex0 / F.col("m") + 0.5 * F.col("cos"), 6).alias("hybrid_score"),
+    )

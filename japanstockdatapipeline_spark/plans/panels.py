@@ -148,6 +148,7 @@ register_panel(
         "doc_stratified_sample",
         "doc_dup_clusters",
         "corpus_prep_pipeline",
+        "doc_hybrid_scores",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
