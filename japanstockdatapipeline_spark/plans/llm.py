@@ -733,3 +733,68 @@ def doc_hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos", 6).alias("emb_cos"),
         F.round(0.5 * lex0 / F.col("m") + 0.5 * F.col("cos"), 6).alias("hybrid_score"),
     )
+
+
+@member(
+    "doc_chunk_dedup",
+    doc="Chunk-level exact dedup signal (C4/RefinedWeb-style sub-"
+    "document dedup, north-star dedup family): tokens split into "
+    "fixed 8-token chunks, each chunk hashed; a chunk is duplicated "
+    "if its hash occurs more than once across the corpus. Per doc: "
+    "chunk count, duplicated-chunk count, duplicated fraction — the "
+    "signal used to strip boilerplate chunks before training. Two "
+    "shuffles (chunk-hash count, re-aggregate per doc); chunk keys "
+    "are 64-bit hashes so the shuffle carries 8-byte keys.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+      FROM tok, LATERAL unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS r(i)
+      WHERE len(toks) > 0
+    ), freq AS (
+      SELECT chunk, count(*) AS n FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_chunk_frac
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(8.0)).cast("bigint")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8)),
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_arr).alias("chunk")).select(
+        "doc_id", F.xxhash64("chunk").alias("h")
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 6).alias(
+            "dup_chunk_frac"
+        ),
+    )

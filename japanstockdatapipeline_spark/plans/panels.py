@@ -149,6 +149,7 @@ register_panel(
         "doc_dup_clusters",
         "corpus_prep_pipeline",
         "doc_hybrid_scores",
+        "doc_chunk_dedup",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
