@@ -5,6 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Headline comparables (BASELINE.md): full-universe metrics refresh
 23.4 s over ~1.14 M rows; per-basket 2-yr windowed agg 0.5-7 s over
 <=65 k rows. sf0.1 lineitem is ~600 k rows — same order.
+
+Cross-round comparability (round-4 verdict item 2):
+- the warm-up query is PINNED (WARMUP below), not dict-order-dependent;
+- each query reports min AND median of N_RUNS;
+- a fixed-cost `calibration` entry (spark.range(2e7) sum, no parquet,
+  no Python) separates rig drift from plan regressions: if calibration
+  moves round-over-round, the rig moved, not the plans.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -19,6 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.session import get_spark
+
+WARMUP = "pricing_summary"  # pinned: JVM/JIT + parquet-footer warm
+N_RUNS = 5
+CALIBRATION_N = 20_000_000
+
+
+def _calibrate(spark) -> float:
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        spark.range(CALIBRATION_N).selectExpr("sum(id) AS s").collect()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
 
 
 def main() -> None:
@@ -32,19 +53,28 @@ def main() -> None:
         for name, q in {**all_queries(), **all_members()}.items()
         if q.bench
     }
-    # warm the JVM + parquet footers once with the cheapest query
-    next(iter(bench_set.values())).fn(spark, sf_dir).count()
+    assert WARMUP in bench_set, f"pinned warm-up {WARMUP!r} not in bench set"
+    bench_set[WARMUP].fn(spark, sf_dir).count()
+
+    calibration = _calibrate(spark)
+    print(f"# calibration: {calibration:.3f}s (range({CALIBRATION_N}).sum, median of {N_RUNS})",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, q in bench_set.items():
-        best, n = float("inf"), 0
-        for _ in range(2):  # steady-state: min of 2 (JIT/footer-cache warmup)
+        runs, n = [], 0
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()  # full materialization without driver transfer
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
+        print(
+            f"# {name}: min {timings[name]:.3f}s / med {medians[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -54,6 +84,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "calibration": calibration,
                 "sf": sf,
             }
         )

@@ -1,0 +1,214 @@
+"""Fused per-event indicator panel: every event_indicator_panel member
+computed in ONE pass over events.
+
+The join-of-members panel (plans/panels.py) is the *correctness
+vehicle*: 11 members that each re-scan and re-shuffle events on the
+same (user_id) key, then chain 10 full-outer joins. This operator is
+the *production materialization* of the same wide row set: ONE
+repartition on the key (one Exchange), sortWithinPartitions, then one
+mapInPandas whose pandas-side groupby computes the full indicator
+family per user series — window pieces in numpy over the already-local
+group, recursive pieces (EMA/RSI/MACD/ATR — technical.ts:105-265) from
+operators.smoothers, and the click→purchase as-of merge inline.
+
+Output columns and value semantics are IDENTICAL to the panel's
+full-outer join of: event_golden_cross, event_ichimoku_midlines,
+event_obv, event_running_argmax, event_running_high, event_stochastic,
+rolling_event_stats, user_value_atr, user_value_macd,
+user_value_smoothers, purchase_asof_click — asserted by an
+equivalence test (tests/test_fused_panel.py) and by the shared DuckDB
+oracle (the fused member reuses the panel's FULL-JOIN oracle).
+
+Rounding (6dp) and NaN→NULL happen Spark-side after mapInPandas with
+the same F.round/F.isnan expressions the members use, so both forms
+round identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .smoothers import atr_np, ema_np, macd_np, rsi_np
+
+__all__ = ["fused_event_indicators"]
+
+FUSED_SCHEMA = (
+    "user_id bigint, event_id bigint, "
+    # rolling_event_stats
+    "sma5 double, bb_up double, bb_dn double, "
+    # event_running_high
+    "value double, prior_max double, is_new_high boolean, "
+    # event_obv
+    "obv double, "
+    # event_running_argmax
+    "best_value double, best_event_id bigint, "
+    # event_stochastic
+    "raw_k double, slow_k double, slow_d double, "
+    # event_golden_cross
+    "state int, is_cross boolean, bars_since_cross bigint, "
+    # event_ichimoku_midlines
+    "tenkan double, kijun double, senkou_a double, above_cloud boolean, "
+    # recursive members
+    "atr_14 double, macd double, macd_signal double, macd_hist double, "
+    "ema_12 double, rsi_14 double, "
+    # purchase_asof_click (purchase rows only; NULL elsewhere)
+    "ts_us bigint, last_click_value double"
+)
+
+_ROUND6 = (
+    "sma5", "bb_up", "bb_dn", "prior_max", "obv", "best_value",
+    "raw_k", "slow_k", "slow_d", "tenkan", "kijun", "senkou_a",
+    "atr_14", "macd", "macd_signal", "macd_hist", "ema_12", "rsi_14",
+    "last_click_value",
+)
+
+
+def _trail(v: np.ndarray, w: int, fn) -> np.ndarray:
+    """fn over the trailing w-row window, NaN until the window is full
+    (the count(*)==w full-window gate every member applies)."""
+    out = np.full(len(v), np.nan)
+    if len(v) >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(v, w)
+        out[w - 1 :] = fn(sw)
+    return out
+
+
+def _shift(v: np.ndarray, k: int) -> np.ndarray:
+    out = np.full(len(v), np.nan)
+    if k < len(v):
+        out[k:] = v[: len(v) - k]
+    return out
+
+
+def _bool_or_none(cond: np.ndarray, defined: np.ndarray) -> pd.Series:
+    return pd.Series(np.where(defined, cond, None), dtype="boolean")
+
+
+def _group_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's (ts_us, event_id)-ordered series in, all indicator
+    columns out (raw doubles; rounding/NaN→NULL applied Spark-side)."""
+    v = g["value"].to_numpy(dtype=float)
+    ids = g["event_id"].to_numpy(dtype=np.int64)
+    ts = g["ts_us"].to_numpy(dtype=np.int64)
+    et = g["event_type"].to_numpy()
+    n = len(g)
+    rn = np.arange(1, n + 1, dtype=float)
+
+    out = pd.DataFrame(
+        {"user_id": g["user_id"].to_numpy(), "event_id": ids}
+    )
+
+    # rolling_event_stats: SMA5 + Bollinger, population sigma (W9/W13)
+    s5 = _trail(v, 5, lambda s: s.mean(axis=1))
+    sd5 = _trail(v, 5, lambda s: s.std(axis=1))  # ddof=0 == stddev_pop
+    out["sma5"], out["bb_up"], out["bb_dn"] = s5, s5 + 2 * sd5, s5 - 2 * sd5
+
+    # event_running_high: prior running max excluding current (W20)
+    prior = _shift(np.maximum.accumulate(v), 1) if n else np.array([])
+    out["value"] = v
+    out["prior_max"] = prior
+    out["is_new_high"] = _bool_or_none(v > prior, ~np.isnan(prior))
+
+    # event_obv: cumulative signed value (W16); first row contributes 0
+    lag_v = _shift(v, 1)
+    with np.errstate(invalid="ignore"):
+        signed = np.where(v > lag_v, v, np.where(v < lag_v, -v, 0.0))
+    out["obv"] = np.cumsum(signed)
+
+    # event_running_argmax: running max(struct(v, id)) (W5) — among
+    # rows tying the running max, the largest event_id wins (struct
+    # comparison order), so cummax candidate ids within each cmax run
+    cmax = np.maximum.accumulate(v)
+    cand = np.where(v >= cmax, ids, -1)
+    run_break = np.concatenate([[1], (cmax[1:] != cmax[:-1]).astype(np.int64)])
+    seg = np.cumsum(run_break)
+    out["best_value"] = cmax
+    out["best_event_id"] = pd.Series(cand).groupby(seg).cummax().to_numpy()
+
+    # event_stochastic: 14-row HH/LL raw %K, two SMA3 passes where the
+    # 3-row window holds 3 defined values (W14)
+    hh = _trail(v, 14, lambda s: s.max(axis=1))
+    ll = _trail(v, 14, lambda s: s.min(axis=1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        raw_k = np.where(~np.isnan(hh) & (hh != ll), 100.0 * (v - ll) / (hh - ll), np.nan)
+    slow_k = pd.Series(raw_k).rolling(3, min_periods=3).mean().to_numpy()
+    slow_d = pd.Series(slow_k).rolling(3, min_periods=3).mean().to_numpy()
+    out["raw_k"], out["slow_k"], out["slow_d"] = raw_k, slow_k, slow_d
+
+    # event_golden_cross: sign of SMA5-SMA20, flips + age (W18)
+    sma20 = _trail(v, 20, lambda s: s.mean(axis=1))
+    with np.errstate(invalid="ignore"):
+        state = np.where(
+            np.isnan(s5) | np.isnan(sma20), np.nan, np.where(s5 >= sma20, 1.0, -1.0)
+        )
+    prev_state = _shift(state, 1)
+    with np.errstate(invalid="ignore"):
+        change = (~np.isnan(state)) & (~np.isnan(prev_state)) & (state != prev_state)
+    change_rn = np.where(change, rn, np.nan)
+    last_change = np.fmax.accumulate(change_rn)  # NaN-skipping running max
+    out["state"] = pd.array(state, dtype="Int32")
+    out["is_cross"] = change
+    out["bars_since_cross"] = pd.array(rn - last_change, dtype="Int64")
+
+    # event_ichimoku_midlines: 9/26 midlines, senkou A = lag-26 (W17)
+    mid9 = (_trail(v, 9, lambda s: s.max(axis=1)) + _trail(v, 9, lambda s: s.min(axis=1))) / 2
+    mid26 = (
+        _trail(v, 26, lambda s: s.max(axis=1)) + _trail(v, 26, lambda s: s.min(axis=1))
+    ) / 2
+    senkou_a = _shift((mid9 + mid26) / 2, 26)
+    out["tenkan"], out["kijun"], out["senkou_a"] = mid9, mid26, senkou_a
+    out["above_cloud"] = _bool_or_none(v > senkou_a, ~np.isnan(senkou_a))
+
+    # recursive family (technical.ts:105-265), ±1% synthesized band for ATR
+    out["atr_14"] = atr_np(v * 1.01, v * 0.99, v, 14)
+    m, s, h = macd_np(v)
+    out["macd"], out["macd_signal"], out["macd_hist"] = m, s, h
+    out["ema_12"] = ema_np(v, 12)
+    out["rsi_14"] = rsi_np(v, 14)
+
+    # purchase_asof_click (J6): forward-fill click values over
+    # (ts, click-before-purchase, event_id) order; emit at purchases
+    is_left = np.where(et == "click", 0, 1)
+    order = np.lexsort((ids, is_left, ts))
+    click_val = np.where(et == "click", v, np.nan)[order]
+    ff = pd.Series(click_val).ffill().to_numpy()
+    last_click = np.empty(n)
+    last_click[order] = ff
+    is_purchase = et == "purchase"
+    out["ts_us"] = pd.array(np.where(is_purchase, ts, -1), dtype="Int64")
+    out.loc[~is_purchase, "ts_us"] = pd.NA
+    out["last_click_value"] = np.where(is_purchase, last_click, np.nan)
+    return out
+
+
+def fused_event_indicators(events: DataFrame) -> DataFrame:
+    """events (user_id, event_id, ts_us, event_type, value) -> the full
+    wide indicator panel, one Exchange total."""
+
+    def per_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby("user_id", sort=False):
+            yield _group_frame(g)
+
+    src = (
+        events.select("user_id", "event_id", "ts_us", "event_type", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+    )
+    raw = src.mapInPandas(per_partition, schema=FUSED_SCHEMA)
+
+    cols = []
+    for c in raw.columns:
+        if c in _ROUND6:
+            cols.append(F.round(F.when(~F.isnan(c), F.col(c)), 6).alias(c))
+        else:
+            cols.append(F.col(c))
+    return raw.select(*cols)

@@ -80,13 +80,13 @@ def screen_latest_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
-    # scalar subquery -> computed literal (SURVEY §2.3 J5)
-    pub = o.agg(F.max("o_orderdate")).first()[0]
-    import datetime as dt
-
-    cutoff = pub - dt.timedelta(days=365)
+    # scalar subquery as a lazy broadcast 1-row aggregate (SURVEY §2.3 J5):
+    # the cutoff is still evaluated once, but inside the job, not at
+    # plan-construction time.
+    cut = o.agg((F.max("o_orderdate") - F.expr("INTERVAL 365 DAY")).alias("pub"))
     published = (
-        o.filter(F.col("o_orderdate") <= F.lit(cutoff))
+        o.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") <= F.col("pub"))
         .groupBy("o_custkey")
         .agg(
             F.max("o_totalprice").alias("pub_max_price"),

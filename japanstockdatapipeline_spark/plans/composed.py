@@ -199,14 +199,28 @@ def event_year_bucket_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pit_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    cd = _constituent_day(ev)
+    out = _basket_rollup(cd.withColumn("basket", F.lit("all")))
+    return out.select(
+        "day",
+        "n_constituents",
+        F.round("wper", 6).alias("weighted_per"),
+        F.round("wper_f", 6).alias("weighted_per_fwd"),
+        F.round("index_level", 6).alias("index_level"),
+    )
+
+
+def _constituent_day(ev: DataFrame) -> DataFrame:
+    """buildConstituentDay (basket-valuation.ts:475-556), basket-free:
+    per (user, day) close, PIT mcap/earnings/forward-earnings. The
+    expensive PIT work happens ONCE here; basket membership fans out
+    afterwards in _basket_rollup — at 100 TB the N-basket nightly job
+    (reference 00117:4-10 precomputes 14 baskets) is one constituent-
+    day build plus N light rollups, not N full pipelines."""
     day = F.expr(f"ts_us DIV {US_PER_DAY}")
     epoch = F.lit("1970-01-01").cast("date")
 
     daily = _daily_bars(ev).select("user_id", "day", "close")
-    wdi = Window.orderBy("day")
-    didx = daily.select("day").distinct().withColumn(
-        "di", F.row_number().over(wdi).cast("bigint")
-    )
 
     # FY actuals: running argmax by (fy_year, disclosed_day, event_id)
     # over the disclosure stream — pitFy's "corrections win" ordering
@@ -280,7 +294,7 @@ def pit_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", "f_eps")
     )
 
-    cd = pit.join(fwd_pick, ["user_id", "day"], "left").select(
+    return pit.join(fwd_pick, ["user_id", "day"], "left").select(
         "user_id",
         "day",
         "close",
@@ -293,36 +307,53 @@ def pit_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+def _basket_rollup(cdm: DataFrame) -> DataFrame:
+    """Per-(basket, day) valuation + chained index from a basket-tagged
+    constituent-day table (chainIndexSeries, basket-valuation.ts:560-612,
+    group-parallel): every window/agg is partitioned by basket, so N
+    baskets cost one co-partitioned pass, not N jobs. Returns unrounded
+    (basket, day, n_constituents, wper, wper_f, index_level)."""
+    wdi = Window.partitionBy("basket").orderBy("day")
+    didx = (
+        cdm.select("basket", "day")
+        .distinct()
+        .withColumn("di", F.row_number().over(wdi).cast("bigint"))
+    )
+
     # index chain: weighted daily return from prev-day mcap weights
-    cdi = cd.join(F.broadcast(didx), "day")
+    cdi = cdm.join(F.broadcast(didx), ["basket", "day"])
     prev = cdi.select(
+        "basket",
         "user_id",
         (F.col("di") + 1).alias("di"),
         F.col("close").alias("prev_close"),
         F.col("mcap").alias("prev_mcap"),
     )
-    joined = cdi.join(prev, ["user_id", "di"])
+    joined = cdi.join(prev, ["basket", "user_id", "di"])
     ok = F.col("prev_mcap").isNotNull() & (F.col("prev_close") > 0)
-    rets = joined.groupBy("di").agg(
+    rets = joined.groupBy("basket", "di").agg(
         F.when(
             F.sum(F.when(ok, F.col("prev_mcap"))) > 0,
             F.sum(F.when(ok, F.col("prev_mcap") * F.col("close") / F.col("prev_close")))
             / F.sum(F.when(ok, F.col("prev_mcap"))),
         ).alias("r")
     )
-    eff = didx.join(rets, "di", "left").withColumn(
+    eff = didx.join(rets, ["basket", "di"], "left").withColumn(
         "r_eff", F.when(F.col("di") == 1, F.lit(1.0)).otherwise(F.col("r"))
     )
-    wcum = Window.orderBy("di").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = (
+        Window.partitionBy("basket").orderBy("di").rowsBetween(Window.unboundedPreceding, 0)
+    )
     bad = F.max(
         F.when(F.col("r_eff").isNull() | (F.col("r_eff") <= 0), 1).otherwise(0)
     ).over(wcum)
     lv = eff.withColumn(
         "index_level",
         F.when(bad == 0, 100.0 * F.exp(F.sum(F.log("r_eff")).over(wcum))),
-    ).select("day", "index_level")
+    ).select("basket", "day", "index_level")
 
-    agg = cd.groupBy("day").agg(
+    agg = cdm.groupBy("basket", "day").agg(
         F.count("mcap").cast("bigint").alias("n_constituents"),
         F.when(
             (F.sum(F.when(F.col("earnings").isNotNull(), F.col("mcap"))) > 0)
@@ -335,13 +366,161 @@ def pit_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("fwd_earn").isNotNull(), F.col("mcap"))) / F.sum("fwd_earn"),
         ).alias("wper_f"),
     )
-    return agg.join(lv, "day").select(
-        "day",
-        "n_constituents",
-        F.round("wper", 6).alias("weighted_per"),
-        F.round("wper_f", 6).alias("weighted_per_fwd"),
-        F.round("index_level", 6).alias("index_level"),
+    return agg.join(lv, ["basket", "day"])
+
+
+_MB_BASKETS = ("all", "even", "third")
+
+
+@member(
+    "multi_basket_valuation",
+    doc="Multi-basket gold job (reference 00117:4-10 — 14 baskets "
+    "precomputed nightly): the SAME constituent-day build as "
+    "pit_basket_valuation, fanned out to 3 overlapping baskets "
+    "(all / user_id%2==0 / user_id%3==0) via a membership join, then "
+    "ONE group-parallel rollup partitioned by basket (valuation aggs + "
+    "chained index per basket). Pivoted to the day grain for the "
+    "market-breadth panel; basket 'all' must equal the single-basket "
+    "member (asserted in tests/test_operators.py).",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, value AS close FROM (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), acts AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS a_day, event_id,
+             year(DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT)) - 1 AS fy_year,
+             value AS eps, CAST(1000 + user_id % 500 AS DOUBLE) AS shares
+      FROM events WHERE event_type = 'purchase'
+    ), act_best AS (
+      SELECT user_id, a_day AS day,
+             max({'fy': fy_year, 'd': a_day, 'e': event_id, 'eps': eps, 'sh': shares})
+               OVER (PARTITION BY user_id ORDER BY a_day, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+      FROM acts
+    ), act_day AS (
+      SELECT user_id, day, max(best) AS best FROM act_best GROUP BY 1, 2
+    ), pit AS (
+      SELECT d.user_id, d.day, d.close,
+             (SELECT max(a.best) FROM act_day a
+              WHERE a.user_id = d.user_id AND a.day <= d.day) AS best
+      FROM daily d
+    ), fwd AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS f_day, event_id,
+             year(DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT)) AS target_year,
+             value AS f_eps
+      FROM events WHERE event_type = 'click'
+    ), fwd_pick AS (
+      SELECT user_id, day, f_eps FROM (
+        SELECT p.user_id, p.day, f.f_eps,
+               row_number() OVER (PARTITION BY p.user_id, p.day
+                                  ORDER BY f.f_day DESC, f.event_id DESC) AS rn
+        FROM pit p JOIN fwd f ON f.user_id = p.user_id AND f.f_day <= p.day
+        WHERE p.best IS NULL OR f.target_year > (p.best).fy
+      ) WHERE rn = 1
+    ), cd AS (
+      SELECT p.user_id, p.day, p.close,
+             CASE WHEN p.best IS NOT NULL THEN p.close * (p.best).sh END AS mcap,
+             CASE WHEN p.best IS NOT NULL THEN (p.best).eps * (p.best).sh END AS earnings,
+             CASE WHEN p.best IS NOT NULL THEN fp.f_eps * (p.best).sh END AS fwd_earn
+      FROM pit p LEFT JOIN fwd_pick fp ON p.user_id = fp.user_id AND p.day = fp.day
+    ), membership AS (
+      SELECT user_id, basket FROM (SELECT DISTINCT user_id FROM events) u,
+      LATERAL unnest(['all',
+                      CASE WHEN user_id % 2 = 0 THEN 'even' END,
+                      CASE WHEN user_id % 3 = 0 THEN 'third' END]) AS b(basket)
+      WHERE basket IS NOT NULL
+    ), cdm AS (
+      SELECT m.basket, c.* FROM cd c JOIN membership m USING (user_id)
+    ), didx AS (
+      SELECT basket, day,
+             CAST(row_number() OVER (PARTITION BY basket ORDER BY day) AS BIGINT) AS di
+      FROM (SELECT DISTINCT basket, day FROM cdm)
+    ), cdi AS (
+      SELECT c.*, x.di FROM cdm c JOIN didx x USING (basket, day)
+    ), rets AS (
+      SELECT cur.basket, cur.di,
+             CASE WHEN sum(CASE WHEN prev.mcap IS NOT NULL AND prev.close > 0
+                                THEN prev.mcap END) > 0
+                  THEN sum(CASE WHEN prev.mcap IS NOT NULL AND prev.close > 0
+                                THEN prev.mcap * cur.close / prev.close END)
+                       / sum(CASE WHEN prev.mcap IS NOT NULL AND prev.close > 0
+                                  THEN prev.mcap END) END AS r
+      FROM cdi cur JOIN cdi prev ON prev.basket = cur.basket
+                                AND prev.user_id = cur.user_id AND prev.di = cur.di - 1
+      GROUP BY cur.basket, cur.di
+    ), lv AS (
+      SELECT x.basket, x.day,
+             CASE WHEN max(CASE WHEN eff.r_eff IS NULL OR eff.r_eff <= 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY x.basket ORDER BY x.di
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+                  THEN 100.0 * exp(sum(ln(eff.r_eff))
+                    OVER (PARTITION BY x.basket ORDER BY x.di
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END
+               AS index_level
+      FROM didx x
+      LEFT JOIN (SELECT x2.basket, x2.di, CASE WHEN x2.di = 1 THEN 1.0 ELSE r.r END AS r_eff
+                 FROM didx x2 LEFT JOIN rets r ON r.basket = x2.basket AND r.di = x2.di) eff
+        ON eff.basket = x.basket AND eff.di = x.di
+    ), agg AS (
+      SELECT basket, day,
+             CAST(count(mcap) AS BIGINT) AS n_constituents,
+             CASE WHEN sum(mcap) FILTER (WHERE earnings IS NOT NULL) > 0
+                   AND sum(earnings) > 0
+                  THEN sum(mcap) FILTER (WHERE earnings IS NOT NULL) / sum(earnings) END AS wper,
+             CASE WHEN sum(mcap) FILTER (WHERE fwd_earn IS NOT NULL) > 0
+                   AND sum(fwd_earn) > 0
+                  THEN sum(mcap) FILTER (WHERE fwd_earn IS NOT NULL) / sum(fwd_earn) END AS wper_f
+      FROM cdm GROUP BY basket, day
+    ), longf AS (
+      SELECT a.basket, a.day, a.n_constituents, a.wper, a.wper_f, l.index_level
+      FROM agg a JOIN lv l ON l.basket = a.basket AND l.day = a.day
     )
+    SELECT day,
+           max(CASE WHEN basket = 'all' THEN n_constituents END) AS n_const_all,
+           round(max(CASE WHEN basket = 'all' THEN wper END), 6) AS per_all,
+           round(max(CASE WHEN basket = 'all' THEN wper_f END), 6) AS per_fwd_all,
+           round(max(CASE WHEN basket = 'all' THEN index_level END), 6) AS idx_all,
+           max(CASE WHEN basket = 'even' THEN n_constituents END) AS n_const_even,
+           round(max(CASE WHEN basket = 'even' THEN wper END), 6) AS per_even,
+           round(max(CASE WHEN basket = 'even' THEN wper_f END), 6) AS per_fwd_even,
+           round(max(CASE WHEN basket = 'even' THEN index_level END), 6) AS idx_even,
+           max(CASE WHEN basket = 'third' THEN n_constituents END) AS n_const_third,
+           round(max(CASE WHEN basket = 'third' THEN wper END), 6) AS per_third,
+           round(max(CASE WHEN basket = 'third' THEN wper_f END), 6) AS per_fwd_third,
+           round(max(CASE WHEN basket = 'third' THEN index_level END), 6) AS idx_third
+    FROM longf GROUP BY day
+    """,
+)
+def multi_basket_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cd = _constituent_day(ev)
+    users = ev.select("user_id").distinct()
+    membership = users.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.lit("all"),
+                F.when(F.pmod("user_id", F.lit(2)) == 0, F.lit("even")),
+                F.when(F.pmod("user_id", F.lit(3)) == 0, F.lit("third")),
+            )
+        ).alias("basket"),
+    ).filter(F.col("basket").isNotNull())
+    longf = _basket_rollup(cd.join(membership, "user_id"))
+
+    aggs = []
+    for b in _MB_BASKETS:
+        hit = F.col("basket") == b
+        aggs += [
+            F.max(F.when(hit, F.col("n_constituents"))).alias(f"n_const_{b}"),
+            F.round(F.max(F.when(hit, F.col("wper"))), 6).alias(f"per_{b}"),
+            F.round(F.max(F.when(hit, F.col("wper_f"))), 6).alias(f"per_fwd_{b}"),
+            F.round(F.max(F.when(hit, F.col("index_level"))), 6).alias(f"idx_{b}"),
+        ]
+    return longf.groupBy("day").agg(*aggs)
 
 
 @member(

@@ -359,3 +359,81 @@ def series_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("series_id", "event_id", "ind_us", "rel_us", F.round("value", 6).alias("value"))
     )
+
+
+@member(
+    "series_vintage_plan",
+    doc="S5 FRED/ALFRED vintage fetch planner as a query over watermark "
+    "metadata (macro.ts:43-48, 84-116): per series, observation_start = "
+    "today-730 on first run (no watermark), today-90 for monthly/"
+    "quarterly (vintage re-fetch window), else the last_value watermark. "
+    "Planner-as-a-query is the 100 TB shape: the plan derives from the "
+    "watermark table, not driver-side loops. Simulated catalog on "
+    "events: series = event_type; 'error' plays the never-fetched "
+    "series; signup/view are monthly. Day axis = epoch days (timezone-"
+    "free); today pinned to day 19760 (2024-02-07). The pure control-"
+    "plane twin (sources/ingest.py:vintage_fetch_plan) is property-"
+    "checked equal to this plan in tests/test_vintage.py.",
+    oracle="""
+    WITH meta AS (
+      SELECT event_type AS series_id,
+             max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS max_day
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT series_id,
+             CASE WHEN series_id IN ('signup', 'view') THEN 'monthly'
+                  ELSE 'daily' END AS frequency,
+             CASE WHEN series_id = 'error' THEN NULL ELSE max_day END AS last_value_day
+      FROM meta
+    ), p AS (
+      SELECT *,
+             CASE WHEN last_value_day IS NULL THEN 19760 - 730
+                  WHEN frequency IN ('monthly', 'quarterly') THEN 19760 - 90
+                  ELSE last_value_day END AS start_day,
+             CASE WHEN last_value_day IS NULL THEN 'initial_backfill'
+                  WHEN frequency IN ('monthly', 'quarterly') THEN 'vintage_refetch'
+                  ELSE 'incremental' END AS reason
+      FROM m
+    )
+    SELECT series_id, frequency, last_value_day,
+           CAST(start_day AS BIGINT) AS start_day,
+           strftime(DATE '1970-01-01' + start_day * INTERVAL 1 DAY, '%Y-%m-%d')
+             AS observation_start,
+           FALSE AS initial_release, reason,
+           CAST(19760 - start_day AS BIGINT) AS planned_days
+    FROM p
+    """,
+)
+def series_vintage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TODAY = 19760  # pinned epoch day (2024-02-07), injectable like the pure twin
+    ev = _ev(spark, sf_dir)
+    meta = ev.groupBy(F.col("event_type").alias("series_id")).agg(
+        F.max(F.expr("ts_us DIV 86400000000")).alias("max_day")
+    )
+    freq = F.when(F.col("series_id").isin("signup", "view"), "monthly").otherwise("daily")
+    last_day = F.when(
+        F.col("series_id") == "error", F.lit(None).cast("bigint")
+    ).otherwise(F.col("max_day"))
+    m = meta.select("series_id", freq.alias("frequency"), last_day.alias("last_value_day"))
+    start = (
+        F.when(F.col("last_value_day").isNull(), F.lit(TODAY - 730))
+        .when(F.col("frequency").isin("monthly", "quarterly"), F.lit(TODAY - 90))
+        .otherwise(F.col("last_value_day"))
+    )
+    reason = (
+        F.when(F.col("last_value_day").isNull(), "initial_backfill")
+        .when(F.col("frequency").isin("monthly", "quarterly"), "vintage_refetch")
+        .otherwise("incremental")
+    )
+    return m.select(
+        "series_id",
+        "frequency",
+        "last_value_day",
+        start.cast("bigint").alias("start_day"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), start.cast("int")), "yyyy-MM-dd"
+        ).alias("observation_start"),
+        F.lit(False).alias("initial_release"),
+        reason.alias("reason"),
+        (F.lit(TODAY) - start).cast("bigint").alias("planned_days"),
+    )

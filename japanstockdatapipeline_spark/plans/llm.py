@@ -305,9 +305,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = float(d.count())
-    scored = tf.join(df, "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(n) / F.col("df"))
+    # N as a lazy broadcast 1-row aggregate (no plan-time job)
+    ncnt = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
@@ -532,14 +535,19 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
-    total = tok.count()
+    by_term = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # total token count = sum(tf) over the already-aggregated vocab table:
+    # one tokenize pass; the groupBy exchange is shared (ReuseExchange)
+    # between the broadcast total and the main branch — no plan-time job,
+    # no second corpus scan.
+    tot = by_term.agg(F.sum("tf").cast("double").alias("n_total"))
     return (
-        tok.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
-        )
-        .withColumn("corpus_share", F.round(F.col("tf") / F.lit(float(total)), 6))
+        by_term.crossJoin(F.broadcast(tot))
+        .withColumn("corpus_share", F.round(F.col("tf") / F.col("n_total"), 6))
+        .drop("n_total")
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(20)
     )
@@ -705,10 +713,12 @@ def doc_hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtok = tok.filter(F.col("term").isin(*terms))
     tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = float(d.count())
+    # N as a lazy broadcast 1-row aggregate (no plan-time job)
+    ncnt = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     lex = (
         tf.join(F.broadcast(df), "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(n) / F.col("df")))
+        .crossJoin(F.broadcast(ncnt))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.sum("w").alias("lex"))
     )

@@ -27,7 +27,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .registry import member_oracle, member_query, query
+from .registry import member, member_oracle, member_query, query
 
 Renames = dict[str, dict[str, str]]
 
@@ -80,6 +80,15 @@ def register_panel(
     fn.__name__ = panel_name
     fn.__doc__ = doc
 
+    query(panel_name, oracle=panel_oracle(keys, members, renames), doc=doc)(fn)
+
+
+def panel_oracle(
+    keys: tuple[str, ...], members: tuple[str, ...], renames: Renames | None = None
+) -> str:
+    """The FULL-JOIN-of-member-oracles SQL for a panel — also reused by
+    fused single-pass variants, which must match the same oracle."""
+    renames = renames or {}
     parts = [_renamed_member_sql(m, renames) for m in members]
     if keys:
         using = ", ".join(keys)
@@ -88,31 +97,56 @@ def register_panel(
             body += f"\n    FULL JOIN {p} m{i} USING ({using})"
     else:
         body = ",\n    ".join(f"{p} m{i}" for i, p in enumerate(parts))
-    oracle = f"SELECT * FROM {body}"
+    return f"SELECT * FROM {body}"
 
-    query(panel_name, oracle=oracle, doc=doc)(fn)
 
+_EVENT_INDICATOR_KEYS = ("user_id", "event_id")
+_EVENT_INDICATOR_MEMBERS = (
+    "event_golden_cross",
+    "event_ichimoku_midlines",
+    "event_obv",
+    "event_running_argmax",
+    "event_running_high",
+    "event_stochastic",
+    "rolling_event_stats",
+    "user_value_atr",
+    "user_value_macd",
+    "user_value_smoothers",
+    "purchase_asof_click",
+)
 
 register_panel(
     "event_indicator_panel",
-    ("user_id", "event_id"),
-    (
-        "event_golden_cross",
-        "event_ichimoku_midlines",
-        "event_obv",
-        "event_running_argmax",
-        "event_running_high",
-        "event_stochastic",
-        "rolling_event_stats",
-        "user_value_atr",
-        "user_value_macd",
-        "user_value_smoothers",
-        "purchase_asof_click",
-    ),
+    _EVENT_INDICATOR_KEYS,
+    _EVENT_INDICATOR_MEMBERS,
     doc="Per-event technical panel (W5, W9-W18, J6): every per-event "
     "indicator member joined on (user_id, event_id) — the wide bar "
     "table a feature store would materialize per security/day.",
 )
+
+
+def _register_fused_event_indicators() -> None:
+    """The production form of event_indicator_panel: all 11 members in
+    ONE pass over events (1 Exchange vs the panel's 11 member shuffles
+    + 10 full-outer joins). Checked three ways: the SAME FULL-JOIN
+    DuckDB oracle as the panel (value-level), an equivalence test
+    against the join-of-members panel (tests/test_fused_panel.py), and
+    an Exchange-count plan assertion."""
+    from ..operators.fused_panel import fused_event_indicators
+    from ..sources import load_table
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fused_event_indicators(load_table(spark, sf_dir, "events"))
+
+    fn.__name__ = "event_indicator_fused"
+    member(
+        "event_indicator_fused",
+        oracle=panel_oracle(_EVENT_INDICATOR_KEYS, _EVENT_INDICATOR_MEMBERS),
+        doc=_register_fused_event_indicators.__doc__,
+    )(fn)
+
+
+_register_fused_event_indicators()
 
 register_panel(
     "order_feature_panel",
@@ -194,10 +228,12 @@ register_panel(
         "event_year_bucket_highs",
         "pct_above_sma_breadth",
         "pit_basket_valuation",
+        "multi_basket_valuation",
     ),
-    doc="Per-day market breadth panel (W19-W21 + PIT valuation): "
-    "advance/decline, year-bucket new highs/lows, %-above-SMA, and "
-    "point-in-time basket valuation joined on day.",
+    doc="Per-day market breadth panel (W19-W21 + PIT valuation + the "
+    "N-basket gold job): advance/decline, year-bucket new highs/lows, "
+    "%-above-SMA, point-in-time basket valuation, and the 3-basket "
+    "group-parallel valuation joined on day.",
 )
 
 register_panel(
@@ -265,9 +301,11 @@ register_panel(
 register_panel(
     "event_type_panel",
     ("event_type",),
-    ("cardinality_sketch_accuracy", "event_type_corr"),
-    doc="Per-event-type panel (A8 + HLL accuracy audit): exact vs "
-    "sketch user counts and corr/tracking-error joined on event_type.",
+    ("cardinality_sketch_accuracy", "event_type_corr", "series_vintage_plan"),
+    renames={"series_vintage_plan": {"series_id": "event_type"}},
+    doc="Per-event-type panel (A8 + HLL accuracy audit + S5 vintage "
+    "fetch planner): exact vs sketch user counts, corr/tracking-error, "
+    "and the per-series incremental fetch plan joined on event_type.",
 )
 
 register_panel(

@@ -37,6 +37,12 @@ __all__ = [
     "classify_status",
     "with_retry",
     "paginate",
+    "VINTAGE_REFETCH_DAYS",
+    "INITIAL_BACKFILL_DAYS",
+    "is_monthly_or_lower",
+    "vintage_fetch_plan",
+    "should_fallback_plain",
+    "advance_watermark",
 ]
 
 
@@ -207,3 +213,83 @@ def paginate(
         if len(page) < page_size:
             return
         offset += page_size
+
+
+# --- S5: FRED/ALFRED vintage fetch planner (macro.ts:43-48, 84-135) ---
+
+VINTAGE_REFETCH_DAYS = 90  # monthly indicators: re-fetch last 3 months
+INITIAL_BACKFILL_DAYS = 730  # first run: 2 years
+
+
+def is_monthly_or_lower(frequency: str) -> bool:
+    """fred/series-config.ts:56-58."""
+    return frequency in ("monthly", "quarterly")
+
+
+def vintage_fetch_plan(
+    series_list: list[dict],
+    *,
+    backfill_days: int = 0,
+    today,
+) -> list[dict]:
+    """Per-series incremental fetch plan (macro.ts:84-116).
+
+    Each series dict carries `series_id`, `frequency`, and
+    `last_value_date` (a datetime.date watermark, or None). `today` is
+    injected (datetime.date) — no wall clock, so plans are
+    deterministic under test and replayable.
+
+    Branch order is the reference's exactly:
+      1. backfill_days > 0  -> explicit backfill from today-backfill_days,
+         fetched as ALFRED *initial release* (macro.ts:108-116: the
+         latest-vintage fetch would stamp every historical observation
+         with realtime_start = fetch time, destroying point-in-time
+         correctness);
+      2. no watermark       -> first run, today-730;
+      3. monthly/quarterly  -> vintage window, today-90 (revisions);
+      4. else               -> incremental from the watermark.
+    """
+    import datetime as dt
+
+    plans = []
+    for s in series_list:
+        if backfill_days > 0:
+            start = today - dt.timedelta(days=backfill_days)
+            initial_release, reason = True, "explicit_backfill"
+        elif s.get("last_value_date") is None:
+            start = today - dt.timedelta(days=INITIAL_BACKFILL_DAYS)
+            initial_release, reason = False, "initial_backfill"
+        elif is_monthly_or_lower(s["frequency"]):
+            start = today - dt.timedelta(days=VINTAGE_REFETCH_DAYS)
+            initial_release, reason = False, "vintage_refetch"
+        else:
+            start = s["last_value_date"]
+            initial_release, reason = False, "incremental"
+        plans.append(
+            {
+                "series_id": s["series_id"],
+                "observation_start": start,
+                "initial_release": initial_release,
+                "reason": reason,
+            }
+        )
+    return plans
+
+
+def should_fallback_plain(plan: dict, n_observations: int) -> bool:
+    """macro.ts:119-127: an initial-release (ALFRED) fetch that returns
+    zero observations falls back to the plain latest-vintage fetch —
+    a value with an imprecise released_at beats no value."""
+    return bool(plan.get("initial_release")) and n_observations == 0
+
+
+def advance_watermark(series: dict, observation_dates: list) -> dict:
+    """macro.ts:171-186: after a successful upsert, last_value_date
+    advances to the max observation date (never regresses)."""
+    if not observation_dates:
+        return dict(series)
+    mx = max(observation_dates)
+    prev = series.get("last_value_date")
+    out = dict(series)
+    out["last_value_date"] = mx if prev is None or mx > prev else prev
+    return out

@@ -28,13 +28,31 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Parquet schema cache, keyed by file path. Schema inference runs a
+# Spark job (footer read) per `spark.read.parquet` call; composite
+# panels load the same table once per member, so without this cache a
+# single plan build re-reads the same footer up to 11 times. The
+# schema is a property of the (immutable per round) file, not the
+# session, so caching across sessions is safe; with a cached schema
+# `spark.read.schema(s).parquet(path)` builds job-free.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    s = _SCHEMA_CACHE.get(path)
+    if s is not None:
+        return spark.read.schema(s).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         return _load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -55,8 +73,10 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     and arithmetics on the bigint, which is also the cheapest sort key.
     """
     try:
-        df = spark.read.parquet(path)
+        df = _read_parquet_cached(spark, path)
     except Exception:
+        # (the nanos path below is never schema-cached: its schema is
+        # only valid while the legacy flag is in effect)
         # Likely TIMESTAMP(NANOS); retry with the legacy flag, scoped so
         # the session-wide setting is not mutated as a load side effect.
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)

@@ -1,0 +1,55 @@
+"""Fused event-indicator panel: the one-pass production form must be
+value-identical to the join-of-members panel, with ONE Exchange in its
+plan vs the panel's 11 member shuffles (round-4 verdict item 3)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from japanstockdatapipeline_spark.plans import all_members, all_queries
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(row):
+        out = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                out.append("NaN" if math.isnan(v) else f"{v:.9g}")
+            else:
+                out.append("NULL" if v is None else str(v))
+        return "\x01".join(out)
+
+    return sorted(key(r) for r in rows)
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fused_equals_panel(spark):
+    fused = all_members()["event_indicator_fused"].fn(spark, SF_SMOKE)
+    panel = all_queries()["event_indicator_panel"].fn(spark, SF_SMOKE)
+    assert sorted(fused.columns) == sorted(panel.columns)
+    frows = [tuple(r) for r in fused.collect()]
+    prows = [tuple(r) for r in panel.collect()]
+    assert len(frows) == len(prows)
+    assert _normalize(frows, fused.columns) == _normalize(prows, panel.columns)
+
+
+def test_fused_plan_has_one_exchange(spark):
+    fused = all_members()["event_indicator_fused"].fn(spark, SF_SMOKE)
+    panel = all_queries()["event_indicator_panel"].fn(spark, SF_SMOKE)
+    # count node-detail headers "(N) Exchange" — the formatted explain
+    # prints every node twice (tree + detail), headers appear once
+    n_fused = len(re.findall(r"\(\d+\) Exchange\b", _plan_of(fused)))
+    n_panel = len(re.findall(r"\(\d+\) Exchange\b", _plan_of(panel)))
+    assert n_fused == 1, f"fused form must shuffle exactly once, saw {n_fused}"
+    assert n_panel >= 11, f"join-of-members panel shuffles per member, saw {n_panel}"

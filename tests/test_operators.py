@@ -234,3 +234,25 @@ def test_dup_clusters_reliable_checkpoint_branch(spark, tmp_path):
         else:
             # clear it so later tests keep the localCheckpoint fast path
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_multi_basket_all_equals_single_basket(spark):
+    """The 'all' basket of the group-parallel N-basket job must equal
+    the single-basket pit_basket_valuation member exactly."""
+    from japanstockdatapipeline_spark.plans import all_members
+
+    sf = "/root/testdata/sf0.001"
+    single = {
+        r["day"]: (
+            r["n_constituents"],
+            r["weighted_per"],
+            r["weighted_per_fwd"],
+            r["index_level"],
+        )
+        for r in all_members()["pit_basket_valuation"].fn(spark, sf).collect()
+    }
+    multi = {
+        r["day"]: (r["n_const_all"], r["per_all"], r["per_fwd_all"], r["idx_all"])
+        for r in all_members()["multi_basket_valuation"].fn(spark, sf).collect()
+    }
+    assert single == multi

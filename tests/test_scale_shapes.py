@@ -109,6 +109,55 @@ def test_partition_pruning_on_gold_tables(spark, sf_dir, tmp_path):
     assert days <= {19723}
 
 
+# Queries whose operator semantics inherently require driver-side jobs
+# at plan-construction time; each is bounded by construction:
+# - embedding_knn_topk: the BLAS matmul path collects the QUERY matrix
+#   (small by construction — never the corpus) to broadcast into the
+#   mapInPandas closure; ann_topk_panel contains it.
+# - doc_dup_clusters / corpus_prep_pipeline: iterative label
+#   propagation — the per-round convergence check IS the algorithm
+#   (runs on the pruned pair graph, not the corpus); doc_feature_panel
+#   contains both.
+PLAN_TIME_JOB_ALLOWLIST = {
+    "embedding_knn_topk",
+    "ann_topk_panel",
+    "doc_dup_clusters",
+    "corpus_prep_pipeline",
+    "doc_feature_panel",
+}
+
+
+def test_plan_build_triggers_no_jobs(spark):
+    """Plan construction must be lazy: building any registered query's
+    DataFrame (q.fn) must launch ZERO Spark jobs. Eager count()/first()
+    literals at build time become extra full passes at 100 TB — the
+    broadcast-1-row-aggregate form keeps the scalar inside the job."""
+    from japanstockdatapipeline_spark.plans import all_members, all_queries
+    from japanstockdatapipeline_spark.sources import TABLE_NAMES
+
+    # warm the parquet schema cache: the one footer-inference job per
+    # table is a file property, not a per-query plan cost
+    for t in TABLE_NAMES:
+        load_table(spark, "/root/testdata/sf0.001", t)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    failures = []
+    for name, q in {**all_queries(), **all_members()}.items():
+        if name in PLAN_TIME_JOB_ALLOWLIST:
+            continue
+        group = f"plan-build-{name}"
+        sc.setJobGroup(group, "plan-construction job audit")
+        try:
+            q.fn(spark, "/root/testdata/sf0.001")
+        finally:
+            sc._jsc.clearJobGroup()  # noqa: SLF001
+        jobs = tracker.getJobIdsForGroup(group)
+        if jobs:
+            failures.append(f"{name}: plan build ran {len(jobs)} Spark job(s)")
+    assert not failures, "\n".join(failures)
+
+
 def test_explain_audit_checks_hold(spark):
     """The full physical-plan audit (tools/explain_audit.py CHECKS)
     must hold at sf0.001 — pushdown, broadcast-vs-SMJ choices,
