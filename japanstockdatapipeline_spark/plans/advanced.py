@@ -586,3 +586,82 @@ def user_value_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n2n(F.col("macd_signal")), 6).alias("macd_signal"),
         F.round(n2n(F.col("macd_hist")), 6).alias("macd_hist"),
     )
+
+
+@member(
+    "manifest_replay",
+    doc="ST2/ST7 manifest replay as a query (job_runs 00002:5-95 + "
+    "catch-up.ts:49-117): a deterministic run log is synthesized over "
+    "the distinct order dates (attempt 1 fails on every 5th epoch-day; "
+    "those days retry, and the retry fails again on every 10th), then "
+    "the manifest semantics are evaluated distributed: last-attempt "
+    "status, idempotent completion (ANY success counts, like "
+    "RunManifest.completed_dates), and the catch-up verdict (oldest 5 "
+    "incomplete days get planned). The RunManifest/catch_up_plan code "
+    "path is asserted equal to this query in tests/test_incremental2.py.",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders
+    ), d AS (
+      SELECT order_date, datediff('day', DATE '1970-01-01', order_date) AS dn FROM days
+    ), runs AS (
+      SELECT order_date, 1 AS attempt,
+             CASE WHEN dn % 5 = 0 THEN 'failed' ELSE 'success' END AS status
+      FROM d
+      UNION ALL
+      SELECT order_date, 2,
+             CASE WHEN dn % 10 = 0 THEN 'failed' ELSE 'success' END
+      FROM d WHERE dn % 5 = 0
+    ), per_day AS (
+      SELECT order_date,
+             CAST(count(*) AS BIGINT) AS n_attempts,
+             max_by(status, attempt) AS final_status,
+             bool_or(status = 'success') AS is_completed
+      FROM runs GROUP BY order_date
+    )
+    SELECT strftime(order_date, '%Y-%m-%d') AS order_date,
+           n_attempts, final_status, is_completed,
+           (NOT is_completed) AND
+           row_number() OVER (PARTITION BY is_completed ORDER BY order_date) <= 5
+             AS catch_up_planned
+    FROM per_day
+    """,
+)
+def manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").cast("date").alias("order_date")).distinct()
+    dn = F.datediff(F.col("order_date"), F.lit("1970-01-01").cast("date"))
+    runs1 = days.select(
+        "order_date",
+        F.lit(1).alias("attempt"),
+        F.when(dn % 5 == 0, "failed").otherwise("success").alias("status"),
+    )
+    runs2 = days.filter(dn % 5 == 0).select(
+        "order_date",
+        F.lit(2).alias("attempt"),
+        F.when(dn % 10 == 0, "failed").otherwise("success").alias("status"),
+    )
+    per_day = (
+        runs1.unionByName(runs2)
+        .groupBy("order_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attempts"),
+            F.max_by("status", "attempt").alias("final_status"),
+            F.max((F.col("status") == "success").cast("int"))
+            .cast("boolean")
+            .alias("is_completed"),
+        )
+    )
+    # oldest-5 catch-up pick: the rank runs over the tiny per-day
+    # manifest (one row per date), not the fact table
+    wrk = Window.partitionBy("is_completed").orderBy("order_date")
+    return per_day.select(
+        # the calendar panel keys on the formatted date string
+        F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+        "n_attempts",
+        "final_status",
+        "is_completed",
+        ((~F.col("is_completed")) & (F.row_number().over(wrk) <= 5)).alias(
+            "catch_up_planned"
+        ),
+    )

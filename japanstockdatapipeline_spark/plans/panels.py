@@ -275,11 +275,13 @@ register_panel(
         "era_date_roundtrip",
         "yahoo_chart_roundtrip",
         "estat_obs_roundtrip",
+        "manifest_replay",
     ),
-    doc="Per-date calendar panel (U3, F1-F3, F9/S7, S8, S6): distinct "
-    "dates, JST/business-day/fiscal math, era-date round-trip, and "
-    "the Yahoo-chart parse round-trip joined on order_date (bars with "
-    "an injected null close are absent -> NULL yc_* columns).",
+    doc="Per-date calendar panel (U3, F1-F3, F9/S7, S8, S6, ST2/ST7): "
+    "distinct dates, JST/business-day/fiscal math, era-date round-trip, "
+    "the Yahoo-chart parse round-trip, and the manifest-replay run-log "
+    "verdicts joined on order_date (bars with an injected null close "
+    "are absent -> NULL yc_* columns).",
 )
 
 register_panel(

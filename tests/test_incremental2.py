@@ -125,3 +125,45 @@ def test_write_with_audit_observes_rows_and_nulls(spark, tmp_path):
     assert metrics == {"rows": 3, "nulls_v": 2}
     back = spark.read.parquet(str(tmp_path / "audited"))
     assert back.count() == 3
+
+
+def test_manifest_replay_query_matches_runmanifest_code(spark, tmp_path):
+    """The manifest_replay query's verdicts must equal what the actual
+    RunManifest + catch_up_plan code produces for the same scenario:
+    attempt 1 fails on dn%5==0 days, the retry fails again on dn%10==0."""
+    import datetime as dt
+
+    from japanstockdatapipeline_spark.plans import all_members
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        RunManifest,
+        catch_up_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_members()["manifest_replay"].fn(spark, sf).collect()
+
+    # replay the same scenario through the real manifest code
+    epoch = dt.date(1970, 1, 1)
+    manifest = RunManifest(str(tmp_path / "runs.jsonl"))
+    days = sorted(dt.date.fromisoformat(r["order_date"]) for r in rows)
+    for day in days:
+        dn = (day - epoch).days
+        rid = manifest.start("gold_refresh", day.isoformat())
+        manifest.finish(rid, "failed" if dn % 5 == 0 else "success")
+        if dn % 5 == 0:
+            rid2 = manifest.start("gold_refresh", day.isoformat())
+            manifest.finish(rid2, "failed" if dn % 10 == 0 else "success")
+
+    completed = manifest.completed_dates("gold_refresh")
+    for r in rows:
+        assert (r["order_date"] in completed) == r["is_completed"]
+        dn = (dt.date.fromisoformat(r["order_date"]) - epoch).days
+        assert r["n_attempts"] == (2 if dn % 5 == 0 else 1)
+
+    cal = spark.createDataFrame([(d,) for d in days], ["d"])
+    done = spark.createDataFrame(
+        [(dt.date.fromisoformat(s),) for s in sorted(completed)] or [(None,)], ["d"]
+    )
+    planned_code = set(catch_up_plan(cal, done, max_catch_up=5))
+    planned_query = {dt.date.fromisoformat(r["order_date"]) for r in rows if r["catch_up_planned"]}
+    assert planned_code == planned_query
