@@ -99,14 +99,21 @@ def snapshot_from_bars(
 
     stoch_k = stoch_d = np.nan
     if n >= 14:
-        hh = pd.Series(h).rolling(14).max().to_numpy()
-        ll = pd.Series(low).rolling(14).min().to_numpy()
+        # trailing 14-bar HH/LL via strided windows (a pandas .rolling
+        # object per group costs ~40% of the whole kernel at 1500 groups)
+        hh = np.full(n, np.nan)
+        ll = np.full(n, np.nan)
+        hh[13:] = np.lib.stride_tricks.sliding_window_view(h, 14).max(axis=1)
+        ll[13:] = np.lib.stride_tricks.sliding_window_view(low, 14).min(axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             raw_k = np.where(hh != ll, 100.0 * (c - ll) / (hh - ll), np.nan)
         # smaNullable: any NaN in the window -> NaN (technical.ts:88-102)
-        k_s = pd.Series(raw_k).rolling(3).mean()
-        d_s = k_s.rolling(3).mean()
-        stoch_k, stoch_d = float(k_s.iloc[-1]), float(d_s.iloc[-1])
+        # — NaN propagation through the plain window mean gives exactly that
+        k_s = np.full(n, np.nan)
+        k_s[2:] = np.lib.stride_tricks.sliding_window_view(raw_k, 3).mean(axis=1)
+        d_s = np.full(n, np.nan)
+        d_s[2:] = np.lib.stride_tricks.sliding_window_view(k_s, 3).mean(axis=1)
+        stoch_k, stoch_d = float(k_s[-1]), float(d_s[-1])
 
     bb_pb = bb_bw = np.nan
     if n >= 20:
