@@ -533,21 +533,27 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
     by_term = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    # total token count = sum(tf) over the already-aggregated vocab table:
-    # one tokenize pass; the groupBy exchange is shared (ReuseExchange)
-    # between the broadcast total and the main branch — no plan-time job,
-    # no second corpus scan.
-    tot = by_term.agg(F.sum("tf").cast("double").alias("n_total"))
+    # total token count = global window sum over the already-aggregated
+    # VOCAB table — the only form whose plan tokenizes the corpus ONCE
+    # (a broadcast 1-row aggregate of sum(tf) re-derives by_term:
+    # column pruning makes the two subtrees differ, so ReuseExchange
+    # never fires — measured: 2 scans). The single-partition window is
+    # over distinct terms, sublinear in corpus size (SCALE.md cliff #2:
+    # bounded-axis single-partition windows are the accepted pattern).
+    w_all = Window.partitionBy()
     return (
-        by_term.crossJoin(F.broadcast(tot))
-        .withColumn("corpus_share", F.round(F.col("tf") / F.col("n_total"), 6))
-        .drop("n_total")
+        by_term.withColumn(
+            "corpus_share",
+            F.round(F.col("tf") / F.sum("tf").over(w_all).cast("double"), 6),
+        )
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(20)
     )

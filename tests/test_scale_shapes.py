@@ -158,6 +158,24 @@ def test_plan_build_triggers_no_jobs(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_vocab_stats_single_corpus_scan(spark):
+    """doc_vocab_stats must tokenize the corpus exactly once (r4
+    verdict item 1): the corpus-share total comes from a window over
+    the vocab table, never a second scan+explode of documents."""
+    import re
+
+    from japanstockdatapipeline_spark.plans import all_queries
+
+    df = all_queries()["doc_vocab_stats"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    n_explodes = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_scans == 1, f"expected 1 corpus scan, saw {n_scans}"
+    assert n_explodes == 1, f"expected 1 tokenize explode, saw {n_explodes}"
+
+
 def test_explain_audit_checks_hold(spark):
     """The full physical-plan audit (tools/explain_audit.py CHECKS)
     must hold at sf0.001 — pushdown, broadcast-vs-SMJ choices,
