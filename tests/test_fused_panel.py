@@ -44,6 +44,22 @@ def test_fused_equals_panel(spark):
     assert _normalize(frows, fused.columns) == _normalize(prows, panel.columns)
 
 
+def test_fused_jvm_equals_panel(spark):
+    fused = all_members()["event_indicator_fused_jvm"].fn(spark, SF_SMOKE)
+    panel = all_queries()["event_indicator_panel"].fn(spark, SF_SMOKE)
+    assert sorted(fused.columns) == sorted(panel.columns)
+    frows = [tuple(r) for r in fused.collect()]
+    prows = [tuple(r) for r in panel.collect()]
+    assert len(frows) == len(prows)
+    assert _normalize(frows, fused.columns) == _normalize(prows, panel.columns)
+
+
+def test_fused_jvm_plan_has_one_exchange(spark):
+    fused = all_members()["event_indicator_fused_jvm"].fn(spark, SF_SMOKE)
+    n = len(re.findall(r"\(\d+\) Exchange\b", _plan_of(fused)))
+    assert n == 1, f"JVM fused form must shuffle exactly once, saw {n}"
+
+
 def test_fused_plan_has_one_exchange(spark):
     fused = all_members()["event_indicator_fused"].fn(spark, SF_SMOKE)
     panel = all_queries()["event_indicator_panel"].fn(spark, SF_SMOKE)
