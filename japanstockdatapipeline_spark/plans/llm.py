@@ -814,3 +814,130 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_chunk_frac"
         ),
     )
+
+
+@member(
+    "doc_decontamination",
+    doc="Benchmark decontamination (training-data op; the GPT-3/Dolma "
+    "n-gram collision rule): documents playing the eval set (doc_id % "
+    "97 == 0) contribute their distinct 8-token grams; every training "
+    "doc sharing >= 1 gram with that set is flagged, with the count of "
+    "distinct shared grams. Scale shape: the benchmark gram set is "
+    "small by construction and BROADCAST; the corpus-side explode "
+    "joins 8-byte gram hashes against it — no shuffle of the corpus, "
+    "one re-aggregate per flagged doc.",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN 'eval' ELSE 'train' END AS decon_role,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            for i in range(1, len(toks) - 6)]) AS gs
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> ''), x -> lower(x)) AS toks
+        FROM documents
+      )
+    ), g AS (
+      SELECT doc_id, decon_role, g.gram
+      FROM (SELECT * FROM d WHERE len(gs) > 0), LATERAL unnest(gs) AS g(gram)
+    ), eg AS (
+      SELECT DISTINCT gram FROM g WHERE decon_role = 'eval'
+    ), sh AS (
+      SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_sh
+      FROM g JOIN eg USING (gram) WHERE g.decon_role = 'train'
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.decon_role,
+           CASE WHEN d.decon_role = 'train' THEN coalesce(sh.n_sh, 0) END
+             AS n_shared_grams,
+           CASE WHEN d.decon_role = 'train' THEN coalesce(sh.n_sh, 0) > 0 END
+             AS is_contaminated
+    FROM d LEFT JOIN sh USING (doc_id)
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    role = F.when(F.col("doc_id") % 97 == 0, "eval").otherwise("train")
+    d = docs.select(
+        "doc_id", role.alias("decon_role"), TX.shingles(F.col("text"), 8).alias("gs")
+    )
+    g = d.select(
+        "doc_id", "decon_role", F.explode("gs").alias("gram")
+    ).select("doc_id", "decon_role", F.xxhash64("gram").alias("g"))
+    eval_grams = g.filter(F.col("decon_role") == "eval").select("g").distinct()
+    shared = (
+        g.filter(F.col("decon_role") == "train")
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_sh"))
+    )
+    out = d.select("doc_id", "decon_role").join(shared, "doc_id", "left")
+    is_train = F.col("decon_role") == "train"
+    n_shared = F.when(is_train, F.coalesce(F.col("n_sh"), F.lit(0)).cast("bigint"))
+    return out.select(
+        "doc_id",
+        "decon_role",
+        n_shared.alias("n_shared_grams"),
+        F.when(is_train, n_shared > 0).alias("is_contaminated"),
+    )
+
+
+@member(
+    "doc_sequence_packing",
+    doc="Sequence packing for training batches (training-data op): "
+    "documents stream into fixed 2048-token context windows in "
+    "deterministic (shard, doc_id) order — each doc occupies token "
+    "span [cum - n, cum); emitted per doc: start offset, first/last "
+    "window id, boundary-straddle flag. Packing is per shard (= lang "
+    "here), so the running sum is a window partitioned by shard, "
+    "never a global single-partition pass.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang AS pack_shard, n_toks AS pack_n_tokens,
+           CAST(cum - n_toks AS BIGINT) AS pack_start_tok,
+           CAST((cum - n_toks) // 2048 AS BIGINT) AS pack_seq_start,
+           CAST(CASE WHEN n_toks > 0 THEN (cum - 1) // 2048
+                     ELSE (cum - n_toks) // 2048 END AS BIGINT) AS pack_seq_end,
+           (CASE WHEN n_toks > 0 THEN (cum - 1) // 2048
+                 ELSE (cum - n_toks) // 2048 END) > ((cum - n_toks) // 2048)
+             AS pack_spans_boundary
+    FROM c
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = 2048
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", TX.n_tokens(F.col("text")).alias("n_toks"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    start = F.col("cum") - F.col("n_toks")
+    seq_start = F.expr(f"(cum - n_toks) DIV {W}")
+    seq_end = F.when(
+        F.col("n_toks") > 0, F.expr(f"(cum - 1) DIV {W}")
+    ).otherwise(seq_start)
+    return c.select(
+        "doc_id",
+        F.col("lang").alias("pack_shard"),
+        F.col("n_toks").alias("pack_n_tokens"),
+        start.cast("bigint").alias("pack_start_tok"),
+        seq_start.cast("bigint").alias("pack_seq_start"),
+        seq_end.cast("bigint").alias("pack_seq_end"),
+        (seq_end > seq_start).alias("pack_spans_boundary"),
+    )

@@ -211,6 +211,8 @@ register_panel(
         "corpus_prep_pipeline",
         "doc_hybrid_scores",
         "doc_chunk_dedup",
+        "doc_decontamination",
+        "doc_sequence_packing",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
@@ -220,8 +222,9 @@ register_panel(
     },
     doc="Per-document LLM-prep panel: text stats, language id, BPE "
     "token stats, repetition/boilerplate ratios, fingerprints, "
-    "normalization, stratified-sample membership, dup cluster, and "
-    "the end-to-end corpus-prep verdict joined on doc_id.",
+    "normalization, stratified-sample membership, dup cluster, the "
+    "end-to-end corpus-prep verdict, benchmark decontamination, and "
+    "context-window sequence packing joined on doc_id.",
 )
 
 register_panel(
