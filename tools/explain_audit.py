@@ -86,6 +86,24 @@ CHECKS = {
     "embedding_lsh_topk": [
         ("BroadcastNestedLoopJoin|CartesianProduct", False, "bucketed: no cross join"),
     ],
+    "doc_decontamination": [
+        ("BroadcastHashJoin", True, "benchmark gram set is the broadcast side"),
+        ("SortMergeJoin|ShuffledHashJoin", False, "corpus side never shuffles for the probe"),
+    ],
+    "doc_sequence_packing": [
+        ("hashpartitioning\\(lang", True, "running token sum partitions by shard, not global"),
+    ],
+    "event_indicator_fused_jvm": [
+        ("MapInPandas", True, "recursive family appended pandas-side"),
+        ("Join", False, "fused: no join operator anywhere"),
+    ],
+    "multi_basket_valuation": [
+        ("BroadcastHashJoin|BroadcastExchange", True, "day-index broadcast per basket"),
+        ("CartesianProduct", False, "membership fan-out is an equi-join, not a product"),
+    ],
+    "manifest_replay": [
+        ("HashAggregate", True, "per-day manifest resolution is one aggregate"),
+    ],
 }
 
 
