@@ -43,6 +43,10 @@ __all__ = [
     "vintage_fetch_plan",
     "should_fallback_plain",
     "advance_watermark",
+    "MAX_CALENDAR_RANGE_DAYS",
+    "calendar_sync_range",
+    "next_business_day",
+    "CoverageLedger",
 ]
 
 
@@ -293,3 +297,86 @@ def advance_watermark(series: dict, observation_dates: list) -> dict:
     out = dict(series)
     out["last_value_date"] = mx if prev is None or mx > prev else prev
     return out
+
+
+# --- S4: dataset-sync planning halves (trading-calendar.ts:133-185,
+#         cron-b.ts:64-95, earnings-calendar.ts fencing) ---
+
+MAX_CALENDAR_RANGE_DAYS = 3650  # ~10 years (trading-calendar.ts:134)
+
+
+def calendar_sync_range(base_date, range_days: int = 370):
+    """Trading-calendar sync window (trading-calendar.ts:143-161):
+    (base - N, base + N) with N clamped to [1, 3650]; default ±370
+    days covers a year of future holidays. Returns (from, to) dates."""
+    import datetime as dt
+    import math
+
+    if not math.isfinite(range_days):
+        raise ValueError("calendar_sync_range: range_days must be finite")
+    r = min(max(1, int(range_days)), MAX_CALENDAR_RANGE_DAYS)
+    return base_date - dt.timedelta(days=r), base_date + dt.timedelta(days=r)
+
+
+def next_business_day(base_date, is_business_day, *, max_scan_days: int = 366):
+    """The earnings-calendar target date (cron-b.ts:64-73): the next
+    business day strictly after `base_date`, resolved against the
+    trading calendar (`is_business_day` predicate) BEFORE the fetch so
+    the whole run is pinned to one expected announcement date."""
+    import datetime as dt
+
+    d = base_date
+    for _ in range(max_scan_days):
+        d = d + dt.timedelta(days=1)
+        if is_business_day(d):
+            return d
+    raise ValueError(f"no business day within {max_scan_days} days of {base_date}")
+
+
+class CoverageLedger:
+    """Per-(dataset, target_date) attempt coverage with FENCING tokens
+    (earnings-calendar.ts attemptId + claim/fail_earnings_coverage_
+    attempt RPCs): a re-claim takes ownership (fencing any previous
+    success back to failed-pending), and only the CURRENT attempt may
+    record an outcome — a stale attempt's fail/success is rejected,
+    so a reclaimed-then-zombie run can never clobber fresh coverage."""
+
+    def __init__(self):
+        self._state: dict = {}
+
+    def claim(self, target_date, run_id: str, attempt_id: str) -> dict:
+        prev = self._state.get(target_date)
+        rec = {
+            "status": "claimed",
+            "run_id": run_id,
+            "attempt_id": attempt_id,
+            "fenced_previous_success": bool(prev and prev["status"] == "success"),
+        }
+        self._state[target_date] = rec
+        return dict(rec)
+
+    def _finish(self, target_date, attempt_id: str, status: str, **details) -> bool:
+        cur = self._state.get(target_date)
+        if cur is None or cur["attempt_id"] != attempt_id:
+            return False  # stale attempt: fenced out
+        cur["status"] = status
+        cur.update(details)
+        return True
+
+    def fail(self, target_date, attempt_id: str, *, row_count: int = 0,
+             error_count: int = 0, source_observed_at=None) -> bool:
+        return self._finish(
+            target_date, attempt_id, "failed", row_count=row_count,
+            error_count=error_count, source_observed_at=source_observed_at,
+        )
+
+    def success(self, target_date, attempt_id: str, *, row_count: int = 0,
+                source_observed_at=None) -> bool:
+        return self._finish(
+            target_date, attempt_id, "success", row_count=row_count,
+            source_observed_at=source_observed_at,
+        )
+
+    def status(self, target_date):
+        rec = self._state.get(target_date)
+        return dict(rec) if rec is not None else None

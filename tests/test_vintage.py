@@ -111,3 +111,64 @@ def test_pure_planner_matches_spark_planner_query(spark):
         assert r["initial_release"] == p["initial_release"]
         assert r["observation_start"] == p["observation_start"].isoformat()
         assert r["start_day"] == (p["observation_start"] - epoch).days
+
+
+# --- S4 planning halves (trading-calendar / cron-b / coverage fencing) ---
+
+
+def test_calendar_sync_range_clamps():
+    from japanstockdatapipeline_spark.sources.ingest import calendar_sync_range
+
+    base = dt.date(2024, 2, 7)
+    lo, hi = calendar_sync_range(base)
+    assert (base - lo).days == 370 and (hi - base).days == 370
+    lo, hi = calendar_sync_range(base, 0)  # clamp up to 1
+    assert (base - lo).days == 1 and (hi - base).days == 1
+    lo, hi = calendar_sync_range(base, 99999)  # clamp down to 3650
+    assert (base - lo).days == 3650
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calendar_sync_range(base, float("inf"))
+
+
+def test_next_business_day_skips_holidays():
+    from japanstockdatapipeline_spark.sources.ingest import next_business_day
+
+    holidays = {dt.date(2024, 2, 12)}  # Monday holiday
+
+    def is_bd(d):
+        return d.weekday() < 5 and d not in holidays
+
+    # Friday -> skips Sat/Sun and the Monday holiday -> Tuesday
+    assert next_business_day(dt.date(2024, 2, 9), is_bd) == dt.date(2024, 2, 13)
+    # strictly after: a business-day base still advances
+    assert next_business_day(dt.date(2024, 2, 13), is_bd) == dt.date(2024, 2, 14)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        next_business_day(dt.date(2024, 1, 1), lambda d: False, max_scan_days=10)
+
+
+def test_coverage_ledger_fencing():
+    from japanstockdatapipeline_spark.sources.ingest import CoverageLedger
+
+    led = CoverageLedger()
+    day = dt.date(2024, 2, 7)
+    led.claim(day, "run1", "attempt1")
+    assert led.success(day, "attempt1", row_count=10)
+    assert led.status(day)["status"] == "success"
+
+    # reclaim fences the previous success and takes ownership
+    rec = led.claim(day, "run2", "attempt2")
+    assert rec["fenced_previous_success"] is True
+    # the zombie attempt can no longer record anything
+    assert not led.success(day, "attempt1", row_count=99)
+    assert not led.fail(day, "attempt1")
+    assert led.status(day)["status"] == "claimed"
+    # the current attempt's outcome lands
+    assert led.fail(day, "attempt2", row_count=0, error_count=1)
+    st = led.status(day)
+    assert st["status"] == "failed" and st["run_id"] == "run2"
+    # unknown target is rejected
+    assert not led.success(dt.date(2030, 1, 1), "attempt2")
