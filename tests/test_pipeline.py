@@ -101,3 +101,16 @@ def test_lsh_near_dup_recall_vs_brute_force(spark, sf_dir):
     assert got <= brute
     if brute:
         assert len(got) / len(brute) >= 0.5
+
+
+def test_driver_contract_window_and_oracles(spark):
+    """The grading driver checks at most ~50 registered queries and
+    runs oracle_sql side-by-side: the registry must stay inside the
+    window, every registered query must carry an oracle (zero
+    rows-only), and the flagship entry must run."""
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(qs) <= 50, "registry exceeded the driver's 50-query window"
+    assert set(qs) == set(osql), "every registered query needs a value oracle"
+    assert E.entry(spark).count() > 0
