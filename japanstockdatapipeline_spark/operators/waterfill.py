@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["water_fill_cap"]
+__all__ = ["water_fill_cap", "budget_fill"]
 
 
 def water_fill_cap(
@@ -74,3 +74,66 @@ def water_fill_cap(
     n = F.count(F.lit(1)).over(grp)
     out = F.when(n * F.lit(cap) <= 1.0, 1.0 / n).otherwise(out)
     return o.withColumn(out_col, out).drop("__w", "__i", "__cum", "__flag")
+
+
+def budget_fill(
+    df: DataFrame,
+    capacity_col: str,
+    budget_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    tiebreak: str,
+    out_col: str = "alloc",
+    flag_col: str = "saturated",
+) -> DataFrame:
+    """Water-filling in the allocation direction: split a global
+    budget (`budget_col`, same value on every row of a group) across
+    rows with per-row capacity ceilings, equal shares with surplus
+    redistribution — a_i = min(c_i, lam), lam chosen so sum(a) =
+    min(budget, sum(c)).
+
+    Dual of `water_fill_cap` (same fixpoint argument): processed in
+    ASCENDING capacity order, the saturated set is always a prefix —
+    row i saturates iff c_i * (n - i + 1) <= B - cum_{i-1}, and the
+    condition is monotone down the sorted order, so the prefix length
+    is a running AND, all expressible with windows. One shuffle per
+    group, no iteration (the iterative equal-share/redistribute loop
+    is the property-test reference, tests/test_waterfill.py).
+
+    Used by the training-data mixture planner (`doc_mixture_plan`):
+    capacities = per-source token counts, budget = target corpus
+    tokens; the allocation is how many tokens to sample per source
+    and `alloc/capacity` the per-source sampling rate.
+    """
+    grp_cols = list(group_cols or [])
+    worder = (
+        Window.partitionBy(*grp_cols).orderBy(
+            F.col(capacity_col).asc(), F.col(tiebreak).asc()
+        )
+        if grp_cols
+        else Window.orderBy(F.col(capacity_col).asc(), F.col(tiebreak).asc())
+    )
+    run = worder.rowsBetween(Window.unboundedPreceding, 0)
+    grp = Window.partitionBy(*grp_cols) if grp_cols else Window.partitionBy()
+    b = F.col(budget_col).cast("double")
+    c = F.col(capacity_col).cast("double")
+    o = (
+        df.withColumn("__i", F.row_number().over(worder))
+        .withColumn("__cum", F.sum(c).over(run))
+        .withColumn("__n", F.count(F.lit(1)).over(grp))
+    )
+    # row i saturates iff c_i * (remaining rows) <= remaining budget
+    cond = (c * (F.col("__n") - F.col("__i") + 1) <= b - (F.col("__cum") - c)).cast("int")
+    o = o.withColumn("__flag", F.min(cond).over(run))  # running AND prefix
+    k_star = F.max(F.when(F.col("__flag") == 1, F.col("__i"))).over(grp)
+    cum_k = F.max(F.when(F.col("__flag") == 1, F.col("__cum"))).over(grp)
+    # lam = remaining budget / unsaturated count (prefix proof => lam < c_i there)
+    lam = (b - F.coalesce(cum_k, F.lit(0.0))) / (
+        F.col("__n") - F.coalesce(k_star, F.lit(0))
+    )
+    alloc = F.when(F.col("__flag") == 1, c).otherwise(F.greatest(lam, F.lit(0.0)))
+    return (
+        o.withColumn(out_col, alloc)
+        .withColumn(flag_col, F.col("__flag") == 1)
+        .drop("__i", "__cum", "__n", "__flag")
+    )

@@ -941,3 +941,149 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_end.cast("bigint").alias("pack_seq_end"),
         (seq_end > seq_start).alias("pack_spans_boundary"),
     )
+
+
+@member(
+    "doc_mixture_plan",
+    doc="Data-mixture planner (training-data op): allocate a global "
+    "token budget (90% of corpus tokens) across sources with equal "
+    "shares + surplus redistribution, capped at each source's actual "
+    "token capacity — the water-filling allocation dual "
+    "(operators/waterfill.budget_fill, closed form via windows, no "
+    "iteration). Output per source: capacity, allocated tokens, the "
+    "sampling rate a downstream stratified sampler would apply, and "
+    "whether the source is fully consumed (saturated). Scale: the "
+    "groupBy shuffles on source (map-side combine); the allocation "
+    "windows run over #sources rows — thousands at most, never rows.",
+    oracle="""
+    WITH cap AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> x <> ''))) AS BIGINT) AS capacity_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(floor(0.9 * sum(capacity_tokens)) AS DOUBLE) AS budget
+      FROM cap
+    ), w AS (
+      SELECT c.source, c.capacity_tokens, t.budget,
+             CAST(row_number() OVER ord AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(c.capacity_tokens) OVER (ord ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+      FROM cap c, tot t
+      WINDOW ord AS (ORDER BY c.capacity_tokens ASC, c.source ASC)
+    ), f AS (
+      SELECT *, min(CASE WHEN capacity_tokens * (n - i + 1)
+                              <= budget - (cum - capacity_tokens)
+                         THEN 1 ELSE 0 END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS flag
+      FROM w
+    ), k AS (
+      SELECT *, max(CASE WHEN flag = 1 THEN i END) OVER () AS k_star,
+                max(CASE WHEN flag = 1 THEN cum END) OVER () AS cum_k
+      FROM f
+    )
+    SELECT source, capacity_tokens,
+           round(CASE WHEN flag = 1 THEN CAST(capacity_tokens AS DOUBLE)
+                 ELSE greatest((budget - coalesce(cum_k, 0))
+                               / (n - coalesce(k_star, 0)), 0) END, 4) AS alloc_tokens,
+           round(CASE WHEN flag = 1 THEN 1.0
+                 ELSE greatest((budget - coalesce(cum_k, 0))
+                               / (n - coalesce(k_star, 0)), 0)
+                      / capacity_tokens END, 6) AS sample_rate,
+           flag = 1 AS saturated
+    FROM k
+    """,
+)
+def doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.waterfill import budget_fill
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = d.groupBy("source").agg(
+        F.sum(TX.n_tokens(F.col("text"))).alias("capacity_tokens")
+    )
+    # lazy broadcast 1-row budget: no plan-time job
+    tot = cap.agg(
+        F.floor(0.9 * F.sum("capacity_tokens")).cast("double").alias("budget")
+    )
+    w = cap.crossJoin(F.broadcast(tot))
+    a = budget_fill(
+        w, "capacity_tokens", "budget", tiebreak="source", out_col="__alloc"
+    )
+    return a.select(
+        "source",
+        "capacity_tokens",
+        F.round(F.col("__alloc"), 4).alias("alloc_tokens"),
+        F.round(F.col("__alloc") / F.col("capacity_tokens"), 6).alias("sample_rate"),
+        "saturated",
+    )
+
+
+@member(
+    "doc_incremental_dedup",
+    doc="Incremental corpus dedup (training-data op): docs below the "
+    "80%-of-max id cutoff are the already-ingested corpus snapshot, "
+    "the rest the incoming batch. Each incoming doc is fingerprinted "
+    "(md5 of the sorted distinct lowercase token set — exact-set "
+    "near-dup; the fingerprint is pluggable) and classified: "
+    "dup_of_corpus (fingerprint already in the snapshot), "
+    "dup_in_batch (an earlier incoming doc has it), unique (keep). "
+    "Scale: fingerprint groupBy + one equi-join on the fingerprint — "
+    "the snapshot side never re-scans text, only its fingerprint "
+    "column; grain is incoming doc_id (corpus docs absent -> NULL "
+    "inc_* panel columns). Cutoff is a lazy broadcast 1-row agg.",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(ceil(0.8 * (max(doc_id) + 1)) AS BIGINT) AS cutoff
+      FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> ''))), ' ')) AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT f.fp FROM fp f, cut WHERE f.doc_id < cutoff
+    ), inc AS (
+      SELECT f.doc_id, f.fp FROM fp f, cut WHERE f.doc_id >= cutoff
+    ), m AS (
+      SELECT i.doc_id, c.fp IS NOT NULL AS in_corpus,
+             min(i.doc_id) OVER (PARTITION BY i.fp) AS first_id
+      FROM inc i LEFT JOIN corpus c USING (fp)
+    )
+    SELECT doc_id,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN doc_id = first_id THEN 'unique'
+                ELSE 'dup_in_batch' END AS inc_verdict,
+           (NOT in_corpus AND doc_id = first_id) AS inc_keep
+    FROM m
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.sort_array(F.array_distinct(TX.tokens(F.lower(F.trim(F.col("text")))))),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    cut = d.agg(F.ceil(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("cutoff"))
+    fp = fp.crossJoin(F.broadcast(cut))
+    corpus = fp.where(F.col("doc_id") < F.col("cutoff")).select("fp").distinct()
+    inc = fp.where(F.col("doc_id") >= F.col("cutoff")).select("doc_id", "fp")
+    m = inc.join(
+        corpus.withColumn("in_corpus", F.lit(True)), on="fp", how="left"
+    ).withColumn("first_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    in_corpus = F.coalesce(F.col("in_corpus"), F.lit(False))
+    return m.select(
+        "doc_id",
+        F.when(in_corpus, F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") == F.col("first_id"), F.lit("unique"))
+        .otherwise(F.lit("dup_in_batch"))
+        .alias("inc_verdict"),
+        (~in_corpus & (F.col("doc_id") == F.col("first_id"))).alias("inc_keep"),
+    )

@@ -213,6 +213,7 @@ register_panel(
         "doc_chunk_dedup",
         "doc_decontamination",
         "doc_sequence_packing",
+        "doc_incremental_dedup",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
@@ -333,11 +334,18 @@ register_panel(
 register_panel(
     "event_type_panel",
     ("event_type",),
-    ("cardinality_sketch_accuracy", "event_type_corr", "series_vintage_plan"),
-    renames={"series_vintage_plan": {"series_id": "event_type"}},
+    ("cardinality_sketch_accuracy", "event_type_corr", "series_vintage_plan", "doc_mixture_plan"),
+    renames={
+        "series_vintage_plan": {"series_id": "event_type"},
+        "doc_mixture_plan": {"source": "event_type"},
+    },
     doc="Per-event-type panel (A8 + HLL accuracy audit + S5 vintage "
-    "fetch planner): exact vs sketch user counts, corr/tracking-error, "
-    "and the per-series incremental fetch plan joined on event_type.",
+    "fetch planner + the token-budget mixture planner): exact vs "
+    "sketch user counts, corr/tracking-error, the per-series "
+    "incremental fetch plan, and per-source token allocations joined "
+    "on the key column (document sources appear as their own rows "
+    "with NULL event columns — full-outer union-of-grains, same as "
+    "the calendar panel's absent bars).",
 )
 
 register_panel(

@@ -107,3 +107,78 @@ def test_mixed_feasible_infeasible_groups_single_pass(spark):
     assert out[(1, 2)] == pytest.approx(0.2)
     assert out[(2, 1)] == pytest.approx(0.5)
     assert out[(2, 2)] == pytest.approx(0.5)
+
+
+# ---- budget_fill (allocation dual; doc_mixture_plan kernel) ----
+
+
+def iterative_budget_fill(c: np.ndarray, budget: float, max_iter: int = 1000) -> np.ndarray:
+    """Brute-force fixpoint for the allocation direction: equal share
+    of the remaining budget over unsaturated rows, saturate any row
+    whose capacity falls below its share, repeat."""
+    a = np.zeros(len(c), dtype=float)
+    sat = np.zeros(len(c), dtype=bool)
+    remaining = budget
+    for _ in range(max_iter):
+        un = ~sat
+        if not un.any() or remaining <= 0:
+            break
+        lam = remaining / un.sum()
+        newly = un & (c <= lam + 1e-15)
+        if not newly.any():
+            a[un] = lam
+            break
+        a[newly] = c[newly]
+        sat |= newly
+        remaining = budget - a[sat].sum()
+    a[~sat] = np.maximum(a[~sat], 0.0)
+    return a
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 7, 42])
+@pytest.mark.parametrize("frac", [0.1, 0.5, 0.9, 1.5])
+def test_budget_fill_matches_iterative(spark, seed, frac):
+    from japanstockdatapipeline_spark.operators.waterfill import budget_fill
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 25))
+    c = rng.uniform(1.0, 100.0, n)
+    budget = float(frac * c.sum())
+    expected = iterative_budget_fill(c.copy(), budget)
+
+    rows = [(i, float(c[i]), budget) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "cap", "budget"])
+    out = budget_fill(df, "cap", "budget", tiebreak="id")
+    pdf = out.orderBy("id").select("id", "alloc", "saturated").toPandas()
+    got = pdf["alloc"].to_numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-9)
+    # conservation: allocates exactly min(budget, total capacity)
+    assert got.sum() == pytest.approx(min(budget, c.sum()), rel=1e-9)
+    # ceilings respected
+    assert (got <= c + 1e-9).all()
+    # saturated flag == allocation pinned at capacity
+    np.testing.assert_array_equal(
+        pdf["saturated"].to_numpy(), np.isclose(got, c, rtol=1e-12)
+    )
+
+
+def test_budget_fill_grouped(spark):
+    """Groups solve independently in one pass."""
+    from japanstockdatapipeline_spark.operators.waterfill import budget_fill
+
+    rows = [
+        ("a", 1, 10.0, 12.0),
+        ("a", 2, 1.0, 12.0),   # saturates; surplus flows to id=1
+        ("b", 1, 5.0, 100.0),  # budget exceeds capacity: everything saturates
+        ("b", 2, 7.0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "cap", "budget"])
+    out = {
+        (r["g"], r["id"]): (r["alloc"], r["saturated"])
+        for r in budget_fill(df, "cap", "budget", group_cols=["g"], tiebreak="id").collect()
+    }
+    assert out[("a", 2)] == (1.0, True)
+    assert out[("a", 1)][0] == pytest.approx(10.0)  # lam=11 capped at capacity 10
+    assert out[("a", 1)][1] is True
+    assert out[("b", 1)] == (5.0, True)
+    assert out[("b", 2)] == (7.0, True)
