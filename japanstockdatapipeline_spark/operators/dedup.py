@@ -121,7 +121,16 @@ def ngram_jaccard_pairs(
                         b["n_sh"].alias("n_b"),
                     ),
                 ),
-                lambda p: p["id_a"] < p["id_b"],
+                # AllPairs/PPJoin-style length filter, exact-preserving:
+                # shared <= min(n_a, n_b), so J <= min/max; a pair whose
+                # shingle-count ratio is below the threshold can never
+                # pass the final J >= t cut — prune it BEFORE the pair
+                # shuffle instead of after the shared-count agg.
+                lambda p: (p["id_a"] < p["id_b"])
+                & (
+                    F.least(p["n_a"], p["n_b"]).cast("double")
+                    >= F.lit(threshold) * F.greatest(p["n_a"], p["n_b"])
+                ),
             ),
         )
     )
