@@ -247,18 +247,12 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
-def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
-    of (+1/-1) votes from each token's md5-derived bits. Near-dups have
-    small Hamming distance between simhashes.
+def simhash_expr(text):
+    """SimHash as a pure Column expression over a text column — shared
+    by the `simhash` operator and the fused one-pass document-feature
+    form (`doc_features_fused`), so both stay bit-identical."""
+    h = F.transform(tokens(F.lower(text)), lambda s: _md5_hash64(s, 0))
 
-    Implemented as 64 array-fold expressions; no UDF. At 100 TB this
-    is scan-bound and embarrassingly parallel.
-    """
-    toks = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("t"))
-    hashed = toks.withColumn(
-        "h", F.transform(F.col("t"), lambda s: _md5_hash64(s, 0))
-    )
     def bit_vote(bit):
         def f(acc, x):
             return acc + F.when(
@@ -269,12 +263,25 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
 
     bit_cols = []
     for bit in range(60):  # 60 bits from the 15-hex-char hash
-        vote = F.aggregate(F.col("h"), F.lit(0), bit_vote(bit))
+        vote = F.aggregate(h, F.lit(0), bit_vote(bit))
         bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**bit).cast("bigint"))
     sim = bit_cols[0]
     for c in bit_cols[1:]:
         sim = sim + c
-    return hashed.select(id_col, sim.alias("simhash"))
+    return sim
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of (+1/-1) votes from each token's md5-derived bits. Near-dups have
+    small Hamming distance between simhashes.
+
+    Implemented as 64 array-fold expressions; no UDF. At 100 TB this
+    is scan-bound and embarrassingly parallel.
+    """
+    return docs.select(
+        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
+    )
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:

@@ -374,7 +374,13 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.lower(F.col("text")))
+    return d.select("doc_id", _rolling_hash_expr(F.col("text")).alias("rolling_hash"))
+
+
+def _rolling_hash_expr(text):
+    """Rabin-Karp fold as a Column expression — shared by the member
+    and the fused one-pass form so both stay bit-identical."""
+    toks = TX.tokens(F.lower(text))
     # 7 hex chars = 28 bits; B=1000003, M=2^31-1 keeps a*B+b < 2^52 (exact)
     th = F.transform(
         toks,
@@ -382,8 +388,7 @@ def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
-    h = F.aggregate(th, F.lit(0).cast("bigint"), lambda a, b: (a * 1000003 + b) % 2147483647)
-    return d.select("doc_id", h.alias("rolling_hash"))
+    return F.aggregate(th, F.lit(0).cast("bigint"), lambda a, b: (a * 1000003 + b) % 2147483647)
 
 
 @member(
@@ -1086,4 +1091,114 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("dup_in_batch"))
         .alias("inc_verdict"),
         (~in_corpus & (F.col("doc_id") == F.col("first_id"))).alias("inc_keep"),
+    )
+
+
+def doc_features_fused(docs: DataFrame) -> DataFrame:
+    """ONE-pass production form of the expression-only document
+    features: the 9 per-document members that need no cross-document
+    join (text stats, lang id, BPE counts, repetition, rolling hash,
+    simhash, null normalization, stratified-sample membership,
+    sequence packing) computed in a single select over ONE scan of
+    documents — 1 Exchange total (the packing window on lang) vs the
+    panel's 9 member subtrees. Value-locked three ways: the same
+    FULL-JOIN DuckDB oracle as the member subset, an equivalence test
+    against the join-of-members (tests/test_fused_panel.py), and an
+    Exchange-count plan assertion.
+
+    Members whose output omits rows (repetition: docs with >= 1
+    token; stratified sample: kept docs only) surface as NULL columns
+    here, matching what the panel's full-outer join produces.
+    """
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    toks_l = TX.tokens(F.lower(t))
+    n_tok = TX.n_tokens(t)
+    has_tok = F.size(toks_l) > 0
+
+    # repetition (Gopher) as array expressions over the distinct set
+    dt = F.array_distinct(toks_l)
+    per_tok_counts = F.transform(
+        dt, lambda x: F.size(F.filter(toks_l, lambda y: y == x))
+    )
+    top_c = F.array_max(per_tok_counts).cast("bigint")
+    rep_n = F.size(toks_l).cast("bigint")
+
+    # stratified-sample membership as the same md5-threshold rule
+    keep_pct = (
+        F.when(F.col("lang") == "en", 30)
+        .when(F.col("lang").isin("zh", "de", "fr", "es"), 80)
+    )
+    samp_h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+    num_str = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1)
+    bpe = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+
+    from ..operators.dedup import simhash_expr
+
+    one = docs.select(
+        "doc_id",
+        "lang",
+        # doc_text_stats
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality_score"),
+        # doc_lang_id (panel rename lang -> li_lang)
+        F.col("lang").alias("li_lang"),
+        TX.lang_id(t).alias("pred_lang"),
+        # doc_bpe_token_stats
+        n_tok.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+        F.round(bpe.cast("double") / F.nullif(n_tok, F.lit(0)), 6).alias("pieces_per_word"),
+        # doc_repetition_ratio (panel rename n_tokens -> rep_n_tokens)
+        F.when(has_tok, rep_n).alias("rep_n_tokens"),
+        F.when(has_tok, top_c).alias("top_token_count"),
+        F.when(has_tok, F.round(top_c / rep_n, 6).cast("double")).alias("top_token_frac"),
+        F.when(has_tok, F.round(F.size(dt) / rep_n, 6).cast("double")).alias("distinct_frac"),
+        # doc_rolling_hash_fingerprint
+        _rolling_hash_expr(t).alias("rolling_hash"),
+        # doc_simhash
+        simhash_expr(t).alias("simhash"),
+        # doc_source_null_normalization
+        F.nullif(F.trim("source"), F.lit("")).alias("source_clean"),
+        F.when(num_str != "", num_str.try_cast("bigint")).alias("source_num"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("lang_filled"),
+        # doc_stratified_sample membership (panel rename lang -> ss_lang)
+        F.when(keep_pct.isNotNull() & (samp_h < keep_pct), F.col("lang")).alias("ss_lang"),
+        # doc_sequence_packing input
+        n_tok.alias("__pack_n"),
+    )
+    W_CTX = 2048
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = one.withColumn("__cum", F.sum("__pack_n").over(w))
+    start = F.col("__cum") - F.col("__pack_n")
+    seq_start = F.expr(f"(__cum - __pack_n) DIV {W_CTX}")
+    seq_end = F.when(
+        F.col("__pack_n") > 0, F.expr(f"(__cum - 1) DIV {W_CTX}")
+    ).otherwise(seq_start)
+    return (
+        c.withColumn("pack_shard", F.col("lang"))
+        .withColumn("pack_n_tokens", F.col("__pack_n"))
+        .withColumn("pack_start_tok", start.cast("bigint"))
+        .withColumn("pack_seq_start", seq_start.cast("bigint"))
+        .withColumn("pack_seq_end", seq_end.cast("bigint"))
+        .withColumn("pack_spans_boundary", seq_end > seq_start)
+        .drop("lang", "__pack_n", "__cum")
     )

@@ -228,6 +228,51 @@ register_panel(
     "context-window sequence packing joined on doc_id.",
 )
 
+_DOC_FUSED_MEMBERS = (
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_bpe_token_stats",
+    "doc_repetition_ratio",
+    "doc_rolling_hash_fingerprint",
+    "doc_simhash",
+    "doc_source_null_normalization",
+    "doc_stratified_sample",
+    "doc_sequence_packing",
+)
+_DOC_FUSED_RENAMES = {
+    "doc_lang_id": {"lang": "li_lang"},
+    "doc_repetition_ratio": {"n_tokens": "rep_n_tokens"},
+    "doc_stratified_sample": {"lang": "ss_lang"},
+}
+
+
+def _register_fused_doc_features() -> None:
+    """ONE-pass production form of the expression-only document
+    features: the 9 per-document members that need no cross-document
+    join, computed in a single select over ONE scan of documents
+    (1 Exchange — the packing window — vs 9 member subtrees).
+    Value-locked three ways: the same FULL-JOIN DuckDB oracle as the
+    member subset, an equivalence test against the join-of-members
+    (tests/test_fused_panel.py), and an Exchange-count plan
+    assertion. This is the document-side feature-store job you would
+    actually run at 100 TB — members exist for per-operator grading,
+    the fused form for scan economy."""
+    from ..sources import load_table
+    from .llm import doc_features_fused
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return doc_features_fused(load_table(spark, sf_dir, "documents"))
+
+    fn.__name__ = "doc_features_fused"
+    member(
+        "doc_features_fused",
+        oracle=panel_oracle(("doc_id",), _DOC_FUSED_MEMBERS, _DOC_FUSED_RENAMES),
+        doc=_register_fused_doc_features.__doc__,
+    )(fn)
+
+
+_register_fused_doc_features()
+
 register_panel(
     "dup_pair_panel",
     ("id_a", "id_b"),

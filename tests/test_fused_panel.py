@@ -69,3 +69,38 @@ def test_fused_plan_has_one_exchange(spark):
     n_panel = len(re.findall(r"\(\d+\) Exchange\b", _plan_of(panel)))
     assert n_fused == 1, f"fused form must shuffle exactly once, saw {n_fused}"
     assert n_panel >= 11, f"join-of-members panel shuffles per member, saw {n_panel}"
+
+
+def test_fused_doc_features_equals_join_of_members(spark):
+    """The one-pass document-feature form equals the full-outer join
+    of its 9 expression-only members (same columns, same values)."""
+    from functools import reduce
+
+    from japanstockdatapipeline_spark.plans.panels import (
+        _DOC_FUSED_MEMBERS,
+        _DOC_FUSED_RENAMES,
+        _renamed_member_df,
+    )
+
+    fused = all_members()["doc_features_fused"].fn(spark, SF_SMOKE)
+    dfs = [
+        _renamed_member_df(spark, SF_SMOKE, m, _DOC_FUSED_RENAMES)
+        for m in _DOC_FUSED_MEMBERS
+    ]
+    joined = reduce(lambda a, b: a.join(b, ["doc_id"], "full_outer"), dfs)
+    assert sorted(fused.columns) == sorted(joined.columns)
+    frows = [tuple(r) for r in fused.collect()]
+    jrows = [tuple(r) for r in joined.collect()]
+    assert len(frows) == len(jrows)
+    assert _normalize(frows, fused.columns) == _normalize(jrows, joined.columns)
+
+
+def test_fused_doc_features_plan_has_one_exchange(spark):
+    """One scan, one shuffle (the packing window on lang) — vs the 9
+    member subtrees the join form pays."""
+    fused = all_members()["doc_features_fused"].fn(spark, SF_SMOKE)
+    plan = _plan_of(fused)
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_ex == 1, f"fused doc features must shuffle exactly once, saw {n_ex}"
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scan == 1, f"fused doc features must scan documents once, saw {n_scan}"

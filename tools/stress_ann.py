@@ -1,0 +1,128 @@
+"""ANN/embedding-family stress at 10x the largest local testdata.
+
+Builds a 20k-vector corpus in /tmp by replicating sf0.1 embeddings
+K=10 times: replica 0 verbatim, replica i>0 perturbs the first
+coordinate by +0.02*i (direction change, so replicas are near- but
+not exact-duplicates in cosine). Then times the operators SCALE.md
+claims survive scale-up:
+
+  brute_force_topk_matmul (BLAS path), lsh_bucketed_topk, ivf_topk,
+  lsh_near_dup_pairs
+
+with 200 query vectors against the full corpus, and prints one JSON
+line per measurement (for lsh/ivf also recall vs the brute-force
+top-k on identical data). Run manually:
+
+    python tools/stress_ann.py [K] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from japanstockdatapipeline_spark.operators.topk import (  # noqa: E402
+    brute_force_topk_matmul,
+    ivf_topk,
+    lsh_bucketed_topk,
+    lsh_near_dup_pairs,
+)
+from japanstockdatapipeline_spark.session import get_spark  # noqa: E402
+
+OUT = "/tmp/stress_embeddings.parquet"
+K_NN = 10
+DIM = 64
+
+
+def build(spark, sf_dir: str, k: int) -> None:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = []
+    for i in range(k):
+        r = e.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: F.when(j == 0, x + F.lit(0.02 * i)).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+        reps.append(r)
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(OUT)
+
+
+def timed(name: str, fn, extra=None) -> object:
+    t0 = time.time()
+    try:
+        out = fn()
+        rec = {"op": name, "sec": round(time.time() - t0, 2)}
+        rec.update(out if isinstance(out, dict) else {"rows": out})
+        rec.update(extra or {})
+        print(json.dumps(rec))
+        return out
+    except Exception as e:
+        print(json.dumps({"op": name, "error": str(e)[:200], "sec": round(time.time() - t0, 2)}))
+        return None
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress-ann")
+    t0 = time.time()
+    build(spark, sf_dir, k)
+    corpus = spark.read.parquet(OUT)
+    n = corpus.count()
+    print(json.dumps({"op": "build", "rows": n, "k": k, "sec": round(time.time() - t0, 2)}))
+
+    queries = corpus.where(F.col("vec_id") % 1000 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    nq = queries.count()
+    print(json.dumps({"op": "queries", "rows": nq}))
+
+    exact = timed(
+        "brute_force_topk_matmul",
+        lambda: {
+            "rows": brute_force_topk_matmul(corpus, queries, K_NN).count(),
+            "n_queries": nq,
+        },
+    )
+    exact_set = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk_matmul(corpus, queries, K_NN).collect()
+    }
+
+    def with_recall(df):
+        got = {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+        return {
+            "rows": len(got),
+            "recall_vs_exact": round(len(got & exact_set) / max(len(exact_set), 1), 3),
+        }
+
+    timed(
+        "lsh_bucketed_topk",
+        lambda: with_recall(lsh_bucketed_topk(corpus, queries, K_NN, dim=DIM)),
+    )
+    timed(
+        "ivf_topk",
+        lambda: with_recall(ivf_topk(corpus, queries, K_NN, n_probe=2)),
+    )
+    timed(
+        "lsh_near_dup_pairs",
+        lambda: {
+            "rows": lsh_near_dup_pairs(corpus, 0.9, dim=DIM).count(),
+            "threshold": 0.9,
+        },
+    )
+
+
+if __name__ == "__main__":
+    main()
