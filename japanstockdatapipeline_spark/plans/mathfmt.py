@@ -40,7 +40,7 @@ def order_math_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "embedding_vector_literal",
     doc="F8 vector literal formatting (factor-vectors.ts:314-316): "
     "'[x.xxxxxx,...]' with 6-dp fixed-point per element — printf-style "

@@ -264,7 +264,9 @@ def _register_fused_doc_features() -> None:
         return doc_features_fused(load_table(spark, sf_dir, "documents"))
 
     fn.__name__ = "doc_features_fused"
-    member(
+    # driver-VISIBLE (registered, not member): the fused production
+    # form earns its own CORRECTNESS row, not just a local check
+    query(
         "doc_features_fused",
         oracle=panel_oracle(("doc_id",), _DOC_FUSED_MEMBERS, _DOC_FUSED_RENAMES),
         doc=_register_fused_doc_features.__doc__,
@@ -294,6 +296,20 @@ register_panel(
     doc="ANN comparison panel (T2/J8 + scale paths): brute-force, LSH, "
     "and IVF top-k joined on (q_id, rank) — exactly the recall audit "
     "table an ANN rollout reviews.",
+)
+
+register_panel(
+    "embedding_feature_panel",
+    ("vec_id",),
+    (
+        "embedding_label_centroid_sim",
+        "embedding_kmeans_cells",
+        "embedding_vector_literal",
+    ),
+    doc="Per-vector feature panel (F7, F8 + the k-means coarse "
+    "quantizer): label-centroid cosine, k-means cell assignment "
+    "(geometric IVF cells), and the 6dp vector literal (every-100th "
+    "vector; absent rows -> NULL vec_literal) joined on vec_id.",
 )
 
 register_panel(

@@ -159,7 +159,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "embedding_label_centroid_sim",
     doc="F7 cosine against an aggregate centroid (factor-vectors.ts:"
     "319-333): per-label mean vector, each member's cosine to its "
@@ -275,3 +275,49 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     pairs = lsh_near_dup_pairs(emb, threshold=0.3, dim=EMB_DIM)
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@member(
+    "embedding_kmeans_cells",
+    doc="K-means coarse quantizer (operators/kmeans.kmeans_cells): "
+    "deterministic seeding (k smallest ids), 2 Lloyd assignment "
+    "rounds as pure DataFrame ops — crossJoin(broadcast(centroids)) "
+    "-> 6dp-quantized cosine argmax -> per-cell elementwise mean. "
+    "The geometric cell assignment ivf_topk needs at scale (SCALE.md "
+    "records label-cells bounding IVF recall); the oracle unrolls "
+    "the identical schedule in SQL.",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+      FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 8
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v, s.cell,
+             round(list_cosine_similarity(e.v, s.c), 6) AS cos
+      FROM emb e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cos DESC, s.cell ASC) = 1
+    ),
+    cx AS (
+      SELECT cell, r.i AS i, avg(v[r.i]) AS m
+      FROM a1, LATERAL unnest(range(1, 65)) AS r(i)
+      GROUP BY cell, r.i
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM cx GROUP BY cell),
+    a2 AS (
+      SELECT e.vec_id, c1.cell,
+             round(list_cosine_similarity(e.v, c1.c), 6) AS cos
+      FROM emb e CROSS JOIN c1
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cos DESC, c1.cell ASC) = 1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, cos AS cell_cos FROM a2
+    """,
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_cells(emb, k=8, iters=2)
+    return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"), "cell_cos")

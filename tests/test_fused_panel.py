@@ -82,7 +82,7 @@ def test_fused_doc_features_equals_join_of_members(spark):
         _renamed_member_df,
     )
 
-    fused = all_members()["doc_features_fused"].fn(spark, SF_SMOKE)
+    fused = all_queries()["doc_features_fused"].fn(spark, SF_SMOKE)
     dfs = [
         _renamed_member_df(spark, SF_SMOKE, m, _DOC_FUSED_RENAMES)
         for m in _DOC_FUSED_MEMBERS
@@ -98,7 +98,7 @@ def test_fused_doc_features_equals_join_of_members(spark):
 def test_fused_doc_features_plan_has_one_exchange(spark):
     """One scan, one shuffle (the packing window on lang) — vs the 9
     member subtrees the join form pays."""
-    fused = all_members()["doc_features_fused"].fn(spark, SF_SMOKE)
+    fused = all_queries()["doc_features_fused"].fn(spark, SF_SMOKE)
     plan = _plan_of(fused)
     n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_ex == 1, f"fused doc features must shuffle exactly once, saw {n_ex}"

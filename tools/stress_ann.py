@@ -115,6 +115,17 @@ def main() -> None:
         "ivf_topk",
         lambda: with_recall(ivf_topk(corpus, queries, K_NN, n_probe=2)),
     )
+
+    def ivf_kmeans():
+        from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+        cells = kmeans_cells(corpus, k=16, iters=2).select("vec_id", "cell")
+        quantized = corpus.join(cells, "vec_id")
+        return with_recall(
+            ivf_topk(quantized, queries, K_NN, n_probe=2, coarse_col="cell")
+        )
+
+    timed("ivf_topk_kmeans_cells", ivf_kmeans)
     timed(
         "lsh_near_dup_pairs",
         lambda: {
