@@ -104,6 +104,22 @@ CHECKS = {
     "manifest_replay": [
         ("HashAggregate", True, "per-day manifest resolution is one aggregate"),
     ],
+    "doc_mixture_plan": [
+        ("hashpartitioning\\(source", True, "token capacities aggregate on source"),
+        ("SortMergeJoin|ShuffledHashJoin", False, "budget joins back as a broadcast 1-row agg"),
+    ],
+    "doc_incremental_dedup": [
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "snapshot probe is an equi-join on the fingerprint"),
+        ("BroadcastNestedLoopJoin.*Inner|CartesianProduct", False, "never an all-pairs product"),
+    ],
+    "embedding_kmeans_cells": [
+        ("BroadcastExchange", True, "centroids broadcast each Lloyd round"),
+        ("CartesianProduct", False, "assignment is vectors x k broadcast rows, never corpus x corpus"),
+    ],
+    "doc_features_fused": [
+        ("Join", False, "one-pass: no join operator anywhere"),
+        ("hashpartitioning\\(lang", True, "single shuffle: the packing window on the shard"),
+    ],
 }
 
 
