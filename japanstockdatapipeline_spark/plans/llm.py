@@ -1202,3 +1202,74 @@ def doc_features_fused(docs: DataFrame) -> DataFrame:
         .withColumn("pack_spans_boundary", seq_end > seq_start)
         .drop("lang", "__pack_n", "__cum")
     )
+
+
+@member(
+    "doc_mixture_sample",
+    doc="Mixture-plan APPLICATION (training-data op, closes the "
+    "planner->sampler loop): each document keeps iff its deterministic "
+    "md5 hash falls under its source's water-filled sampling rate from "
+    "doc_mixture_plan — so the realized per-source token mass tracks "
+    "the planned allocation without rand() (reproducible across "
+    "engines/runs, same recipe as doc_stratified_sample). Scale: the "
+    "per-source rate table is tiny and broadcast; the doc side is one "
+    "scan + hash compare.",
+    oracle="""
+    WITH cap AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> x <> ''))) AS BIGINT) AS capacity_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(floor(0.9 * sum(capacity_tokens)) AS DOUBLE) AS budget
+      FROM cap
+    ), w AS (
+      SELECT c.source, c.capacity_tokens, t.budget,
+             CAST(row_number() OVER ord AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(c.capacity_tokens) OVER (ord ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+      FROM cap c, tot t
+      WINDOW ord AS (ORDER BY c.capacity_tokens ASC, c.source ASC)
+    ), f AS (
+      SELECT *, min(CASE WHEN capacity_tokens * (n - i + 1)
+                              <= budget - (cum - capacity_tokens)
+                         THEN 1 ELSE 0 END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS flag
+      FROM w
+    ), k AS (
+      SELECT *, max(CASE WHEN flag = 1 THEN i END) OVER () AS k_star,
+                max(CASE WHEN flag = 1 THEN cum END) OVER () AS cum_k
+      FROM f
+    ), rates AS (
+      SELECT source,
+             round(CASE WHEN flag = 1 THEN 1.0
+                   ELSE greatest((budget - coalesce(cum_k, 0))
+                                 / (n - coalesce(k_star, 0)), 0)
+                        / capacity_tokens END, 6) AS rate
+      FROM k
+    )
+    SELECT d.doc_id,
+           r.rate AS mx_rate,
+           (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000) < CAST(r.rate * 1000000 AS BIGINT) AS mx_keep
+    FROM documents d JOIN rates r ON d.source = r.source
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rates = doc_mixture_plan(spark, sf_dir).select(
+        "source", F.col("sample_rate").alias("rate")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return d.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        F.col("rate").alias("mx_rate"),
+        (h < (F.col("rate") * 1000000).cast("bigint")).alias("mx_keep"),
+    )

@@ -214,6 +214,7 @@ register_panel(
         "doc_decontamination",
         "doc_sequence_packing",
         "doc_incremental_dedup",
+        "doc_mixture_sample",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

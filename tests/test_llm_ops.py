@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 
 def test_chunk_dedup_signal(spark, tmp_path):
     """Chunk-level dedup: an 8-token chunk repeated across docs is
@@ -23,3 +26,36 @@ def test_chunk_dedup_signal(spark, tmp_path):
     assert (got[2]["n_chunks"], got[2]["n_dup_chunks"], got[2]["dup_chunk_frac"]) == (1, 1, 1.0)
     assert (got[3]["n_chunks"], got[3]["n_dup_chunks"], got[3]["dup_chunk_frac"]) == (1, 0, 0.0)
     assert (got[4]["n_chunks"], got[4]["n_dup_chunks"], got[4]["dup_chunk_frac"]) == (1, 0, 0.0)
+
+
+def test_mixture_plan_conservation_and_sample_tracks_allocation(spark, sf_dir):
+    """The planner allocates exactly min(budget, capacity) in total,
+    rates are in (0, 1], and the deterministic hash sampler realizes
+    each source's planned token mass within sampling noise."""
+    from japanstockdatapipeline_spark.plans.llm import (
+        doc_mixture_plan,
+        doc_mixture_sample,
+    )
+
+    plan = {r["source"]: r for r in doc_mixture_plan(spark, sf_dir).collect()}
+    total_cap = sum(r["capacity_tokens"] for r in plan.values())
+    total_alloc = sum(r["alloc_tokens"] for r in plan.values())
+    assert total_alloc == pytest.approx(0.9 * total_cap, rel=0.01)
+    assert all(0 < r["sample_rate"] <= 1.0 for r in plan.values())
+    assert any(r["saturated"] for r in plan.values()) or all(
+        r["sample_rate"] < 1.0 for r in plan.values()
+    )
+
+    kept = doc_mixture_sample(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    realized = {
+        r["source"]: r["kept"]
+        for r in kept.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.col("mx_keep").cast("int")).alias("kept"), F.count("*").alias("n"))
+        .select("source", (F.col("kept") / F.col("n")).alias("kept"))
+        .collect()
+    }
+    for src, r in plan.items():
+        # ~25 docs/source at sf0.01: allow generous hash-sampling noise
+        assert abs(realized[src] - r["sample_rate"]) < 0.35
