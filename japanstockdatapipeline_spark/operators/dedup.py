@@ -25,6 +25,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "dup_clusters",
 ]
 
@@ -357,3 +358,57 @@ def dup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming,
+    with band blocking (the Manku/Charikar web-dedup recipe).
+
+    The 60-bit simhash splits into `bands` equal slices; candidates
+    are pairs sharing >= 1 identical slice (equi-join on (band, key) —
+    never a cross join), then the exact popcount(xor) filter runs on
+    candidates only. Pigeonhole guarantee: with max_hamming < bands,
+    every true pair differs in fewer bits than there are bands, so at
+    least one band is identical — banding is LOSSLESS for the default
+    (ham <= 3, 4 bands), unlike MinHash's probabilistic recall.
+
+    Scale shape mirrors minhash_lsh_pairs: explode xbands, shuffle on
+    the band key, per-bucket work bounded by occupancy.
+    """
+    assert 60 % bands == 0, "bands must divide the 60-bit simhash"
+    width = 60 // bands
+    mask = (1 << width) - 1
+    s = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
+    banded = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", width * b).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("sh_hamming")).filter(
+        F.col("sh_hamming") <= max_hamming
+    )

@@ -1273,3 +1273,49 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate").alias("mx_rate"),
         (h < (F.col("rate") * 1000000).cast("bigint")).alias("mx_keep"),
     )
+
+
+@member(
+    "doc_simhash_dups",
+    doc="SimHash near-dup pairs (Manku/Charikar web-dedup recipe, "
+    "completing the fingerprint->dedup loop for doc_simhash): 60-bit "
+    "simhash split into 4 x 15-bit bands, candidates = pairs sharing "
+    "an identical band (equi-join, never a cross join), exact "
+    "popcount(xor) <= 3 filter on candidates only. Pigeonhole-"
+    "LOSSLESS: hamming <= 3 over 4 bands forces >= 1 identical band, "
+    "so unlike MinHash the blocking loses nothing.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> ''),
+                            s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS h
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN list_sum(list_transform(h,
+                    x -> CASE WHEN (x >> bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN 1::BIGINT << bit ELSE 0 END
+                  for bit in range(0, 60)]) AS BIGINT) AS sim
+      FROM t
+    ), banded AS (
+      SELECT doc_id, sim, b.band AS band,
+             (sim >> (15 * b.band)) & 32767 AS key
+      FROM sh, LATERAL unnest(range(0, 4)) AS b(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS sh_hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+    return pairs.select("id_a", "id_b", F.col("sh_hamming").cast("int").alias("sh_hamming"))

@@ -116,6 +116,10 @@ CHECKS = {
         ("BroadcastExchange", True, "centroids broadcast each Lloyd round"),
         ("CartesianProduct", False, "assignment is vectors x k broadcast rows, never corpus x corpus"),
     ],
+    "doc_simhash_dups": [
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "candidates via band equi-join"),
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "never an all-pairs product"),
+    ],
     "doc_features_fused": [
         ("Join", False, "one-pass: no join operator anywhere"),
         ("hashpartitioning\\(lang", True, "single shuffle: the packing window on the shard"),
