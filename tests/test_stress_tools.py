@@ -1,0 +1,61 @@
+"""Smoke tests for the stress harnesses (tools/stress_dedup.py,
+tools/stress_ann.py): the corpus builders and every measured operator
+path must run at toy scale, so the tools recorded in SCALE.md don't
+rot as operators evolve."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stress_dedup_build_and_ops(spark, sf_dir, tmp_path, monkeypatch):
+    sd = _load("tools/stress_dedup.py", "stress_dedup_smoke")
+    monkeypatch.setattr(sd, "OUT", str(tmp_path / "docs.parquet"))
+    sd.build(spark, sf_dir, 2)
+    d = spark.read.parquet(sd.OUT)
+    n_orig = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert d.count() == 2 * n_orig
+    # replica 1 drops the first 2 tokens
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pair = (
+        orig.select("doc_id", F.col("text").alias("t0"))
+        .join(
+            d.where(F.col("doc_id") >= 1_000_000).select(
+                (F.col("doc_id") - 1_000_000).alias("doc_id"), F.col("text").alias("t1")
+            ),
+            "doc_id",
+        )
+        .limit(5)
+        .collect()
+    )
+    for r in pair:
+        toks0 = r["t0"].strip().split()
+        assert r["t1"].split() == toks0[2:]
+    from japanstockdatapipeline_spark.operators.dedup import exact_dedup
+
+    fp = exact_dedup(d)
+    assert fp.count() == n_orig * 2 - fp.where(F.col("n_docs") > 1).count()
+
+
+def test_stress_ann_build_and_recall_helpers(spark, sf_dir, tmp_path, monkeypatch):
+    sa = _load("tools/stress_ann.py", "stress_ann_smoke")
+    monkeypatch.setattr(sa, "OUT", str(tmp_path / "emb.parquet"))
+    sa.build(spark, sf_dir, 2)
+    e = spark.read.parquet(sa.OUT)
+    n_orig = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert e.count() == 2 * n_orig
+    # replica perturbs only coordinate 0 by +0.02
+    r0 = {r["vec_id"]: r["embedding"] for r in e.where(F.col("vec_id").isin([0, 1_000_000])).collect()}
+    assert abs(r0[1_000_000][0] - r0[0][0] - 0.02) < 1e-6
+    assert r0[1_000_000][1:] == r0[0][1:]
