@@ -1117,12 +1117,33 @@ def doc_features_fused(docs: DataFrame) -> DataFrame:
     n_tok = TX.n_tokens(t)
     has_tok = F.size(toks_l) > 0
 
-    # repetition (Gopher) as array expressions over the distinct set
-    dt = F.array_distinct(toks_l)
-    per_tok_counts = F.transform(
-        dt, lambda x: F.size(F.filter(toks_l, lambda y: y == x))
+    # repetition (Gopher) as array expressions: sort the tokens and
+    # fold run lengths — O(n log n) per row (the naive per-distinct
+    # filter scan is O(distinct*n), a cliff for long documents). State:
+    # (prev token, current run, best run, distinct count); max count
+    # of any token == max run length in the sorted array.
+    sorted_t = F.array_sort(toks_l)
+    is_new = lambda acc, x: acc["prev"].isNull() | (acc["prev"] != x)  # noqa: E731
+    rep_state = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("nd"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(is_new(acc, x), F.lit(1)).otherwise(acc["run"] + 1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(is_new(acc, x), F.lit(1)).otherwise(acc["run"] + 1),
+            ).alias("best"),
+            (acc["nd"] + F.when(is_new(acc, x), 1).otherwise(0)).alias("nd"),
+        ),
     )
-    top_c = F.array_max(per_tok_counts).cast("bigint")
+    top_c = rep_state["best"].cast("bigint")
+    n_distinct = rep_state["nd"]
     rep_n = F.size(toks_l).cast("bigint")
 
     # stratified-sample membership as the same md5-threshold rule
@@ -1167,7 +1188,7 @@ def doc_features_fused(docs: DataFrame) -> DataFrame:
         F.when(has_tok, rep_n).alias("rep_n_tokens"),
         F.when(has_tok, top_c).alias("top_token_count"),
         F.when(has_tok, F.round(top_c / rep_n, 6).cast("double")).alias("top_token_frac"),
-        F.when(has_tok, F.round(F.size(dt) / rep_n, 6).cast("double")).alias("distinct_frac"),
+        F.when(has_tok, F.round(n_distinct / rep_n, 6).cast("double")).alias("distinct_frac"),
         # doc_rolling_hash_fingerprint
         _rolling_hash_expr(t).alias("rolling_hash"),
         # doc_simhash
