@@ -126,11 +126,20 @@ def main() -> None:
         )
 
     timed("ivf_topk_kmeans_cells", ivf_kmeans)
+    # n_planes must scale with log2(corpus): the 4-plane default is
+    # sized for the 200-vector registered query (16 buckets); at 20k
+    # vectors it degrades to ~1250 docs/bucket and minutes of
+    # quadratic bucket work (measured 773s — see SCALE.md). 10/12 is
+    # the occupancy-scaled config; recall IMPROVES (more tables).
     timed(
-        "lsh_near_dup_pairs",
+        "lsh_near_dup_pairs_scaled",
         lambda: {
-            "rows": lsh_near_dup_pairs(corpus, 0.9, dim=DIM).count(),
+            "rows": lsh_near_dup_pairs(
+                corpus, 0.9, n_planes=10, n_tables=12, dim=DIM
+            ).count(),
             "threshold": 0.9,
+            "planes": 10,
+            "tables": 12,
         },
     )
 
