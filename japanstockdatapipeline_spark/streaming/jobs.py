@@ -22,6 +22,7 @@ __all__ = [
     "stateful_user_breadth",
     "enrich_with_master_current",
     "enrich_with_master_pit",
+    "attribution_join_streams",
     "run_to_parquet",
 ]
 
@@ -257,3 +258,40 @@ def enrich_with_master_pit(
     cond = cond & (m["__m_to"].isNull() | (m["__m_to"] > stream[ts_col]))
     joined = stream.join(F.broadcast(m), cond, "left")
     return joined.drop(*[f"__m_{k}" for k in keys], "__m_from", "__m_to")
+
+
+def attribution_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM attribution join (the streaming twin of the batch
+    as-of/span family): each purchase joins the same user's clicks
+    within `horizon` before it.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other, so Spark can expire join state —
+    without the time bound a stream-stream join buffers both sides
+    forever. Inner joins emit matches eagerly; the watermark governs
+    state cleanup (and when outer-join NULLs could be emitted).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"c_user = user_id AND click_ts >= purchase_ts - INTERVAL {horizon} "
+        "AND click_ts <= purchase_ts"
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "click_id", "purchase_ts", "click_ts", "purchase_value"
+    )

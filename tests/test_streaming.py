@@ -209,3 +209,43 @@ def test_stream_enrichment_current_and_pit(spark, tmp_path):
     got_pit = {r["event_id"]: r["name"] for r in spark.read.parquet(pit_out).collect()}
     # PIT join: the t=15 event attributes to 'x' (valid [10,20)), t=25 to 'y'
     assert got_pit == {100: "x", 101: "y", 102: None}
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with event-time bounds must produce
+    exactly the batch join's matches (clicks within 1h before each
+    purchase, per user)."""
+    from japanstockdatapipeline_spark.streaming.jobs import attribution_join_streams
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ev.filter(F.col("event_type") == "click").limit(300).write.parquet(c_src)
+    ev.filter(F.col("event_type") == "purchase").limit(150).write.parquet(p_src)
+
+    joined = attribution_join_streams(
+        events_stream(spark, c_src), events_stream(spark, p_src)
+    )
+    out = str(tmp_path / "attr_out")
+    run_to_parquet(joined, out, str(tmp_path / "cp_attr"), mode="append")
+    got = spark.read.parquet(out)
+
+    cb = spark.read.parquet(c_src).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    pb = spark.read.parquet(p_src).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    expected = (
+        pb.alias("p")
+        .join(
+            cb.alias("c"),
+            F.expr(
+                "c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 hour AND c.ts <= p.ts"
+            ),
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"), F.col("c.event_id").alias("click_id")
+        )
+    )
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
+    assert got_pairs == exp_pairs
+    assert len(exp_pairs) > 0  # fixture yields real matches
