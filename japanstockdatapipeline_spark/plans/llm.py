@@ -1340,3 +1340,43 @@ def doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3, bands=4)
     return pairs.select("id_a", "id_b", F.col("sh_hamming").cast("int").alias("sh_hamming"))
+
+
+@member(
+    "doc_shard_plan",
+    doc="Training-data export sharding (training-data op): each doc "
+    "gets a deterministic shard (md5 hash mod 8 — reproducible, "
+    "stratified-random like the samplers) and its within-shard "
+    "position (row_number by doc_id) — the (shard, offset) addressing "
+    "a distributed data loader consumes. Scale: one hash expression + "
+    "one window partitioned BY SHARD (8-way parallel, never global).",
+    oracle="""
+    SELECT doc_id,
+           shard AS export_shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                - 1 AS BIGINT) AS shard_pos
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard
+      FROM documents
+    )
+    """,
+)
+def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 8
+    ).cast("int")
+    w = Window.partitionBy("export_shard").orderBy("doc_id")
+    return (
+        d.select("doc_id", shard.alias("export_shard"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    )

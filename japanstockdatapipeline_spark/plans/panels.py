@@ -215,6 +215,7 @@ register_panel(
         "doc_sequence_packing",
         "doc_incremental_dedup",
         "doc_mixture_sample",
+        "doc_shard_plan",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
