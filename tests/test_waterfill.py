@@ -182,3 +182,48 @@ def test_budget_fill_grouped(spark):
     assert out[("a", 1)][1] is True
     assert out[("b", 1)] == (5.0, True)
     assert out[("b", 2)] == (7.0, True)
+
+
+def budget_fill_np(c: np.ndarray, budget: float) -> np.ndarray:
+    """Numpy twin of operators/waterfill.budget_fill's closed form
+    (ascending sort, running-AND saturated prefix, lambda fill) —
+    hypothesis-fuzzed against the iterative fixpoint below; the Spark
+    implementation is pinned to the same math by
+    test_budget_fill_matches_iterative."""
+    order = np.argsort(c, kind="stable")
+    cs = c[order]
+    n = len(cs)
+    cum = np.cumsum(cs)
+    cond = cs * (n - np.arange(n)) <= budget - (cum - cs)
+    flag = np.logical_and.accumulate(cond)
+    k = int(flag.sum())
+    out_sorted = np.empty(n, dtype=float)
+    out_sorted[:k] = cs[:k]
+    if k < n:
+        lam = max((budget - (cum[k - 1] if k else 0.0)) / (n - k), 0.0)
+        out_sorted[k:] = lam
+    out = np.empty(n, dtype=float)
+    out[order] = out_sorted
+    return out
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_caps = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_caps, st.floats(min_value=0.0, max_value=3.0))
+def test_budget_fill_closed_form_fuzz(caps, frac):
+    c = np.array(caps)
+    budget = float(frac * c.sum())
+    got = budget_fill_np(c, budget)
+    expected = iterative_budget_fill(c.copy(), budget)
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-9)
+    assert got.sum() == pytest.approx(min(budget, c.sum()), rel=1e-9, abs=1e-9)
+    assert (got <= c + 1e-9).all()
+    assert (got >= -1e-12).all()
