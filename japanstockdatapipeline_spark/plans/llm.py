@@ -1380,3 +1380,81 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", shard.alias("export_shard"))
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
     )
+
+
+@member(
+    "doc_quality_drift",
+    doc="Corpus distribution-drift monitor (training-data op, the "
+    "ingestion gate that pairs with doc_incremental_dedup): the "
+    "Population Stability Index of the quality-score distribution "
+    "between the ingested snapshot (doc_id < 80%-of-max cutoff) and "
+    "the incoming batch, over 10 fixed [0,1) buckets with add-one "
+    "smoothing (no ln(0)). One row: PSI, populations, and the most "
+    "shifted bucket. Scale: two filtered passes collapse to 10-bucket "
+    "aggregates; everything after is O(buckets). The conventional "
+    "read: PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 investigate.",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(ceil(0.8 * (max(doc_id) + 1)) AS BIGINT) AS cutoff FROM documents
+    ), q AS (
+      SELECT doc_id,
+             least(CAST(floor(
+               (0.4 * least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      x -> x <> '')) AS DOUBLE) / 200.0, 1.0)
+                + 0.3 * (1.0 - coalesce(
+                    CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''), x -> lower(x) IN ('{SW}'))) AS DOUBLE)
+                    / nullif(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')), 0), 0.0))
+                + 0.3 * (1.0 - least(coalesce(
+                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                    / nullif(length(text), 0), 0.0) * 10.0, 1.0))) * 10) AS INT), 9) AS bucket
+      FROM documents
+    ), sides AS (
+      SELECT q.bucket,
+             sum(CASE WHEN q.doc_id < cutoff THEN 1 ELSE 0 END) AS a_cnt,
+             sum(CASE WHEN q.doc_id >= cutoff THEN 1 ELSE 0 END) AS b_cnt
+      FROM q, cut GROUP BY q.bucket
+    ), tot AS (
+      SELECT sum(a_cnt) AS n_a, sum(b_cnt) AS n_b FROM sides
+    ), terms AS (
+      SELECT s.bucket,
+             (s.a_cnt + 1.0) / (t.n_a + 10.0) AS p,
+             (s.b_cnt + 1.0) / (t.n_b + 10.0) AS q,
+             t.n_a, t.n_b
+      FROM sides s, tot t
+    )
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+           CAST(any_value(n_a) AS BIGINT) AS drift_n_snapshot,
+           CAST(any_value(n_b) AS BIGINT) AS drift_n_incoming,
+           CAST(max_by(bucket, abs(p - q)) AS INT) AS drift_top_bucket
+    FROM terms
+    """.replace("{SW}", _SW),
+)
+def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(F.ceil(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("cutoff"))
+    bucket = F.least(
+        F.floor(TX.quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
+    )
+    q = d.select("doc_id", bucket.alias("bucket")).crossJoin(F.broadcast(cut))
+    sides = q.groupBy("bucket").agg(
+        F.sum(F.when(F.col("doc_id") < F.col("cutoff"), 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("doc_id") >= F.col("cutoff"), 1).otherwise(0)).alias("b_cnt"),
+    )
+    tot = sides.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
+    )
+    terms = sides.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        ((F.col("a_cnt") + 1.0) / (F.col("n_a") + 10.0)).alias("p"),
+        ((F.col("b_cnt") + 1.0) / (F.col("n_b") + 10.0)).alias("q"),
+    )
+    return terms.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        F.any_value(F.col("n_a")).cast("bigint").alias("drift_n_snapshot"),
+        F.any_value(F.col("n_b")).cast("bigint").alias("drift_n_incoming"),
+        F.max_by("bucket", F.abs(F.col("p") - F.col("q"))).cast("int").alias("drift_top_bucket"),
+    )

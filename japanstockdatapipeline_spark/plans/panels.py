@@ -391,9 +391,10 @@ register_panel(
 register_panel(
     "scalar_summary_panel",
     (),
-    ("audience_overlap_sketch", "small_quantity_part_revenue"),
+    ("audience_overlap_sketch", "small_quantity_part_revenue", "doc_quality_drift"),
     doc="1-row scalar summaries (sketch overlap audit, TPC-H Q17 "
-    "shape) cross-joined into one checked row.",
+    "shape, corpus quality-drift PSI) cross-joined into one checked "
+    "row.",
 )
 
 register_panel(
