@@ -10,9 +10,45 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["era_date_to_iso", "iso_to_era_date"]
+__all__ = [
+    "era_date_to_iso",
+    "iso_to_era_date",
+    "zenkaku_to_hankaku",
+    "hankaku_to_zenkaku",
+    "HANKAKU_CHARS",
+    "ZENKAKU_CHARS",
+]
 
 _ERA_BASE = {"令和": 2018, "平成": 1988, "昭和": 1925}
+
+# Full-width <-> half-width (NFKC-subset) mapping for the ASCII
+# alphanumerics the reference's scraped payloads carry (nikkei225jp /
+# kabuyutai tables render numbers full-width; scraper/parser.ts
+# normalizes before numeric parse). U+FF10-FF19 / U+FF21-FF3A /
+# U+FF41-FF5A are exactly ASCII + 0xFEE0; the ideographic space
+# U+3000 maps to ' '. A 1:1 codepoint map, so `translate` handles it
+# JVM-side in both engines — no UDF, no ICU dependency.
+HANKAKU_CHARS = (
+    "0123456789"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+    " "
+)
+ZENKAKU_CHARS = "".join(chr(ord(c) + 0xFEE0) for c in HANKAKU_CHARS[:-1]) + "　"
+
+
+def zenkaku_to_hankaku(col: Column) -> Column:
+    """Normalize full-width ASCII alphanumerics (and the ideographic
+    space) to half-width — the pre-parse normalization step for
+    scraped Japanese numeric tables."""
+    return F.translate(col, ZENKAKU_CHARS, HANKAKU_CHARS)
+
+
+def hankaku_to_zenkaku(col: Column) -> Column:
+    """Inverse mapping (half-width ASCII -> full-width), used to
+    synthesize display-form text and to round-trip-test the
+    normalizer."""
+    return F.translate(col, HANKAKU_CHARS, ZENKAKU_CHARS)
 
 
 def era_date_to_iso(col: Column) -> Column:

@@ -7,6 +7,7 @@ from . import (  # noqa: F401  (registration side effect)
     core,
     events,
     llm,
+    governance,  # after llm: reuses the doc_dup_clusters member oracle
     mathfmt,
     multimodal,
     relational2,

@@ -1,0 +1,316 @@
+"""Data-governance plans over the documents table: PII detection /
+redaction, URL canonicalization, width normalization, and the
+contamination-safe train/val split.
+
+These are the governance half of a training-data pipeline (the
+reference's pipeline scrubs scraped payloads before load —
+scraper/parser.ts normalizes widths and strips markup; this module
+generalizes that to the corpus-prep shape: ROOTS/BigScience-style
+PII masking, web-corpus URL canonicalization, and the
+leakage-safe split that keeps near-duplicate documents on the SAME
+side of a train/val boundary).
+
+The testdata documents are synthetic word-salad with no real PII or
+URLs, so — exactly like the scraper round-trip members (plans/
+scrape.py) — each member first SYNTHESIZES a deterministic payload
+from the row's own columns (doc_id, n_chars, source), then runs the
+real detection/normalization expressions over it. Both engines build
+the identical payload, so the oracle checks the transformation
+value-for-value. All expressions are pure Catalyst (regexp/translate
+— no UDFs): at 100 TB these run at scan speed with zero shuffles;
+only the split member shuffles (it rides the dedup pair graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.japanese import (
+    HANKAKU_CHARS,
+    ZENKAKU_CHARS,
+    hankaku_to_zenkaku,
+    zenkaku_to_hankaku,
+)
+from ..sources import load_table
+from .registry import member, member_oracle
+
+# Detection patterns — shared verbatim between Spark (Java regex) and
+# DuckDB (RE2); restricted to the common syntax subset (\b, \d,
+# classes, bounded reps) so both engines match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b0\d{1,4}-\d{1,4}-\d{4}\b"  # JP-style 0X-XXXX-XXXX
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_augmented():
+    """text + deterministic synthetic PII (email, JP phone, IPv4)
+    derived from the row's own columns — same formula as the oracle."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact-"), did,
+        F.lit("@ex"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".com tel 0"), (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit("-"), F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+        F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip="), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("n_chars") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact-' || doc_id || '@ex' || (doc_id % 10) || "
+    "'.com tel 0' || (doc_id % 90 + 10) || '-' || "
+    "lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip=' || "
+    "(doc_id % 256) || '.' || (n_chars % 256) || '.' || "
+    "((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)"
+)
+
+
+def pii_redaction_cols() -> list:
+    """The PII member's output expressions (reused by the fused doc
+    features): per-class match counts + the redacted text's md5 +
+    characters removed."""
+    aug = _pii_augmented()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IP, "<IP>",
+    )
+    count = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(aug, F.lit(pat), F.lit(0))
+    ).cast("int")
+    return [
+        count(PII_EMAIL).alias("pii_emails"),
+        count(PII_PHONE).alias("pii_phones"),
+        count(PII_IP).alias("pii_ips"),
+        F.md5(redacted).alias("pii_redacted_md5"),
+        (F.length(aug) - F.length(redacted)).cast("int").alias("pii_chars_removed"),
+    ]
+
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    ), red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g'),
+                 '{PII_IP}', '<IP>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS pii_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS pii_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INT) AS pii_ips,
+           md5(r) AS pii_redacted_md5,
+           CAST(length(t) - length(r) AS INT) AS pii_chars_removed
+    FROM red
+"""
+
+
+@member(
+    "doc_pii_redaction",
+    doc="PII detection + redaction (governance op, ROOTS/BigScience-"
+    "style masking): synthesizes a deterministic email / JP phone / "
+    "IPv4 per document, then detects (per-class counts) and redacts "
+    "(<EMAIL>/<PHONE>/<IP>) with engine-portable regexes. Scale: pure "
+    "scan-speed expressions, zero shuffles; the regex set is the "
+    "restricted Java∩RE2 subset so the same patterns run on both "
+    "engines.",
+    oracle=_PII_ORACLE,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *pii_redaction_cols())
+
+
+def _url_raw():
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+
+
+_URL_RAW_SQL = (
+    "'HTTPS://WWW.' || upper(source) || (doc_id % 7) || "
+    "'.Example.COM/Path/' || doc_id || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=x&ref=' || doc_id || '#frag'"
+)
+
+
+def url_normalize_cols() -> list:
+    """URL canonicalization expressions (reused by the fused doc
+    features): lowercase, strip scheme + www + query/fragment +
+    trailing slash; extract host, registered domain, path depth."""
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(_url_raw()), r"^https?://", ""),
+                r"^www\.", "",
+            ),
+            r"[?#].*$", "",
+        ),
+        r"/$", "",
+    )
+    host = F.regexp_extract(canon, r"^([^/]+)", 1)
+    return [
+        canon.alias("url_canonical"),
+        host.alias("url_host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("url_domain"),
+        F.size(F.regexp_extract_all(canon, F.lit("/"), F.lit(0))).cast("int").alias(
+            "url_path_depth"
+        ),
+    ]
+
+
+_URL_ORACLE = f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS raw FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(raw), '^https?://', ''), '^www\\.', ''),
+                 '[?#].*$', '', 'g'), '/$', '') AS canon
+      FROM u
+    )
+    SELECT doc_id,
+           canon AS url_canonical,
+           regexp_extract(canon, '^([^/]+)', 1) AS url_host,
+           regexp_extract(regexp_extract(canon, '^([^/]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS url_domain,
+           CAST(len(regexp_extract_all(canon, '/')) AS INT) AS url_path_depth
+    FROM c
+"""
+
+
+@member(
+    "doc_url_normalize",
+    doc="URL canonicalization (web-corpus governance op): synthesizes "
+    "a messy display URL per document (mixed case, www, tracking "
+    "query, fragment, trailing slash), then canonicalizes — "
+    "lowercase, strip scheme/www/query/fragment/trailing slash — and "
+    "extracts host, registered domain, and path depth. The canonical "
+    "URL is the standard key for URL-level dedup and domain-level "
+    "mixture planning. Scale: scan-speed expressions, zero shuffles.",
+    oracle=_URL_ORACLE,
+)
+def doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *url_normalize_cols())
+
+
+def width_normalize_cols() -> list:
+    """Full-width -> half-width normalization expressions (reused by
+    the fused doc features): synthesize the display (zenkaku) form of
+    `upper(source) || ' ' || n_chars`, normalize it back, and assert
+    the round trip."""
+    raw = F.concat(F.upper("source"), F.lit(" "), F.col("n_chars").cast("string"))
+    zen = hankaku_to_zenkaku(raw)
+    norm = zenkaku_to_hankaku(zen)
+    return [
+        zen.alias("zen_text"),
+        norm.alias("zen_norm"),
+        (norm == raw).alias("zen_roundtrip_ok"),
+    ]
+
+
+_WIDTH_ORACLE = f"""
+    SELECT doc_id,
+           translate(raw, '{HANKAKU_CHARS}', '{ZENKAKU_CHARS}') AS zen_text,
+           translate(translate(raw, '{HANKAKU_CHARS}', '{ZENKAKU_CHARS}'),
+                     '{ZENKAKU_CHARS}', '{HANKAKU_CHARS}') AS zen_norm,
+           translate(translate(raw, '{HANKAKU_CHARS}', '{ZENKAKU_CHARS}'),
+                     '{ZENKAKU_CHARS}', '{HANKAKU_CHARS}') = raw AS zen_roundtrip_ok
+    FROM (
+      SELECT doc_id, upper(source) || ' ' || CAST(n_chars AS VARCHAR) AS raw
+      FROM documents
+    )
+"""
+
+
+@member(
+    "doc_width_normalize",
+    doc="Full-width -> half-width normalization (S9 scraper semantics "
+    "generalized: nikkei225jp/kabuyutai tables render numbers "
+    "zenkaku; the parser normalizes before numeric parse — reference "
+    "scraper/parser.ts). 1:1 codepoint map via `translate` (the "
+    "U+FEE0 offset + ideographic space), so it is JVM-side in Spark "
+    "and vectorized in DuckDB — no UDF, no ICU. Round-trip asserted "
+    "per row. Scale: scan-speed, zero shuffles.",
+    oracle=_WIDTH_ORACLE,
+)
+def doc_width_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *width_normalize_cols())
+
+
+def _register_leakage_safe_split() -> None:
+    """Contamination-safe train/val split: assign splits by NEAR-DUP
+    CLUSTER, not by document, so near-duplicates never straddle the
+    train/val boundary (straddling dups leak evaluation data into
+    training — the split-level counterpart of benchmark
+    decontamination). Split = md5 of the cluster id (singleton docs
+    are their own cluster) mod 100 < 90 -> train. Scale: rides the
+    already-bucketed dedup pair graph + one broadcast-able left join
+    of the cluster map back to docs; the hash split itself is
+    expression-only."""
+    dup = member_oracle("doc_dup_clusters")
+    oracle = f"""
+    SELECT d.doc_id,
+           CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS split_cluster,
+           CASE WHEN CAST(('0x' || substr(md5('split:' ||
+                    CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+                    % 100 AS INT) < 90
+                THEN 'train' ELSE 'val' END AS split_label
+    FROM documents d LEFT JOIN ({dup}) cl ON cl.doc_id = d.doc_id
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(d, threshold=0.5, k=3)
+        cl = dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
+        base = d.select("doc_id").join(cl, "doc_id", "left")
+        cluster = F.coalesce(F.col("cluster"), F.col("doc_id")).cast("bigint")
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), cluster.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        )
+        return base.select(
+            "doc_id",
+            cluster.alias("split_cluster"),
+            F.when(h < 90, F.lit("train")).otherwise(F.lit("val")).alias("split_label"),
+        )
+
+    fn.__name__ = "doc_leakage_safe_split"
+    member(
+        "doc_leakage_safe_split",
+        oracle=oracle,
+        doc=_register_leakage_safe_split.__doc__,
+    )(fn)
+
+
+_register_leakage_safe_split()

@@ -1094,14 +1094,28 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _governance_cols() -> list:
+    """The governance members' expressions against the raw documents
+    columns, shared with plans/governance.py so the fused form stays
+    definitionally identical to the members."""
+    from .governance import pii_redaction_cols, url_normalize_cols, width_normalize_cols
+
+    return [
+        *pii_redaction_cols(),
+        *url_normalize_cols(),
+        *width_normalize_cols(),
+    ]
+
+
 def doc_features_fused(docs: DataFrame) -> DataFrame:
     """ONE-pass production form of the expression-only document
-    features: the 9 per-document members that need no cross-document
+    features: the 12 per-document members that need no cross-document
     join (text stats, lang id, BPE counts, repetition, rolling hash,
     simhash, null normalization, stratified-sample membership,
-    sequence packing) computed in a single select over ONE scan of
+    sequence packing, PII redaction, URL canonicalization, width
+    normalization) computed in a single select over ONE scan of
     documents — 1 Exchange total (the packing window on lang) vs the
-    panel's 9 member subtrees. Value-locked three ways: the same
+    panel's 12 member subtrees. Value-locked three ways: the same
     FULL-JOIN DuckDB oracle as the member subset, an equivalence test
     against the join-of-members (tests/test_fused_panel.py), and an
     Exchange-count plan assertion.
@@ -1199,6 +1213,9 @@ def doc_features_fused(docs: DataFrame) -> DataFrame:
         F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("lang_filled"),
         # doc_stratified_sample membership (panel rename lang -> ss_lang)
         F.when(keep_pct.isNotNull() & (samp_h < keep_pct), F.col("lang")).alias("ss_lang"),
+        # governance members (expression-only: PII redaction, URL
+        # canonicalization, width normalization)
+        *_governance_cols(),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
     )

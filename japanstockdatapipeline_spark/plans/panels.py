@@ -216,6 +216,10 @@ register_panel(
         "doc_incremental_dedup",
         "doc_mixture_sample",
         "doc_shard_plan",
+        "doc_pii_redaction",
+        "doc_url_normalize",
+        "doc_width_normalize",
+        "doc_leakage_safe_split",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
@@ -239,6 +243,9 @@ _DOC_FUSED_MEMBERS = (
     "doc_simhash",
     "doc_source_null_normalization",
     "doc_stratified_sample",
+    "doc_pii_redaction",
+    "doc_url_normalize",
+    "doc_width_normalize",
     "doc_sequence_packing",
 )
 _DOC_FUSED_RENAMES = {
@@ -250,9 +257,9 @@ _DOC_FUSED_RENAMES = {
 
 def _register_fused_doc_features() -> None:
     """ONE-pass production form of the expression-only document
-    features: the 9 per-document members that need no cross-document
+    features: the 12 per-document members that need no cross-document
     join, computed in a single select over ONE scan of documents
-    (1 Exchange — the packing window — vs 9 member subtrees).
+    (1 Exchange — the packing window — vs 12 member subtrees).
     Value-locked three ways: the same FULL-JOIN DuckDB oracle as the
     member subset, an equivalence test against the join-of-members
     (tests/test_fused_panel.py), and an Exchange-count plan

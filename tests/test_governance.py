@@ -1,0 +1,105 @@
+"""Governance-member invariants beyond the oracle parity checks
+(tests/test_oracle.py covers value-level Spark==DuckDB for these)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.plans import all_members
+
+SF = "/root/testdata/sf0.001"
+
+
+def _m(name):
+    return all_members()[name]
+
+
+def test_split_never_straddles_clusters(spark):
+    """The contamination-safety invariant: every near-dup cluster
+    lands entirely in train or entirely in val."""
+    df = _m("doc_leakage_safe_split").fn(spark, SF)
+    straddling = (
+        df.groupBy("split_cluster")
+        .agg(F.countDistinct("split_label").alias("n_labels"))
+        .filter(F.col("n_labels") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # and the split is a real split (both sides populated, ~90/10)
+    counts = dict(df.groupBy("split_label").count().collect())
+    assert counts.get("train", 0) > counts.get("val", 0) > 0
+
+
+def test_split_respects_dup_pairs(spark):
+    """Directly: for every >=0.5-Jaccard pair, both docs share a
+    split label (the pair graph is what clustering consumed)."""
+    from japanstockdatapipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from japanstockdatapipeline_spark.sources import load_table
+
+    split = _m("doc_leakage_safe_split").fn(spark, SF)
+    pairs = ngram_jaccard_pairs(load_table(spark, SF, "documents"), threshold=0.5, k=3)
+    leaked = (
+        pairs.join(split.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split_label", "label_a")
+        .select("id_a", "id_b", "label_a")
+        .join(split.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .filter(F.col("split_label") != F.col("label_a"))
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_pii_redaction_is_complete(spark):
+    """After redaction, re-running every detector on the redacted
+    text finds zero matches — no partial masking."""
+    from japanstockdatapipeline_spark.plans.governance import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+        _pii_augmented,
+    )
+    from japanstockdatapipeline_spark.sources import load_table
+
+    d = load_table(spark, SF, "documents")
+    aug = _pii_augmented()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    remaining = d.select(
+        sum(
+            F.size(F.regexp_extract_all(redacted, F.lit(p), F.lit(0)))
+            for p in (PII_EMAIL, PII_PHONE, PII_IP)
+        ).alias("n")
+    ).agg(F.sum("n").alias("total"))
+    assert remaining.collect()[0]["total"] == 0
+    # and every class was actually present pre-redaction
+    found = d.select(
+        *(
+            F.sum(F.size(F.regexp_extract_all(aug, F.lit(p), F.lit(0)))).alias(f"c{i}")
+            for i, p in enumerate((PII_EMAIL, PII_PHONE, PII_IP))
+        )
+    ).collect()[0]
+    assert all(found[f"c{i}"] > 0 for i in range(3))
+
+
+def test_url_canonical_is_clean(spark):
+    df = _m("doc_url_normalize").fn(spark, SF)
+    bad = df.filter(
+        F.col("url_canonical").rlike(r"^https?://|^www\.|[?#]|/$")
+        | (F.col("url_domain") != "example.com")
+        | F.col("url_host").contains("/")
+    ).count()
+    assert bad == 0
+
+
+def test_width_normalize_roundtrip(spark):
+    df = _m("doc_width_normalize").fn(spark, SF)
+    n = df.count()
+    assert df.filter(F.col("zen_roundtrip_ok")).count() == n
+    # zen form actually differs (normalization is not a no-op) and
+    # contains only full-width chars where ASCII alnum/space existed
+    assert df.filter(F.col("zen_text") == F.col("zen_norm")).count() == 0
