@@ -30,6 +30,8 @@ __all__ = [
     "merge_column_groups",
     "pending_null_cursor_days",
     "archive_partitions",
+    "compaction_plan",
+    "compact_partitions",
     "RunManifest",
     "FreshnessError",
     "assert_fresh",
@@ -249,6 +251,80 @@ def archive_partitions(
     for value in to_archive:
         remove_partition(spark, path, partition_col, value)
     return to_archive
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    *,
+    max_files: int = 4,
+    target_bytes: int = 128 << 20,
+) -> list[dict]:
+    """ST9 companion — small-file compaction PLANNER: per partition,
+    count data files and bytes through the Hadoop FS API and flag
+    partitions whose file count exceeds both `max_files` and the
+    size-derived target (ceil(bytes / target_bytes)). Incremental
+    daily appends are the classic small-file factory; at 100 TB an
+    uncompacted lake pays per-file open cost on every scan, so the
+    nightly job runs this planner and rewrites only flagged
+    partitions. Returns plan rows (value, n_files, bytes,
+    target_files, rewrite) — a pure plan; `compact_partitions`
+    executes it."""
+    plan = []
+    for value in list_partitions(spark, path, partition_col):
+        fs, p = _hadoop_fs(spark, f"{path}/{partition_col}={value}")
+        n_files, nbytes = 0, 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                n_files += 1
+                nbytes += st.getLen()
+        target = max(1, -(-nbytes // target_bytes))  # ceil
+        plan.append(
+            {
+                "value": value,
+                "n_files": n_files,
+                "bytes": nbytes,
+                "target_files": target,
+                "rewrite": n_files > max(max_files, target),
+            }
+        )
+    return plan
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    *,
+    max_files: int = 4,
+    target_bytes: int = 128 << 20,
+) -> list[dict]:
+    """Execute `compaction_plan`: rewrite each flagged partition to
+    its target file count — read, repartition(target), write to a
+    dot-prefixed sibling dir (invisible to Spark scans), then swap
+    via FS delete + rename. The swap is atomic on HDFS/local; on
+    object stores rename is copy-based, so a production deployment
+    swaps through the table format's commit (Delta/Iceberg rewrite)
+    — the planner half is unchanged. Returns the executed plan."""
+    plan = compaction_plan(
+        spark, path, partition_col, max_files=max_files, target_bytes=target_bytes
+    )
+    for row in plan:
+        if not row["rewrite"]:
+            continue
+        src = f"{path}/{partition_col}={row['value']}"
+        tmp = f"{path}/.compact_{partition_col}={row['value']}"
+        spark.read.parquet(src).repartition(row["target_files"]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs, src_p = _hadoop_fs(spark, src)
+        _, tmp_p = _hadoop_fs(spark, tmp)
+        fs.delete(src_p, True)
+        if not fs.rename(tmp_p, src_p):
+            raise IOError(f"compaction swap failed for {src}")
+    return plan
 
 
 class FreshnessError(RuntimeError):

@@ -167,3 +167,42 @@ def test_manifest_replay_query_matches_runmanifest_code(spark, tmp_path):
     planned_code = set(catch_up_plan(cal, done, max_catch_up=5))
     planned_query = {dt.date.fromisoformat(r["order_date"]) for r in rows if r["catch_up_planned"]}
     assert planned_code == planned_query
+
+
+def test_compaction_planner_and_rewrite(spark, tmp_path):
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        compact_partitions,
+        compaction_plan,
+    )
+
+    path = str(tmp_path / "facts")
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, "2024-01-01").otherwise("2024-01-02").alias("d"),
+        F.col("id").alias("v"),
+    )
+    # day 1 fragmented into 8 files, day 2 already compact
+    write_partition_overwrite(df.filter("d = '2024-01-01'").repartition(8), path, "d")
+    (
+        df.filter("d = '2024-01-02'")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/d=2024-01-02")
+    )
+
+    plan = {p["value"]: p for p in compaction_plan(spark, path, "d", max_files=4)}
+    assert plan["2024-01-01"]["n_files"] == 8 and plan["2024-01-01"]["rewrite"]
+    assert plan["2024-01-02"]["n_files"] == 1 and not plan["2024-01-02"]["rewrite"]
+    # tiny partitions collapse to the size-derived target (1 file)
+    assert plan["2024-01-01"]["target_files"] == 1
+
+    before = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    executed = compact_partitions(spark, path, "d", max_files=4)
+    assert any(p["rewrite"] for p in executed)
+
+    after_plan = {p["value"]: p for p in compaction_plan(spark, path, "d", max_files=4)}
+    assert after_plan["2024-01-01"]["n_files"] == 1
+    assert not any(p["rewrite"] for p in after_plan.values())
+    # data identical after the swap (values and partition column)
+    after = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert spark.read.parquet(path).filter("d = '2024-01-01'").count() == 1000
