@@ -32,6 +32,7 @@ __all__ = [
     "archive_partitions",
     "compaction_plan",
     "compact_partitions",
+    "write_clustered_overwrite",
     "RunManifest",
     "FreshnessError",
     "assert_fresh",
@@ -251,6 +252,35 @@ def archive_partitions(
     for value in to_archive:
         remove_partition(spark, path, partition_col, value)
     return to_archive
+
+
+def write_clustered_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_by: list[str],
+    *,
+    files_per_partition: int = 4,
+) -> None:
+    """ST5 write path with LAYOUT CONTROL: dynamic partition
+    overwrite where rows are range-partitioned and sorted by
+    `cluster_by` within each date partition. Sorting before write
+    makes parquet row-group min/max stats TIGHT on the cluster keys,
+    so a later `WHERE key = x` scan skips whole files/row-groups via
+    footer stats instead of reading them — the plain-parquet
+    equivalent of Delta's OPTIMIZE ZORDER for the single-key case.
+    At 100 TB this is the difference between a point lookup touching
+    a handful of row groups and touching every file of the day.
+    The test asserts the written files' footer ranges are disjoint,
+    so a point predicate can prune all files but one."""
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.repartitionByRange(files_per_partition, partition_col, *cluster_by)
+        .sortWithinPartitions(partition_col, *cluster_by)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def compaction_plan(

@@ -206,3 +206,46 @@ def test_compaction_planner_and_rewrite(spark, tmp_path):
     after = sorted(r["v"] for r in spark.read.parquet(path).collect())
     assert after == before
     assert spark.read.parquet(path).filter("d = '2024-01-01'").count() == 1000
+
+
+def test_clustered_write_has_prunable_footers(spark, tmp_path):
+    """Sorted-within-partition writes must yield near-disjoint
+    per-file min/max on the cluster key, so a point predicate can
+    skip every file but one via footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        write_clustered_overwrite,
+    )
+
+    path = str(tmp_path / "bars")
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("d"),
+        (F.col("id") % 500).alias("code"),
+        F.col("id").alias("v"),
+    )
+    write_clustered_overwrite(df, path, "d", ["code"], files_per_partition=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    for day in ("2024-01-01", "2024-01-02"):
+        ranges = []
+        for f in glob.glob(f"{path}/d={day}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("code")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        assert len(ranges) >= 2  # actually split into multiple files
+        ranges.sort()
+        for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b  # disjoint: point lookup prunes to 1 file
+        # a point key is coverable by exactly one file
+        probe = 250
+        hits = [r for r in ranges if r[0] <= probe <= r[1]]
+        assert len(hits) == 1
