@@ -124,6 +124,18 @@ CHECKS = {
         ("Join", False, "one-pass: no join operator anywhere"),
         ("hashpartitioning\\(lang", True, "single shuffle: the packing window on the shard"),
     ],
+    "doc_pii_redaction": [
+        ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
+    ],
+    "doc_url_normalize": [
+        ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
+    ],
+    "doc_width_normalize": [
+        ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
+    ],
+    "doc_leakage_safe_split": [
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "cluster map joins by key, never a product"),
+    ],
 }
 
 
