@@ -24,6 +24,8 @@ __all__ = [
     "enrich_with_master_pit",
     "attribution_join_streams",
     "run_to_parquet",
+    "score_histogram",
+    "drift_gated_ingest",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -207,6 +209,85 @@ def run_foreach_batch_upsert(
     )
     q.awaitTermination()
     return audits
+
+
+def score_histogram(df: DataFrame, score_col: str) -> list[int]:
+    """10-bucket histogram of a [0,1] score (bucket = floor(s*10),
+    clamped to 9) — the static reference side of the drift gate.
+    Distributed agg; only the 10 bucket counts reach the driver."""
+    rows = (
+        df.groupBy(
+            F.least(F.floor(F.col(score_col) * 10), F.lit(9)).cast("int").alias("b")
+        )
+        .count()
+        .collect()
+    )
+    hist = [0] * 10
+    for r in rows:
+        hist[r["b"]] = r["count"]
+    return hist
+
+
+def _psi(ref_hist: list[int], batch_hist: list[int]) -> float:
+    """Population Stability Index with add-one smoothing — the same
+    formula as the batch monitor (plans/llm.doc_quality_drift)."""
+    import math
+
+    n_a, n_b = sum(ref_hist) + 10.0, sum(batch_hist) + 10.0
+    psi = 0.0
+    for a, b in zip(ref_hist, batch_hist):
+        p, q = (a + 1.0) / n_a, (b + 1.0) / n_b
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def drift_gated_ingest(
+    out: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    partition_col: str,
+    score_col: str,
+    ref_hist: list[int],
+    *,
+    threshold: float = 0.25,
+    quarantine_dir: str | None = None,
+) -> list[dict]:
+    """Streaming INGESTION GATE (the streaming form of
+    `doc_quality_drift`): each micro-batch's score distribution is
+    compared to the reference histogram by PSI; batches under the
+    threshold upsert into the target, batches over it are diverted
+    whole to the quarantine dir (or dropped if none) for human
+    review instead of silently polluting the corpus. Returns
+    per-batch verdicts. The PSI needs only the batch's 10 bucket
+    counts (one distributed agg per batch), so the gate adds no
+    per-row Python and no extra shuffle beyond the count."""
+    from .incremental import write_partition_overwrite
+
+    verdicts: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            psi = _psi(ref_hist, score_histogram(batch_df, score_col))
+            ok = psi < threshold
+            if ok:
+                write_partition_overwrite(batch_df, target_dir, partition_col)
+            elif quarantine_dir is not None:
+                write_partition_overwrite(batch_df, quarantine_dir, partition_col)
+            verdicts.append(
+                {"batch_id": int(batch_id), "psi": round(psi, 6), "ingested": ok}
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return verdicts
 
 
 def enrich_with_master_current(

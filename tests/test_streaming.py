@@ -249,3 +249,59 @@ def test_stream_stream_attribution_join(spark, sf_dir, tmp_path):
     exp_pairs = {(r["purchase_id"], r["click_id"]) for r in expected.collect()}
     assert got_pairs == exp_pairs
     assert len(exp_pairs) > 0  # fixture yields real matches
+
+
+def test_drift_gated_ingest_quarantines_shifted_batch(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        drift_gated_ingest,
+        score_histogram,
+    )
+
+    # reference corpus: uniform scores
+    ref = spark.createDataFrame(
+        pd.DataFrame({"d": "2024-01-01", "score": np.arange(1000) % 100 / 100.0})
+    )
+    hist = score_histogram(ref, "score")
+    assert sum(hist) == 1000 and max(hist) == 100
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch A: same uniform shape; batch B: collapsed into bucket 9
+    pd.DataFrame(
+        {"d": ["2024-01-02"] * 500, "score": (np.arange(500) % 100) / 100.0}
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame({"d": ["2024-01-03"] * 500, "score": [0.95] * 500}).to_parquet(
+        src / "b.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema("d string, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target, quarantine = str(tmp_path / "gold"), str(tmp_path / "quarantine")
+    verdicts = drift_gated_ingest(
+        stream,
+        target,
+        str(tmp_path / "cp"),
+        "d",
+        "score",
+        hist,
+        threshold=0.25,
+        quarantine_dir=quarantine,
+    )
+
+    assert len(verdicts) == 2
+    assert sorted(v["ingested"] for v in verdicts) == [False, True]
+    good = spark.read.parquet(target)
+    bad = spark.read.parquet(quarantine)
+    assert good.count() == 500 and bad.count() == 500
+    # partition-value inference reads d back as a DATE
+    assert [str(r["d"]) for r in good.select("d").distinct().collect()] == ["2024-01-02"]
+    assert [str(r["d"]) for r in bad.select("d").distinct().collect()] == ["2024-01-03"]
+    # the passing batch's PSI is small, the shifted one large
+    by_ok = {v["ingested"]: v["psi"] for v in verdicts}
+    assert by_ok[True] < 0.05 < 0.25 < by_ok[False]
