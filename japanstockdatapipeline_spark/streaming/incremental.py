@@ -130,12 +130,15 @@ def write_partition_overwrite(
     partition. This replaces the reference's write-chunks-then-flip-
     publication-marker dance (00050:20-41).
     """
+    # per-write option (not a session conf mutation): scopes dynamic
+    # overwrite to THIS write, so concurrent jobs in the same session
+    # keep their own overwrite semantics
     (
-        df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
     )
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
 def write_with_audit(
@@ -273,11 +276,11 @@ def write_clustered_overwrite(
     a handful of row groups and touching every file of the day.
     The test asserts the written files' footer ranges are disjoint,
     so a point predicate can prune all files but one."""
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.repartitionByRange(files_per_partition, partition_col, *cluster_by)
         .sortWithinPartitions(partition_col, *cluster_by)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
