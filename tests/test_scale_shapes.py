@@ -124,6 +124,9 @@ PLAN_TIME_JOB_ALLOWLIST = {
     "doc_dup_clusters",
     "corpus_prep_pipeline",
     "doc_feature_panel",
+    # rides dup_clusters: iterative label propagation must converge
+    # (data-dependent round count), so building the plan runs jobs
+    "doc_leakage_safe_split",
 }
 
 
