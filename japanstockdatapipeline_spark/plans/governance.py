@@ -260,6 +260,115 @@ def doc_width_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *width_normalize_cols())
 
 
+_HTML_RAW_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title>"
+    "<style>p{margin:0}</style></head><body><h1>' || upper(source) || "
+    "'</h1><p>' || text || ' &amp; &lt;raw&gt;&nbsp;end</p>"
+    "<script>var x=' || doc_id || ';</script><!-- footer --></body></html>'"
+)
+
+
+def _html_raw():
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body><h1>"),
+        F.upper("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; &lt;raw&gt;&nbsp;end</p><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><!-- footer --></body></html>"),
+    )
+
+
+def html_strip_cols() -> list:
+    """HTML boilerplate-stripping expressions (reused by the fused doc
+    features): drop script/style blocks and comments, strip tags,
+    unescape the common entities (&amp; LAST, so no double-unescape),
+    collapse whitespace. Outputs title, raw/clean lengths, and the
+    clean text's md5."""
+    raw = _html_raw()
+    clean = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.regexp_replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.regexp_replace(
+                                            raw, r"<script[^>]*>.*?</script>", ""
+                                        ),
+                                        r"<style[^>]*>.*?</style>", "",
+                                    ),
+                                    r"<!--.*?-->", "",
+                                ),
+                                r"<[^>]+>", " ",
+                            ),
+                            F.lit("&lt;"), F.lit("<"),
+                        ),
+                        F.lit("&gt;"), F.lit(">"),
+                    ),
+                    F.lit("&nbsp;"), F.lit(" "),
+                ),
+                F.lit("&amp;"), F.lit("&"),
+            ),
+            r"\s+", " ",
+        )
+    )
+    return [
+        F.regexp_extract(raw, r"<title>(.*?)</title>", 1).alias("html_title"),
+        F.length(raw).cast("int").alias("html_len_raw"),
+        F.length(clean).cast("int").alias("html_len_clean"),
+        F.md5(clean).alias("html_clean_md5"),
+    ]
+
+
+_HTML_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_RAW_SQL} AS raw FROM documents
+    ), c AS (
+      SELECT doc_id, raw,
+        trim(regexp_replace(
+          replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(raw,
+                '<script[^>]*>.*?</script>', '', 'g'),
+                '<style[^>]*>.*?</style>', '', 'g'),
+                '<!--.*?-->', '', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS clean
+      FROM h
+    )
+    SELECT doc_id,
+           regexp_extract(raw, '<title>(.*?)</title>', 1) AS html_title,
+           CAST(length(raw) AS INT) AS html_len_raw,
+           CAST(length(clean) AS INT) AS html_len_clean,
+           md5(clean) AS html_clean_md5
+    FROM c
+"""
+
+
+@member(
+    "doc_html_strip",
+    doc="HTML boilerplate stripping (web-corpus extraction op, the "
+    "trafilatura-class step; the reference's scrapers do the same "
+    "tag-strip + entity-unescape on nikkei/kabuyutai pages — "
+    "scraper/parser.ts): synthesizes an HTML wrapper per document "
+    "(title/style/script/comment/entities), then strips script & "
+    "style blocks, comments, and tags, unescapes entities (&amp; "
+    "last), and collapses whitespace. Scale: scan-speed regex "
+    "expressions, zero shuffles, Java∩RE2-portable patterns.",
+    oracle=_HTML_ORACLE,
+)
+def doc_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *html_strip_cols())
+
+
 def _register_leakage_safe_split() -> None:
     """Contamination-safe train/val split: assign splits by NEAR-DUP
     CLUSTER, not by document, so near-duplicates never straddle the

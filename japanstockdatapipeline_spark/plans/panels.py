@@ -219,6 +219,7 @@ register_panel(
         "doc_pii_redaction",
         "doc_url_normalize",
         "doc_width_normalize",
+        "doc_html_strip",
         "doc_leakage_safe_split",
     ),
     renames={
@@ -246,6 +247,7 @@ _DOC_FUSED_MEMBERS = (
     "doc_pii_redaction",
     "doc_url_normalize",
     "doc_width_normalize",
+    "doc_html_strip",
     "doc_sequence_packing",
 )
 _DOC_FUSED_RENAMES = {
@@ -257,9 +259,9 @@ _DOC_FUSED_RENAMES = {
 
 def _register_fused_doc_features() -> None:
     """ONE-pass production form of the expression-only document
-    features: the 12 per-document members that need no cross-document
+    features: the 13 per-document members that need no cross-document
     join, computed in a single select over ONE scan of documents
-    (1 Exchange — the packing window — vs 12 member subtrees).
+    (1 Exchange — the packing window — vs 13 member subtrees).
     Value-locked three ways: the same FULL-JOIN DuckDB oracle as the
     member subset, an equivalence test against the join-of-members
     (tests/test_fused_panel.py), and an Exchange-count plan

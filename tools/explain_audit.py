@@ -133,6 +133,9 @@ CHECKS = {
     "doc_width_normalize": [
         ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
     ],
+    "doc_html_strip": [
+        ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
+    ],
     "doc_leakage_safe_split": [
         ("BroadcastNestedLoopJoin|CartesianProduct", False, "cluster map joins by key, never a product"),
     ],
