@@ -90,7 +90,11 @@ def ngram_jaccard_pairs(
     # (A hash-the-token-TUPLE variant that skips building shingle
     # strings measured FASTER in stage isolation but 15-30% slower
     # end-to-end under codegen fusion — keep the string form; re-A/B
-    # before changing this.)
+    # before changing this. An array_sort + slice(i+2..) pair emit
+    # that skips generating the discarded id_a >= id_b half also
+    # measured SLOWER warm at sf0.1 — min 2.62s vs 2.30s over 5 runs
+    # — the comparator-lambda sort costs more than the struct churn
+    # codegen already fuses away.)
     sh = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
