@@ -260,6 +260,95 @@ def doc_width_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *width_normalize_cols())
 
 
+def gopher_quality_cols() -> list:
+    """Gopher-rule quality flags (Rae et al. 2021, document-level
+    subset; reused by the fused doc features): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, minimum stopword
+    count, and the AND of all four."""
+    from ..functions import text as TX
+
+    t = F.col("text")
+    toks = TX.tokens(F.lower(t))
+    n_words = TX.n_tokens(t)
+    mean_len = TX.avg_token_len(t)
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    sym_ratio = n_symbols / F.nullif(n_words, F.lit(0)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
+    f_words = (n_words >= 50) & (n_words <= 100_000)
+    f_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    f_sym = F.coalesce(sym_ratio <= 0.1, F.lit(False))
+    f_stop = n_stop >= 2
+    return [
+        n_words.alias("gq_n_words"),
+        F.round(mean_len, 6).alias("gq_mean_word_len"),
+        F.round(sym_ratio, 6).alias("gq_symbol_ratio"),
+        n_stop.alias("gq_n_stopwords"),
+        f_words.alias("gq_f_words"),
+        f_len.alias("gq_f_word_len"),
+        f_sym.alias("gq_f_symbols"),
+        f_stop.alias("gq_f_stopwords"),
+        (f_words & f_len & f_sym & f_stop).alias("gq_pass"),
+    ]
+
+
+def _gopher_oracle() -> str:
+    from ..functions import text as TX
+
+    sw = "', '".join(TX.STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> ''), x -> lower(x)) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) END AS mean_len,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / nullif(len(toks), 0) AS sym_ratio,
+             len(list_filter(toks, x -> x IN ('{sw}'))) AS n_stop
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS gq_n_words,
+           round(mean_len, 6) AS gq_mean_word_len,
+           round(sym_ratio, 6) AS gq_symbol_ratio,
+           CAST(n_stop AS INT) AS gq_n_stopwords,
+           n_words BETWEEN 50 AND 100000 AS gq_f_words,
+           mean_len BETWEEN 3.0 AND 10.0 AS gq_f_word_len,
+           coalesce(sym_ratio <= 0.1, FALSE) AS gq_f_symbols,
+           n_stop >= 2 AS gq_f_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+             AND coalesce(sym_ratio <= 0.1, FALSE) AND n_stop >= 2 AS gq_pass
+    FROM m
+    """
+
+
+def _register_gopher_flags() -> None:
+    member(
+        "doc_gopher_quality_flags",
+        oracle=_gopher_oracle(),
+        doc="Gopher quality-rule flags (Rae et al. 2021, the "
+        "document-level subset): word count in [50, 100k], mean word "
+        "length in [3, 10], #/ellipsis symbol-to-word ratio <= 0.1, "
+        ">= 2 stopwords; gq_pass = AND of the four. The named filter "
+        "battery a MassiveText-style pipeline applies before dedup. "
+        "Scale: scan-speed expressions, zero shuffles.",
+    )(lambda spark, sf_dir: load_table(spark, sf_dir, "documents").select(
+        "doc_id", *gopher_quality_cols()
+    ))
+
+
+_register_gopher_flags()
+
+
 _HTML_RAW_SQL = (
     "'<html><head><title>Doc ' || doc_id || '</title>"
     "<style>p{margin:0}</style></head><body><h1>' || upper(source) || "

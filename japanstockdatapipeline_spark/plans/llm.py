@@ -1099,6 +1099,7 @@ def _governance_cols() -> list:
     columns, shared with plans/governance.py so the fused form stays
     definitionally identical to the members."""
     from .governance import (
+        gopher_quality_cols,
         html_strip_cols,
         pii_redaction_cols,
         url_normalize_cols,
@@ -1110,18 +1111,19 @@ def _governance_cols() -> list:
         *url_normalize_cols(),
         *width_normalize_cols(),
         *html_strip_cols(),
+        *gopher_quality_cols(),
     ]
 
 
 def doc_features_fused(docs: DataFrame) -> DataFrame:
     """ONE-pass production form of the expression-only document
-    features: the 13 per-document members that need no cross-document
+    features: the 14 per-document members that need no cross-document
     join (text stats, lang id, BPE counts, repetition, rolling hash,
     simhash, null normalization, stratified-sample membership,
     sequence packing, PII redaction, URL canonicalization, width
-    normalization, HTML stripping) computed in a single select over ONE scan of
+    normalization, HTML stripping, Gopher quality flags) computed in a single select over ONE scan of
     documents — 1 Exchange total (the packing window on lang) vs the
-    panel's 13 member subtrees. Value-locked three ways: the same
+    panel's 14 member subtrees. Value-locked three ways: the same
     FULL-JOIN DuckDB oracle as the member subset, an equivalence test
     against the join-of-members (tests/test_fused_panel.py), and an
     Exchange-count plan assertion.

@@ -220,6 +220,7 @@ register_panel(
         "doc_url_normalize",
         "doc_width_normalize",
         "doc_html_strip",
+        "doc_gopher_quality_flags",
         "doc_leakage_safe_split",
     ),
     renames={
@@ -248,6 +249,7 @@ _DOC_FUSED_MEMBERS = (
     "doc_url_normalize",
     "doc_width_normalize",
     "doc_html_strip",
+    "doc_gopher_quality_flags",
     "doc_sequence_packing",
 )
 _DOC_FUSED_RENAMES = {
@@ -259,9 +261,9 @@ _DOC_FUSED_RENAMES = {
 
 def _register_fused_doc_features() -> None:
     """ONE-pass production form of the expression-only document
-    features: the 13 per-document members that need no cross-document
+    features: the 14 per-document members that need no cross-document
     join, computed in a single select over ONE scan of documents
-    (1 Exchange — the packing window — vs 13 member subtrees).
+    (1 Exchange — the packing window — vs 14 member subtrees).
     Value-locked three ways: the same FULL-JOIN DuckDB oracle as the
     member subset, an equivalence test against the join-of-members
     (tests/test_fused_panel.py), and an Exchange-count plan
@@ -318,6 +320,7 @@ register_panel(
         "embedding_label_centroid_sim",
         "embedding_kmeans_cells",
         "embedding_vector_literal",
+        "embedding_int8_quant",
     ),
     doc="Per-vector feature panel (F7, F8 + the k-means coarse "
     "quantizer): label-centroid cosine, k-means cell assignment "

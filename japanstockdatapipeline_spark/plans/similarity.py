@@ -321,3 +321,48 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans_cells(emb, k=8, iters=2)
     return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"), "cell_cos")
+
+
+@member(
+    "embedding_int8_quant",
+    doc="Int8 embedding quantization audit (training-data op: 4x "
+    "storage/bandwidth reduction for ANN serving — the symmetric "
+    "scale-127 scheme): quantize each vector to int8, dequantize, and "
+    "report the cosine between original and dequantized plus the L2 "
+    "error — the per-vector audit a quantized-index rollout reviews. "
+    "Scale: pure array expressions in the scan, zero shuffles.",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             embedding::DOUBLE[],
+             list_transform(embedding::DOUBLE[],
+               x -> least(greatest(round(x * 127.0), -127.0), 127.0) / 127.0)
+           ), 6) AS quant_cos,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+             x -> pow(x - least(greatest(round(x * 127.0), -127.0), 127.0) / 127.0,
+                      2)))), 6) AS quant_l2_err
+    FROM embeddings
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", as_double_array(F.col("embedding"))
+    )
+    dq = F.transform(
+        "emb_d",
+        lambda x: F.least(F.greatest(F.round(x * 127.0), F.lit(-127.0)), F.lit(127.0))
+        / 127.0,
+    )
+    q = emb.withColumn("dq", dq)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb_d", "dq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("emb_d"), F.col("dq")), 6).alias("quant_cos"),
+        F.round(l2, 6).alias("quant_l2_err"),
+    )

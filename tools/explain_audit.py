@@ -136,6 +136,12 @@ CHECKS = {
     "doc_html_strip": [
         ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
     ],
+    "doc_gopher_quality_flags": [
+        ("Join|Exchange", False, "scan-speed expressions: no join, no shuffle"),
+    ],
+    "embedding_int8_quant": [
+        ("Join|Exchange", False, "pure array expressions in the scan"),
+    ],
     "doc_leakage_safe_split": [
         ("BroadcastNestedLoopJoin|CartesianProduct", False, "cluster map joins by key, never a product"),
     ],
