@@ -98,12 +98,17 @@ def test_partition_pruning_on_gold_tables(spark, sf_dir, tmp_path):
     path = str(tmp_path / "gold_events")
     write_partition_overwrite(ev, path, "day")
     df = spark.read.parquet(path).filter(F.col("day") == 19723)
+    import re
+
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "PartitionFilters: [isnotnull(day" in plan.replace("#", " #").replace(
-        "day#", "day #"
-    ) or "PartitionFilters" in plan
+    # the day predicate must appear IN PartitionFilters (pruned at
+    # listing time), and must NOT appear in PushedFilters/Filter (it
+    # never becomes a data-level filter)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "19723" in m.group(1), f"day predicate not pruned: {m.group(1)}"
     # and the filter actually prunes: only matching rows come back
     days = {r["day"] for r in df.select("day").distinct().collect()}
     assert days <= {19723}
@@ -198,3 +203,4 @@ def test_explain_audit_checks_hold(spark):
             if found != expected:
                 failures.append(f"{name}: {'missing' if expected else 'unexpected'} /{pattern}/ ({why})")
     assert not failures, "\n".join(failures)
+
