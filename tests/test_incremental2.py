@@ -249,3 +249,40 @@ def test_clustered_write_has_prunable_footers(spark, tmp_path):
         probe = 250
         hits = [r for r in ranges if r[0] <= probe <= r[1]]
         assert len(hits) == 1
+
+
+def test_versioned_publication_time_travel_and_rollback(spark, tmp_path):
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        publish_version,
+        published_versions,
+        read_published,
+        rollback_to,
+    )
+
+    root = str(tmp_path / "gold")
+    v1 = publish_version(spark.range(10).selectExpr("id AS v"), root)
+    v2 = publish_version(spark.range(20).selectExpr("id AS v"), root)
+    assert (v1, v2) == (1, 2)
+    assert read_published(spark, root).count() == 20  # latest
+    assert read_published(spark, root, version=1).count() == 10  # time travel
+    assert published_versions(spark, root) == [1, 2]
+
+    # bad publish -> instant rollback, no data movement
+    publish_version(spark.range(1).selectExpr("id AS v"), root)
+    assert read_published(spark, root).count() == 1
+    rollback_to(spark, root, 2)
+    assert read_published(spark, root).count() == 20
+    assert published_versions(spark, root) == [1, 2, 3]  # forensics kept
+
+    # retention: keep_versions bounds the non-current tail
+    for _ in range(4):
+        publish_version(spark.range(5).selectExpr("id AS v"), root, keep_versions=2)
+    vs = published_versions(spark, root)
+    assert len(vs) == 3  # current + 2 retained
+    assert read_published(spark, root).count() == 5
+
+    # mid-flip resilience: marker missing -> highest version wins
+    import os
+
+    os.remove(os.path.join(root, "_LATEST"))
+    assert read_published(spark, root).count() == 5
