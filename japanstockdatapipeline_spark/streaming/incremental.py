@@ -37,6 +37,8 @@ __all__ = [
     "published_versions",
     "read_published",
     "rollback_to",
+    "snapshot_diff",
+    "diff_versions",
     "RunManifest",
     "FreshnessError",
     "assert_fresh",
@@ -380,6 +382,57 @@ def rollback_to(spark: SparkSession, root: str, version: int) -> None:
     fs.delete(mp, False)
     if not fs.rename(tp, mp):
         raise IOError(f"rollback flip failed for {root}")
+
+
+def snapshot_diff(
+    before: DataFrame, after: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Row-level diff between two snapshots (the review tool for the
+    publication layer: what changed between v=N and v=N+1 before the
+    flip, or post-hoc between any two retained versions). One
+    full-outer join on the keys; each row is tagged 'added' /
+    'removed' / 'changed' / 'unchanged' by comparing the non-key
+    columns null-safely. Scale: a single co-partitioned shuffle on
+    the keys — the same cost as any keyed join of the two snapshots."""
+    val_cols = [c for c in before.columns if c not in keys]
+    assert val_cols == [c for c in after.columns if c not in keys], "schema mismatch"
+    # explicit presence markers: a row whose value columns are all
+    # NULL is still PRESENT, so presence cannot be inferred from the
+    # value columns
+    b = before.withColumn("__b_present", F.lit(True))
+    a = after.withColumn("__a_present", F.lit(True))
+    for c in val_cols:
+        b = b.withColumnRenamed(c, f"__b_{c}")
+        a = a.withColumnRenamed(c, f"__a_{c}")
+    j = b.join(a, keys, "full_outer")
+    in_b = F.coalesce(F.col("__b_present"), F.lit(False))
+    in_a = F.coalesce(F.col("__a_present"), F.lit(False))
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))
+    status = (
+        F.when(~in_b & in_a, "added")
+        .when(in_b & ~in_a, "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    out = j.withColumn("diff_status", status).drop("__b_present", "__a_present")
+    renames = {f"__b_{c}": f"before_{c}" for c in val_cols}
+    renames.update({f"__a_{c}": f"after_{c}" for c in val_cols})
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def diff_versions(
+    spark: SparkSession, root: str, v_before: int, v_after: int, keys: list[str]
+) -> DataFrame:
+    """snapshot_diff over two retained published versions."""
+    return snapshot_diff(
+        read_published(spark, root, version=v_before),
+        read_published(spark, root, version=v_after),
+        keys,
+    )
 
 
 def compaction_plan(

@@ -286,3 +286,45 @@ def test_versioned_publication_time_travel_and_rollback(spark, tmp_path):
 
     os.remove(os.path.join(root, "_LATEST"))
     assert read_published(spark, root).count() == 5
+
+
+def test_snapshot_diff_between_published_versions(spark, tmp_path):
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        diff_versions,
+        publish_version,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "gold")
+    publish_version(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+        ),
+        root,
+    )
+    publish_version(
+        spark.createDataFrame(
+            [(2, 20.0), (3, None), (4, 44.0), (5, 50.0)], "k long, v double"
+        ),
+        root,
+    )
+    d = {r["k"]: r["diff_status"] for r in diff_versions(spark, root, 1, 2, ["k"]).collect()}
+    assert d == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",  # all-NULL values but present on both sides
+        4: "changed",
+        5: "added",
+    }
+    # changed rows carry both sides
+    row = {
+        r["k"]: (r["before_v"], r["after_v"])
+        for r in diff_versions(spark, root, 1, 2, ["k"]).collect()
+    }
+    assert row[4] == (40.0, 44.0)
+
+    # a present-but-all-NULL row is NOT confused with absence
+    b = spark.createDataFrame([(1, None)], "k long, v double")
+    a = spark.createDataFrame([(2, None)], "k long, v double")
+    d2 = {r["k"]: r["diff_status"] for r in snapshot_diff(b, a, ["k"]).collect()}
+    assert d2 == {1: "removed", 2: "added"}
