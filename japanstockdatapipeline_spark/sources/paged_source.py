@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .ingest import TokenBucket, classify_status, paginate, with_retry
 
@@ -110,6 +115,58 @@ class PagedApiReader(DataSourceReader):
         )
 
 
+class _RangePartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int):
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class PagedApiStreamReader(DataSourceStreamReader):
+    """ST1 as a REAL streaming source: the upstream API is
+    append-only (the reference's daily bars), and each micro-batch
+    ingests exactly the rows published since the last checkpointed
+    offset — the watermark forward-fill contract enforced by Spark's
+    own offset log. Offsets are {"rows": n}; `rowsPerTick` rows
+    appear per latestOffset() poll up to `maxRows`. Restarting the
+    query resumes from the checkpoint — exactly-once without any
+    bookkeeping of our own."""
+
+    def __init__(self, options: dict):
+        opts = {k.lower(): v for k, v in dict(options).items()}
+        self.n_shards = int(opts.get("shards", 2))
+        self.rows_per_tick = int(opts.get("rowspertick", 500))
+        self.max_rows = int(opts.get("maxrows", 1500))
+        self._published = 0
+
+    def initialOffset(self) -> dict:
+        return {"rows": 0}
+
+    def latestOffset(self) -> dict:
+        self._published = min(self._published + self.rows_per_tick, self.max_rows)
+        return {"rows": self._published}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["rows"]), int(end["rows"])
+        # restart case: the checkpoint may be ahead of this fresh
+        # reader instance's tick counter
+        self._published = max(self._published, hi)
+        return [_RangePartition(s, lo, hi) for s in range(self.n_shards)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        fetch = _fake_server(partition.shard, partition.end, False)
+        lo = partition.start
+        while lo < partition.end:
+            page = fetch(lo, min(1000, partition.end - lo))
+            if not page:
+                break
+            yield from page
+            lo += len(page)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class PagedApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -120,3 +177,6 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(dict(self.options))
+
+    def streamReader(self, schema) -> PagedApiStreamReader:
+        return PagedApiStreamReader(dict(self.options))
