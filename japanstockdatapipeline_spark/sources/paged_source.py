@@ -28,7 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .ingest import TokenBucket, classify_status, paginate, with_retry
@@ -167,6 +169,87 @@ class PagedApiStreamReader(DataSourceStreamReader):
         pass
 
 
+class _UpsertCommit(WriterCommitMessage):
+    def __init__(self, requests: int, rows: int):
+        self.requests = requests
+        self.rows = rows
+
+
+class PagedApiWriter(DataSourceWriter):
+    """S10 as a REAL Spark sink: each executor task chunks its rows
+    into requests bounded by BOTH a row cap and a payload-byte cap
+    (the reference posts 500-2,000 rows per request under a 1 MB
+    limit — batch.ts:17-141), sends each chunk through the retry
+    loop, and reports a commit message; the driver-side commit sees
+    every task's request/row counts. The 'endpoint' is a directory
+    the fake API appends request payloads to — swap it for an HTTP
+    POST and the sink ships upserts cluster-parallel with per-task
+    batching and retries."""
+
+    def __init__(self, options: dict):
+        opts = {k.lower(): v for k, v in dict(options).items()}
+        self.endpoint_dir = opts["endpointdir"]
+        self.max_rows = int(opts.get("maxrowsperrequest", 2000))
+        self.max_bytes = int(opts.get("maxbytesperrequest", 750 * 1024))
+        self.flaky = str(opts.get("flaky", "false")).lower() == "true"
+
+    def write(self, iterator) -> "_UpsertCommit":
+        import json
+        import os
+        import uuid
+
+        from .ingest import with_retry
+
+        failed_once = {"done": False}
+
+        def post(payload: str) -> None:
+            if self.flaky and not failed_once["done"]:
+                failed_once["done"] = True
+                raise classify_status(503)("injected transient 503", 503)
+            name = f"req-{uuid.uuid4().hex}.json"
+            tmp = os.path.join(self.endpoint_dir, f".{name}")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.rename(tmp, os.path.join(self.endpoint_dir, name))
+
+        os.makedirs(self.endpoint_dir, exist_ok=True)
+        requests = rows = 0
+        chunk: list[dict] = []
+        chunk_bytes = 2  # the enclosing "[]"
+
+        def flush() -> None:
+            nonlocal requests, rows, chunk, chunk_bytes
+            if not chunk:
+                return
+            with_retry(
+                lambda: post(json.dumps(chunk)), sleep=lambda ms: None, rng=lambda: 0.0
+            )
+            requests += 1
+            rows += len(chunk)
+            chunk, chunk_bytes = [], 2
+
+        for row in iterator:
+            rec = row.asDict()
+            rec_bytes = len(json.dumps(rec)) + 2
+            if chunk and (
+                len(chunk) >= self.max_rows or chunk_bytes + rec_bytes > self.max_bytes
+            ):
+                flush()
+            chunk.append(rec)
+            chunk_bytes += rec_bytes
+        flush()
+        return _UpsertCommit(requests, rows)
+
+    def commit(self, messages) -> None:
+        # driver-side: the audit numbers a RunManifest would record
+        total_rows = sum(m.rows for m in messages if m is not None)
+        total_reqs = sum(m.requests for m in messages if m is not None)
+        assert total_rows >= 0 and total_reqs >= 0
+
+    def abort(self, messages) -> None:
+        pass
+
+
 class PagedApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -180,3 +263,6 @@ class PagedApiDataSource(DataSource):
 
     def streamReader(self, schema) -> PagedApiStreamReader:
         return PagedApiStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> PagedApiWriter:
+        return PagedApiWriter(dict(self.options))

@@ -85,3 +85,34 @@ def test_paged_stream_source_incremental_exactly_once(spark, tmp_path):
     for s in (0, 1):
         offs = sorted(o for sh, o in keys if sh == s)
         assert offs == list(range(len(offs)))
+
+
+def test_paged_sink_batches_under_both_caps(spark, tmp_path):
+    """The writer must chunk every request under BOTH the row cap and
+    the payload-byte cap, deliver every row exactly once, and survive
+    an injected transient failure per task."""
+    import glob
+    import json
+
+    spark.dataSource.register(PagedApiDataSource)
+    endpoint = str(tmp_path / "api")
+    df = spark.range(5000).selectExpr(
+        "cast(id as int) AS k", "repeat('x', 200) AS payload"
+    ).repartition(4)
+    (
+        df.write.format("paged_api")
+        .option("endpointDir", endpoint)
+        .option("maxRowsPerRequest", 300)
+        .option("maxBytesPerRequest", 32 * 1024)
+        .option("flaky", "true")
+        .mode("append")
+        .save()
+    )
+    seen = []
+    for f in glob.glob(f"{endpoint}/req-*.json"):
+        body = open(f).read()
+        rows = json.loads(body)
+        assert len(rows) <= 300
+        assert len(body) <= 32 * 1024 + 256  # cap + bracket slack
+        seen.extend(r["k"] for r in rows)
+    assert sorted(seen) == list(range(5000))
