@@ -116,3 +116,42 @@ def test_paged_sink_batches_under_both_caps(spark, tmp_path):
         assert len(body) <= 32 * 1024 + 256  # cap + bracket slack
         seen.extend(r["k"] for r in rows)
     assert sorted(seen) == list(range(5000))
+
+
+def test_stream_source_composes_with_drift_gate(spark, tmp_path):
+    """End-to-end: the custom streaming source feeds the PSI ingestion
+    gate, which lands passing batches as partitioned gold — custom
+    source, governance gate, and idempotent sink interoperate."""
+    from pyspark.sql import functions as F
+
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        drift_gated_ingest,
+        score_histogram,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    # reference distribution from a batch read of the same API
+    ref = (
+        spark.read.format("paged_api")
+        .option("shards", 2)
+        .option("rowsPerShard", 2000)
+        .option("flaky", "false")
+        .load()
+        .withColumn("score", F.col("value") / 100.0)
+    )
+    hist = score_histogram(ref, "score")
+
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("shards", 2)
+        .option("rowsPerTick", 2000)
+        .option("maxRows", 2000)
+        .load()
+        .withColumn("score", F.col("value") / 100.0)
+    )
+    target = str(tmp_path / "gold")
+    verdicts = drift_gated_ingest(
+        stream, target, str(tmp_path / "cp"), "shard", "score", hist, threshold=0.25
+    )
+    assert verdicts and all(v["ingested"] for v in verdicts)  # same distribution
+    assert spark.read.parquet(target).count() == 4000
