@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["kmeans_cells"]
+__all__ = ["kmeans_cells", "semdedup"]
 
 
 def _centroids_of(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -85,3 +85,64 @@ def kmeans_cells(
     for _ in range(iters - 1):
         a = assign(_centroids_of(a, "__v"))
     return a.select(id_col, "cell", "cell_cos")
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into k-means cells, then
+    find near-duplicates ONLY within each cell — the pairwise cosine
+    pass is bounded by cell occupancy (sum of occ^2), never corpus^2.
+
+    Keep-rule: within a cell, a vector whose cosine to some
+    lower-id cell-mate is >= `threshold` is a semantic duplicate of
+    the smallest such id (the paper keeps the member farthest from
+    the centroid; the min-id rule used here is deterministic and
+    oracle-portable — the policy is one line to swap).
+
+    Output: (vec_id, sem_cell, sem_dup_of, sem_kept) — one row per
+    vector; `sem_dup_of` NULL for kept representatives.
+
+    Scale: the cell self-join is an equi-join on the cell id (a
+    shuffle, no all-pairs product); at real scale k grows with the
+    corpus (k ~ n / target_occupancy) so per-cell work stays flat,
+    which is exactly the published algorithm's design point. A
+    production run persists the assignment once instead of letting
+    both join sides recompute it (here kept lazy for the oracle
+    gate).
+    """
+    a = kmeans_cells(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
+    av = a.join(v, id_col).select(id_col, "cell", "__v")
+    left = av.select(
+        F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    right = av.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    dups = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("sem_dup_of"))
+    )
+    return (
+        av.join(dups, av[id_col] == dups["id_b"], "left")
+        .select(
+            id_col,
+            F.col("cell").cast("bigint").alias("sem_cell"),
+            "sem_dup_of",
+            F.col("sem_dup_of").isNull().alias("sem_kept"),
+        )
+    )

@@ -674,6 +674,62 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @member(
+    "doc_unigram_logprob",
+    doc="Unigram LM quality score (the CCNet perplexity-filter shape, "
+    "Wenzek et al. 2020, with a corpus-self-trained unigram model in "
+    "place of the wiki KenLM): per document, the mean negative log "
+    "probability of its tokens under corpus MLE unigram frequencies "
+    "(low = stereotypical, high = rare/noisy — the bucket boundaries "
+    "a CCNet-style head/middle/tail split cuts on). Two token passes "
+    "by construction (one builds the frequency table, one scores "
+    "against it — the train/apply split every LM filter has); the "
+    "corpus-total normalizer is a global window over the VOCAB axis "
+    "(bounded, SCALE.md cliff #2 pattern), never over the token "
+    "stream; fully lazy, no plan-time actions.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS term FROM documents,
+      LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')) AS t(tok)
+    ),
+    tf AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
+    SELECT tok.doc_id,
+           round(avg(-ln(tf.tf / tot.n)), 6) AS unigram_nll,
+           round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
+           round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
+    FROM tok JOIN tf USING (term), tot
+    GROUP BY tok.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    # corpus total as a window over the vocab table: single-partition
+    # but over DISTINCT TERMS (bounded axis), so the scoring join
+    # consumes one tf subtree — no broadcast-of-reaggregated-subtree,
+    # no eager count
+    tf = tf.withColumn("n_total", F.sum("tf").over(Window.partitionBy()))
+    nll = -F.log(F.col("tf") / F.col("n_total"))
+    return (
+        tok.join(tf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(nll), 6).alias("unigram_nll"),
+            F.round(F.min(nll), 6).alias("unigram_nll_min"),
+            F.round(F.max(nll), 6).alias("unigram_nll_max"),
+        )
+    )
+
+
+@member(
     "doc_hybrid_scores",
     doc="Hybrid retrieval scoring (north-star similarity + text "
     "analysis combined): per document, a lexical score (sum of "

@@ -222,6 +222,7 @@ register_panel(
         "doc_html_strip",
         "doc_gopher_quality_flags",
         "doc_leakage_safe_split",
+        "doc_unigram_logprob",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
@@ -321,11 +322,13 @@ register_panel(
         "embedding_kmeans_cells",
         "embedding_vector_literal",
         "embedding_int8_quant",
+        "embedding_semdedup",
     ),
     doc="Per-vector feature panel (F7, F8 + the k-means coarse "
     "quantizer): label-centroid cosine, k-means cell assignment "
-    "(geometric IVF cells), and the 6dp vector literal (every-100th "
-    "vector; absent rows -> NULL vec_literal) joined on vec_id.",
+    "(geometric IVF cells), the 6dp vector literal (every-100th "
+    "vector; absent rows -> NULL vec_literal), the int8 quantization "
+    "audit, and the SemDeDup semantic-dup verdict joined on vec_id.",
 )
 
 register_panel(

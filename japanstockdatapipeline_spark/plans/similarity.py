@@ -324,6 +324,62 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @member(
+    "embedding_semdedup",
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023 — "
+    "operators/kmeans.semdedup): k-means cells (k=8, 2 Lloyd rounds, "
+    "same deterministic schedule as embedding_kmeans_cells) + "
+    "within-cell cosine >= 0.3 to a lower-id cell-mate => semantic "
+    "dup of the smallest such id. The pairwise pass is an equi-join "
+    "on the cell id, bounded by cell occupancy — never corpus^2; at "
+    "scale k grows with the corpus so per-cell work stays flat. The "
+    "oracle replays the identical quantizer schedule and pair rule.",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+      FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 8
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v, s.cell,
+             round(list_cosine_similarity(e.v, s.c), 6) AS cos
+      FROM emb e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cos DESC, s.cell ASC) = 1
+    ),
+    cx AS (
+      SELECT cell, r.i AS i, avg(v[r.i]) AS m
+      FROM a1, LATERAL unnest(range(1, 65)) AS r(i)
+      GROUP BY cell, r.i
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM cx GROUP BY cell),
+    a2 AS (
+      SELECT e.vec_id, e.v, c1.cell,
+             round(list_cosine_similarity(e.v, c1.c), 6) AS cos
+      FROM emb e CROSS JOIN c1
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY cos DESC, c1.cell ASC) = 1
+    ),
+    dups AS (
+      SELECT y.vec_id AS id_b, min(x.vec_id) AS sem_dup_of
+      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
+      GROUP BY y.vec_id
+    )
+    SELECT a2.vec_id,
+           CAST(a2.cell AS BIGINT) AS sem_cell,
+           d.sem_dup_of,
+           (d.sem_dup_of IS NULL) AS sem_kept
+    FROM a2 LEFT JOIN dups d ON d.id_b = a2.vec_id
+    """,
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, iters=2, threshold=0.3)
+
+
+@member(
     "embedding_int8_quant",
     doc="Int8 embedding quantization audit (training-data op: 4x "
     "storage/bandwidth reduction for ANN serving — the symmetric "

@@ -85,3 +85,33 @@ def test_ivf_recall_kmeans_vs_random_labels(spark, clustered):
     recall_rnd = len(rnd & exact) / len(exact)
     assert recall_geo == 1.0  # tight clusters + geometric cells: perfect
     assert recall_geo > recall_rnd
+
+
+def test_semdedup_invariants_and_cluster_collapse(spark, clustered):
+    """SemDeDup on tight clusters: every cluster collapses to (at
+    least) one kept representative; dup_of always points at a
+    smaller id in the same cell; kept/dup is a partition of rows."""
+    from japanstockdatapipeline_spark.operators.kmeans import semdedup
+
+    out = semdedup(clustered, k=3, iters=2, threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == clustered.count()  # one verdict per vector
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        if r["sem_kept"]:
+            assert r["sem_dup_of"] is None
+        else:
+            d = by_id[r["sem_dup_of"]]
+            assert r["sem_dup_of"] < r["vec_id"]
+            assert d["sem_cell"] == r["sem_cell"]
+    # tight clusters at threshold 0.9: nearly everything is a dup of
+    # its cluster's smallest id — kept count collapses to ~n_clusters
+    kept = [r for r in rows if r["sem_kept"]]
+    assert len(kept) < 10  # 90 vectors, 3 true clusters
+    # the smallest id of every cell must be kept (nothing below it)
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["sem_cell"], []).append(r)
+    for members in cells.values():
+        first = min(members, key=lambda r: r["vec_id"])
+        assert first["sem_kept"]

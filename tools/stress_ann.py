@@ -143,6 +143,21 @@ def main() -> None:
         },
     )
 
+    # SemDeDup at occupancy-scaled k: per-cell pairwise work is
+    # sum(occ^2), so k must grow with the corpus (k ~ n / target_occ).
+    # The replica corpus has 10 true semantic dups per base vector at
+    # cos >= 0.9 — a k that splits those clusters loses them, so
+    # kept-fraction + dup count tell both halves of the story.
+    def sem(k_cells: int, thr: float):
+        from japanstockdatapipeline_spark.operators.kmeans import semdedup
+
+        out = semdedup(corpus, k=k_cells, iters=2, threshold=thr)
+        kept = out.where("sem_kept").count()
+        return {"kept": kept, "total": n, "k_cells": k_cells, "threshold": thr}
+
+    timed("semdedup_k16", lambda: sem(16, 0.9))
+    timed("semdedup_k64", lambda: sem(64, 0.9))
+
 
 if __name__ == "__main__":
     main()
