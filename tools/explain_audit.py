@@ -145,6 +145,14 @@ CHECKS = {
     "doc_leakage_safe_split": [
         ("BroadcastNestedLoopJoin|CartesianProduct", False, "cluster map joins by key, never a product"),
     ],
+    "embedding_semdedup": [
+        ("CartesianProduct", False, "pairwise pass is within-cell only, never corpus x corpus"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "cell self-join is an equi-join on the cell id"),
+    ],
+    "doc_unigram_logprob": [
+        ("CartesianProduct|BroadcastNestedLoopJoin", False, "no product: frequency table joins on the term"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "score pass equi-joins tokens to the vocab table"),
+    ],
 }
 
 
