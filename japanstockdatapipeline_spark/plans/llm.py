@@ -1080,6 +1080,51 @@ def doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @member(
+    "doc_mixture_alpha",
+    doc="Temperature (exponent-smoothed) mixture rates — the "
+    "multilingual sampling policy of mBERT/XLM-R (Conneau et al. "
+    "2020, alpha=0.3): per source, the natural token share "
+    "n_i/sum(n), the smoothed share n_i^alpha/sum(n^alpha), and the "
+    "implied up/down-sampling factor. The complement to the "
+    "water-filling budget planner (doc_mixture_plan): that one caps "
+    "by capacity, this one reshapes toward low-resource sources. "
+    "Scale: one groupBy on source (map-side combine), then windows "
+    "over the SOURCE axis (thousands of rows at most) — never over "
+    "the corpus.",
+    oracle="""
+    WITH cap AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> x <> ''))) AS DOUBLE) AS n_tok
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           round(n_tok / sum(n_tok) OVER (), 6) AS alpha_nat_share,
+           round(pow(n_tok, 0.3) / sum(pow(n_tok, 0.3)) OVER (), 6) AS alpha_share,
+           round((pow(n_tok, 0.3) / sum(pow(n_tok, 0.3)) OVER ())
+                 / (n_tok / sum(n_tok) OVER ()), 6) AS alpha_upsample
+    FROM cap
+    """,
+)
+def doc_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = d.groupBy("source").agg(
+        F.sum(TX.n_tokens(F.col("text"))).cast("double").alias("n_tok")
+    )
+    w = Window.partitionBy()
+    nat = F.col("n_tok") / F.sum("n_tok").over(w)
+    sm = F.pow(F.col("n_tok"), 0.3) / F.sum(F.pow(F.col("n_tok"), 0.3)).over(w)
+    return cap.select(
+        "source",
+        F.round(nat, 6).alias("alpha_nat_share"),
+        F.round(sm, 6).alias("alpha_share"),
+        F.round(sm / nat, 6).alias("alpha_upsample"),
+    )
+
+
+@member(
     "doc_incremental_dedup",
     doc="Incremental corpus dedup (training-data op): docs below the "
     "80%-of-max id cutoff are the already-ingested corpus snapshot, "

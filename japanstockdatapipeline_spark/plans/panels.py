@@ -415,10 +415,11 @@ register_panel(
 register_panel(
     "event_type_panel",
     ("event_type",),
-    ("cardinality_sketch_accuracy", "event_type_corr", "series_vintage_plan", "doc_mixture_plan"),
+    ("cardinality_sketch_accuracy", "event_type_corr", "series_vintage_plan", "doc_mixture_plan", "doc_mixture_alpha"),
     renames={
         "series_vintage_plan": {"series_id": "event_type"},
         "doc_mixture_plan": {"source": "event_type"},
+        "doc_mixture_alpha": {"source": "event_type"},
     },
     doc="Per-event-type panel (A8 + HLL accuracy audit + S5 vintage "
     "fetch planner + the token-budget mixture planner): exact vs "
