@@ -695,13 +695,25 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf AS (
       SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY term
     ),
-    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
-    SELECT tok.doc_id,
-           round(avg(-ln(tf.tf / tot.n)), 6) AS unigram_nll,
-           round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
-           round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
-    FROM tok JOIN tf USING (term), tot
-    GROUP BY tok.doc_id
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf),
+    nll AS (
+      SELECT tok.doc_id,
+             round(avg(-ln(tf.tf / tot.n)), 6) AS unigram_nll,
+             round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
+             round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
+      FROM tok JOIN tf USING (term), tot
+      GROUP BY tok.doc_id
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(unigram_nll, 1.0/3.0), 6) AS c1,
+             round(quantile_cont(unigram_nll, 2.0/3.0), 6) AS c2
+      FROM nll
+    )
+    SELECT nll.*,
+           CASE WHEN unigram_nll <= c1 THEN 'head'
+                WHEN unigram_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS unigram_bucket
+    FROM nll, cuts
     """,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,7 +730,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no eager count
     tf = tf.withColumn("n_total", F.sum("tf").over(Window.partitionBy()))
     nll = -F.log(F.col("tf") / F.col("n_total"))
-    return (
+    per_doc = (
         tok.join(tf, "term")
         .groupBy("doc_id")
         .agg(
@@ -726,6 +738,24 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(nll), 6).alias("unigram_nll_min"),
             F.round(F.max(nll), 6).alias("unigram_nll_max"),
         )
+    )
+    # head/middle/tail split at the corpus NLL terciles (the CCNet
+    # bucket boundaries): exact type-7 percentiles over the 6dp-
+    # rounded scores as a lazy 1-row broadcast — the winsorize
+    # stats-pass/apply-pass shape, no corpus-wide window
+    cuts = per_doc.agg(
+        F.round(F.expr("percentile(unigram_nll, 1.0D/3.0D)"), 6).alias("__c1"),
+        F.round(F.expr("percentile(unigram_nll, 2.0D/3.0D)"), 6).alias("__c2"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "unigram_bucket",
+            F.when(F.col("unigram_nll") <= F.col("__c1"), "head")
+            .when(F.col("unigram_nll") <= F.col("__c2"), "middle")
+            .otherwise("tail"),
+        )
+        .drop("__c1", "__c2")
     )
 
 
