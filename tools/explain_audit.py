@@ -149,9 +149,14 @@ CHECKS = {
         ("CartesianProduct", False, "pairwise pass is within-cell only, never corpus x corpus"),
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "cell self-join is an equi-join on the cell id"),
     ],
+    "doc_mixture_alpha": [
+        ("Join", False, "one groupBy + source-axis windows: no join"),
+        ("hashpartitioning\\(source", True, "token mass aggregates on source"),
+    ],
     "doc_unigram_logprob": [
-        ("CartesianProduct|BroadcastNestedLoopJoin", False, "no product: frequency table joins on the term"),
+        ("CartesianProduct", False, "no product: frequency table joins on the term"),
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "score pass equi-joins tokens to the vocab table"),
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row tercile cuts broadcast (winsorize shape)"),
     ],
 }
 
