@@ -272,6 +272,101 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
 
 
+@member(
+    "doc_cluster_representative",
+    doc="Near-dup selection policy (the 'which doc survives' half of "
+    "dedup): per near-dup cluster, keep the HIGHEST-QUALITY member "
+    "(6dp-rounded quality score, doc_id ascending tie-break) instead "
+    "of the min-id canonical the prep pipeline uses — the "
+    "quality-aware retention policy (RefinedWeb-style) as a "
+    "one-window swap on the same cluster table. Singletons represent "
+    "themselves. Scale: rides the already-bounded pair graph + one "
+    "window per cluster; the quality column is scan-speed.",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             round(0.4 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * (1.0 - coalesce(CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) END, 0.0))
+             + 0.3 * (1.0 - least(coalesce(CASE WHEN len_text > 0
+                 THEN CAST(n_punct AS DOUBLE) / len_text END, 0.0) * 10.0, 1.0)), 6) AS qs
+      FROM t
+    ), sh AS (
+      SELECT doc_id AS id, sh.shingle AS shingle, n_sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS shs
+        FROM (
+          SELECT doc_id,
+                 list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks
+          FROM documents
+        ) WHERE len(toks) >= 3
+      ), LATERAL (SELECT len(shs) AS n_sh),
+         LATERAL unnest(shs) AS sh(shingle)
+    ), shc AS (
+      SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 256
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id, a.n_sh, b.n_sh
+      HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5
+    ), nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id
+    ), cl AS (
+      SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    ), dc AS (
+      SELECT q.doc_id, q.qs, coalesce(cl.cluster, q.doc_id) AS cluster
+      FROM q LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id,
+           first_value(doc_id) OVER w AS rep_id,
+           doc_id = first_value(doc_id) OVER w AS is_rep
+    FROM dc
+    WINDOW w AS (PARTITION BY cluster ORDER BY qs DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def doc_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("qs")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+    cl = dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
+    dc = q.join(cl, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "doc_id")
+    )
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.col("qs").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rep = F.first("doc_id").over(w)
+    return dc.select(
+        "doc_id",
+        rep.alias("rep_id"),
+        (F.col("doc_id") == rep).alias("is_rep"),
+    )
+
+
 @query(
     "doc_tfidf_top_terms",
     doc="TF-IDF term scoring (north-star text analysis): tf = term "

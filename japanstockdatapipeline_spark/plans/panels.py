@@ -223,6 +223,7 @@ register_panel(
         "doc_gopher_quality_flags",
         "doc_leakage_safe_split",
         "doc_unigram_logprob",
+        "doc_cluster_representative",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},
