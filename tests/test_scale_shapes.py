@@ -132,6 +132,7 @@ PLAN_TIME_JOB_ALLOWLIST = {
     # rides dup_clusters: iterative label propagation must converge
     # (data-dependent round count), so building the plan runs jobs
     "doc_leakage_safe_split",
+    "doc_cluster_representative",
 }
 
 
