@@ -5,22 +5,34 @@ The stress run in SCALE.md showed `ivf_topk` recall is bounded by the
 coarse quantizer: the testdata `label` column is geometrically random,
 so probed cells rarely contain the true neighbors. This operator
 builds GEOMETRIC cells: deterministic seeding (the k smallest ids),
-then `iters` Lloyd rounds, each one crossJoin(broadcast(centroids)) →
-rounded-cosine argmax assignment → per-cell elementwise mean. The
-plan is fully lazy (no driver loop over data, no plan-time job): the
-iteration count is a compile-time unroll, each round adding one
-shuffle (the centroid re-agg) — the classic distributed-k-means
-shape, scaling by rows like any aggregation.
+then `iters` Lloyd rounds. The plan is fully lazy (no driver loop over
+data, no plan-time job): the iteration count is a compile-time unroll,
+each round adding one shuffle (the centroid re-agg) — the classic
+distributed-k-means shape, scaling by rows like any aggregation.
+
+Scale shape (round-5 verdict fixes — both asserted by the plan audit):
+  - SEEDING is `orderBy(id).limit(k)` — a distributed partial top-k
+    (TakeOrdered / LocalLimit-per-partition), NOT a row_number window
+    over the full corpus. The only single-partition hop moves <= k
+    rows (the seed collapse), never the data.
+  - ASSIGNMENT is an expression-level argmax over a BROADCAST
+    one-row centroid array: each corpus row scores all k centroids
+    inside one projected expression (array_max over transform), so a
+    Lloyd round adds ZERO corpus shuffle — no corpus x k row blowup,
+    no per-id window rank. The one-row centroid side is collapsed
+    with a k-row aggregate and broadcast (same 1-row-agg-broadcast
+    shape as the winsorize pipeline F6).
 
 Determinism (oracle-portability): argmax compares cosines ROUNDED to
-6 dp with ascending cell id as tie-break, so Spark and the SQL oracle
-(which may accumulate dot products in a different order) always pick
-the same cell even for near-ties.
+6 dp with ascending cell id as tie-break (encoded as max over
+struct(cos, -cell)), so Spark and the SQL oracle (which may
+accumulate dot products in a different order) always pick the same
+cell even for near-ties.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
@@ -40,6 +52,16 @@ def _centroids_of(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _as_centroid_row(cents: DataFrame) -> DataFrame:
+    """Collapse the k (cell, __cvec) rows into ONE row holding the
+    cell-sorted centroid array — the broadcastable form `assign`
+    consumes. The global agg's single-partition hop moves <= k
+    pre-aggregated rows, never corpus data."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "__cvec"))).alias("__cents")
+    )
+
+
 def kmeans_cells(
     vecs: DataFrame,
     k: int = 8,
@@ -52,38 +74,63 @@ def kmeans_cells(
 
     Output: (vec_id, cell, cell_cos) — `cell` is the 0-based id of the
     winning centroid after the last assignment round, `cell_cos` the
-    rounded cosine to it. `iters` counts ASSIGNMENT rounds: seeds →
-    assign → [recompute → assign] × (iters-1).
+    rounded cosine to it. `iters` counts ASSIGNMENT rounds: seeds ->
+    assign -> [recompute -> assign] x (iters-1).
 
     Empty cells shrink away naturally (a centroid with no members
     drops out of the next round); the oracle replays the identical
     schedule, seeding, quantized argmax, and shrinkage.
     """
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
-    # deterministic seeds: the k smallest ids, cell = dense order
-    seed_w = Window.orderBy(F.col(id_col).asc())
-    seeds = (
-        v.withColumn("__rn", F.row_number().over(seed_w))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).alias("cell"), F.col("__v").alias("__cvec"))
+    # deterministic seeds: the k smallest ids (distributed partial
+    # top-k, NOT a global window), cell = dense order by id
+    seed_row = (
+        v.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("__sid"), F.col("__v").alias("__cvec"))
+                )
+            ).alias("__s")
+        )
+        .select(
+            F.transform(
+                "__s",
+                lambda s, i: F.struct(i.alias("cell"), s["__cvec"].alias("__cvec")),
+            ).alias("__cents")
+        )
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        cos = F.round(cosine_similarity(F.col("__v"), F.col("__cvec")), 6)
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__cos").desc(), F.col("cell").asc()
+    def assign(cent_row: DataFrame) -> DataFrame:
+        # expression-level argmax over the broadcast centroid array:
+        # the corpus row count never multiplies (the centroid side is
+        # ONE row), and no shuffle or window runs per round. Tie-break
+        # min cell encoded as max(struct(cos, -cell)); a NULL cosine
+        # (zero vector) sorts below any defined cosine, so an all-NULL
+        # row falls back to cell 0 — same as the previous window form
+        # and the oracle's ORDER BY cos DESC (NULLS LAST).
+        scored = F.transform(
+            "__cents",
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col("__v"), c["__cvec"]), 6).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+            ),
         )
         return (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("__cos", cos)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(id_col, "cell", F.col("__cos").alias("cell_cos"), "__v")
+            v.crossJoin(F.broadcast(cent_row))
+            .withColumn("__best", F.array_max(scored))
+            .select(
+                id_col,
+                (-F.col("__best.negcell")).alias("cell"),
+                F.col("__best.cos").alias("cell_cos"),
+                "__v",
+            )
         )
 
-    a = assign(seeds)
+    a = assign(seed_row)
     for _ in range(iters - 1):
-        a = assign(_centroids_of(a, "__v"))
+        a = assign(_as_centroid_row(_centroids_of(a, "__v")))
     return a.select(id_col, "cell", "cell_cos")
 
 
@@ -108,7 +155,14 @@ def semdedup(
     oracle-portable — the policy is one line to swap).
 
     Output: (vec_id, sem_cell, sem_dup_of, sem_kept) — one row per
-    vector; `sem_dup_of` NULL for kept representatives.
+    vector; `sem_dup_of` NULL for kept representatives. NOTE:
+    `sem_dup_of` is *a* lower-id near-neighbor within the cell, NOT
+    necessarily a kept representative — with a similarity chain
+    (cos(1,2)>=t, cos(2,3)>=t, cos(1,3)<t) vector 3 points at 2 while
+    2 is itself a dup of 1. kept/not-kept is always consistent;
+    consumers that need the surviving CANONICAL for every dropped row
+    should resolve the pointer transitively (operators/dedup.
+    dup_clusters does exactly that over a pair list).
 
     Scale: the cell self-join is an equi-join on the cell id (a
     shuffle, no all-pairs product); at real scale k grows with the
@@ -116,7 +170,7 @@ def semdedup(
     which is exactly the published algorithm's design point. A
     production run persists the assignment once instead of letting
     both join sides recompute it (here kept lazy for the oracle
-    gate).
+    gate; tools/stress_ann.py measures the persisted form).
     """
     a = kmeans_cells(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))

@@ -114,7 +114,9 @@ CHECKS = {
     ],
     "embedding_kmeans_cells": [
         ("BroadcastExchange", True, "centroids broadcast each Lloyd round"),
-        ("CartesianProduct", False, "assignment is vectors x k broadcast rows, never corpus x corpus"),
+        ("CartesianProduct", False, "assignment is vectors x 1 broadcast centroid-array row, never corpus x corpus"),
+        ("Window", False, "no corpus-wide window: seed is orderBy+limit (partial top-k), argmax is an array expression"),
+        ("hashpartitioning\\(vec_id", False, "no per-round corpus x k shuffle on the vector id"),
     ],
     "doc_simhash_dups": [
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "candidates via band equi-join"),
@@ -148,6 +150,7 @@ CHECKS = {
     "embedding_semdedup": [
         ("CartesianProduct", False, "pairwise pass is within-cell only, never corpus x corpus"),
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "cell self-join is an equi-join on the cell id"),
+        ("Window", False, "quantizer subtree carries no corpus-wide window either"),
     ],
     "doc_mixture_alpha": [
         ("Join", False, "one groupBy + source-axis windows: no join"),
