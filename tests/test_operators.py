@@ -236,6 +236,64 @@ def test_dup_clusters_reliable_checkpoint_branch(spark, tmp_path):
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
 
 
+def test_dup_clusters_path_graph_pointer_doubling(spark):
+    """A 100-edge path graph (diameter 100 — the crawl-dup chain
+    shape) must converge well inside the default round budget thanks
+    to pointer doubling (reach doubles per round: 2^(k+1)-2 >= 100 at
+    k=6), and every node must label to the chain head — matching the
+    RECURSIVE-CTE transitive-closure oracle semantics."""
+    import duckdb
+
+    from japanstockdatapipeline_spark.operators.dedup import dup_clusters
+
+    edges = [(i, i + 1) for i in range(100)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["id"], r["cluster"]) for r in dup_clusters(pairs, max_iter=8).collect()}
+    assert got == {(i, 0) for i in range(101)}
+
+    # same answer as the RECURSIVE CTE the registered member oracles use
+    want = {
+        (a, b)
+        for a, b in duckdb.sql(
+            """
+            WITH RECURSIVE pairs AS (
+              SELECT * FROM (VALUES """
+            + ", ".join(f"({a}, {b})" for a, b in edges)
+            + """) t(id_a, id_b)
+            ), nodes AS (
+              SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id
+            )
+            SELECT id, min(r) FROM reach GROUP BY id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dup_clusters_raises_when_not_converged(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    silently return split clusters (round-5 verdict: a >max_iter-hop
+    chain returned wrong labels with no error)."""
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.dedup import (
+        ClusteringNotConverged,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(ClusteringNotConverged):
+        dup_clusters(pairs, max_iter=2)
+    # ...but a max_iter that lands EXACTLY on the fixpoint round is fine
+    assert dup_clusters(pairs, max_iter=5).count() == 41
+
+
 def test_multi_basket_all_equals_single_basket(spark):
     """The 'all' basket of the group-parallel N-basket job must equal
     the single-basket pit_basket_valuation member exactly."""
