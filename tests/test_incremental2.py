@@ -221,9 +221,15 @@ def test_clustered_write_has_prunable_footers(spark, tmp_path):
     )
 
     path = str(tmp_path / "bars")
+    # every code present in BOTH days (id//2 cycles 0..499 while the
+    # day alternates) — the earlier even-ids/odd-ids split put only
+    # even codes in day 1 and odd codes in day 2, so the probe key
+    # below was ABSENT from one day and whether it fell inside a
+    # file's [min,max] there depended on sampled range boundaries
+    # (the round-5 flake)
     df = spark.range(4000).select(
         F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("d"),
-        (F.col("id") % 500).alias("code"),
+        ((F.col("id") / 2).cast("long") % 500).alias("code"),
         F.col("id").alias("v"),
     )
     write_clustered_overwrite(df, path, "d", ["code"], files_per_partition=4)
@@ -243,12 +249,16 @@ def test_clustered_write_has_prunable_footers(spark, tmp_path):
             ranges.append((min(mins), max(maxs)))
         assert len(ranges) >= 2  # actually split into multiple files
         ranges.sort()
+        # disjointness: a key never spans two files (same (d, code)
+        # tuple -> same range partition)
         for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
-            assert hi_a <= lo_b  # disjoint: point lookup prunes to 1 file
-        # a point key is coverable by exactly one file
+            assert hi_a <= lo_b
+        # coverage, asserted separately: the probe key EXISTS in this
+        # day, so exactly one file's footer range covers it
         probe = 250
         hits = [r for r in ranges if r[0] <= probe <= r[1]]
-        assert len(hits) == 1
+        assert len(hits) >= 1  # coverage: the key's file is findable
+        assert len(hits) == 1  # pruning: and it is the only candidate
 
 
 def test_versioned_publication_time_travel_and_rollback(spark, tmp_path):
