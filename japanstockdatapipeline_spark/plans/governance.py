@@ -483,7 +483,7 @@ def _register_leakage_safe_split() -> None:
         from ..operators.dedup import dup_clusters, ngram_jaccard_pairs
 
         d = load_table(spark, sf_dir, "documents")
-        pairs = ngram_jaccard_pairs(d, threshold=0.5, k=3)
+        pairs = ngram_jaccard_pairs(d, threshold=0.5, k=3, max_df=256)
         cl = dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
         base = d.select("doc_id").join(cl, "doc_id", "left")
         cluster = F.coalesce(F.col("cluster"), F.col("doc_id")).cast("bigint")

@@ -152,7 +152,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3, max_df=256)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -200,6 +200,63 @@ def doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n_hashes=16, bands=4, k=3
     )
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@member(
+    "doc_lsh_verified_dups",
+    doc="PRODUCTION two-stage near-dup (operators/dedup."
+    "lsh_verified_pairs): MinHash-LSH candidates (16 hashes, 4 bands "
+    "— same recipe as doc_minhash_lsh_dups) -> EXACT shingle-Jaccard "
+    "verify on candidates only, threshold 0.5. The composition every "
+    "real corpus dedup runs at 100 TB: the band equi-join bounds the "
+    "pair space, the exact check removes LSH false positives without "
+    "ever paying the full inverted-index pair blowup. The oracle "
+    "replays both stages (banded candidates, then list_intersect "
+    "Jaccard).",
+    oracle="""
+    WITH shs0 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS shs
+      FROM (
+        SELECT doc_id,
+               list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> ''), x -> lower(x)) AS toks
+        FROM documents
+      ) WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id,
+             [list_min(list_transform(shs,
+                s -> ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT))
+              for seed in range(0, 16)] AS sig
+      FROM shs0
+    ), banded AS (
+      SELECT doc_id, band,
+             array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS bucket
+      FROM sig, LATERAL unnest(range(0, 4)) AS b(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+               AS j
+      FROM cand c
+      JOIN shs0 sa ON sa.doc_id = c.id_a
+      JOIN shs0 sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(j, 6) AS lsh_jaccard FROM verified WHERE j >= 0.5
+    """,
+)
+def doc_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, n_hashes=16, bands=4, k=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("lsh_jaccard"))
 
 
 @member(
@@ -268,7 +325,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_clusters
 
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3, max_df=256)
     return dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
 
 
@@ -349,7 +406,7 @@ def doc_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("qs")
     )
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=256)
     cl = dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
     dc = q.join(cl, "doc_id", "left").withColumn(
         "cluster", F.coalesce("cluster", "doc_id")
@@ -562,7 +619,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = scored.filter(F.col("score") >= 0.5)
     exact_keep = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
     kept = quality.join(exact_keep, "doc_id")
-    pairs = ngram_jaccard_pairs(kept, threshold=0.5, k=3)
+    pairs = ngram_jaccard_pairs(kept, threshold=0.5, k=3, max_df=256)
     clusters = dup_clusters(pairs)
     drop_ids = clusters.filter(F.col("id") != F.col("cluster")).select(
         F.col("id").alias("doc_id")

@@ -293,9 +293,15 @@ _register_fused_doc_features()
 register_panel(
     "dup_pair_panel",
     ("id_a", "id_b"),
-    ("doc_ngram_jaccard_dups", "doc_minhash_lsh_dups", "doc_simhash_dups"),
+    (
+        "doc_ngram_jaccard_dups",
+        "doc_minhash_lsh_dups",
+        "doc_lsh_verified_dups",
+        "doc_simhash_dups",
+    ),
     doc="Near-dup pair panel: exact n-gram Jaccard, MinHash-LSH "
-    "estimate, and SimHash Hamming distance for each candidate pair, "
+    "estimate, the two-stage LSH-candidates->exact-verify production "
+    "pipeline, and SimHash Hamming distance for each candidate pair, "
     "joined on (id_a, id_b) — the exact-vs-approximate comparison a "
     "dedup pipeline audits (pairs caught by only one method surface "
     "as NULLs on the other columns).",

@@ -118,6 +118,10 @@ CHECKS = {
         ("Window", False, "no corpus-wide window: seed is orderBy+limit (partial top-k), argmax is an array expression"),
         ("hashpartitioning\\(vec_id", False, "no per-round corpus x k shuffle on the vector id"),
     ],
+    "doc_lsh_verified_dups": [
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "two-stage: candidates via band equi-join, verify via id equi-joins — never a product"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "band-bucket candidate join + candidate-to-shingle verify joins"),
+    ],
     "doc_simhash_dups": [
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "candidates via band equi-join"),
         ("BroadcastNestedLoopJoin|CartesianProduct", False, "never an all-pairs product"),
