@@ -170,6 +170,10 @@ def _register_fused_event_indicators_jvm() -> None:
         "event_indicator_fused_jvm",
         oracle=panel_oracle(_EVENT_INDICATOR_KEYS, _EVENT_INDICATOR_MEMBERS),
         doc=_register_fused_event_indicators_jvm.__doc__,
+        # bench headline (round-5 verdict item 5): the 100 TB-shape
+        # fused plan is regression-tracked per round, not just
+        # equivalence-tested
+        bench=True,
     )(fn)
 
 
@@ -285,6 +289,9 @@ def _register_fused_doc_features() -> None:
         "doc_features_fused",
         oracle=panel_oracle(("doc_id",), _DOC_FUSED_MEMBERS, _DOC_FUSED_RENAMES),
         doc=_register_fused_doc_features.__doc__,
+        # bench headline (round-5 verdict item 5): track the fused
+        # one-pass scan alongside the member forms round over round
+        bench=True,
     )(fn)
 
 
