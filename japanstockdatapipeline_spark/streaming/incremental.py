@@ -533,10 +533,24 @@ class RunManifest:
     """ST7 run log (job_runs/job_run_items, 00002:5-95) as a JSONL
     manifest: one record per (job, target_date) attempt, idempotency by
     natural key. Replaces table locks/heartbeats — a single Spark
-    driver owns the pipeline run."""
+    driver owns the pipeline run.
 
-    def __init__(self, path: str):
+    Failure notification (cron-a.ts:340-353, the sendJobFailureEmail
+    hook; src/app/api/notify/failure): pass `on_failure` — a callable
+    `(job, target_date, details_dict) -> None` — and a non-success
+    `finish` invokes it ONCE per (job, target_date, status): a
+    "notified" record is appended to the manifest first, so an
+    idempotent re-run of the same failed day does not re-notify (the
+    reference gets the same dedup from overheat_stage_event's UNIQUE
+    (code, date, stage_to) — one email per distinct transition). A
+    raising callback is caught and recorded, never propagated — a
+    broken notifier must not fail the pipeline (the reference wraps
+    sendJobFailureEmail in its own try/catch for the same reason).
+    """
+
+    def __init__(self, path: str, *, on_failure=None):
         self.path = path
+        self.on_failure = on_failure
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def start(self, job: str, target_date: str) -> str:
@@ -556,6 +570,55 @@ class RunManifest:
         self._append(
             {"run_id": run_id, "status": status, "ts": time.time(), **details}
         )
+        if status != "success" and self.on_failure is not None:
+            job, target_date = self._run_key(run_id)
+            if (job, target_date, status) in self._notified():
+                return
+            # record BEFORE invoking: a crash mid-callback errs on the
+            # side of not re-spamming, and a re-run sees the record
+            self._append(
+                {
+                    "run_id": run_id,
+                    "job": job,
+                    "target_date": target_date,
+                    "status": "notified",
+                    "notified_for": status,
+                    "ts": time.time(),
+                }
+            )
+            try:
+                self.on_failure(job, target_date, dict(details))
+            except Exception as e:  # notifier failure must not fail the run
+                self._append(
+                    {
+                        "run_id": run_id,
+                        "status": "notify_error",
+                        "error": str(e)[:500],
+                        "ts": time.time(),
+                    }
+                )
+
+    def _run_key(self, run_id: str) -> tuple[str | None, str | None]:
+        job, target_date = None, None
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("run_id") == run_id and "job" in rec:
+                        job, target_date = rec["job"], rec.get("target_date")
+        return job, target_date
+
+    def _notified(self) -> set[tuple]:
+        out = set()
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("status") == "notified":
+                        out.add(
+                            (rec.get("job"), rec.get("target_date"), rec.get("notified_for"))
+                        )
+        return out
 
     def completed_dates(self, job: str) -> set[str]:
         done: dict[str, str] = {}

@@ -79,6 +79,55 @@ def test_run_manifest_idempotency(tmp_path):
     assert m.completed_dates("sync_bars") == {"2026-08-12"}
 
 
+def test_run_manifest_failure_notification(tmp_path):
+    """ST7 + the reference's failure-email hook (cron-a.ts:340-353):
+    a failed run notifies exactly once; an idempotent re-run of the
+    same failed (job, date) does NOT re-notify; a different date
+    does; success never notifies; a raising notifier is recorded but
+    never propagates."""
+    calls: list[tuple] = []
+    path = str(tmp_path / "runs.jsonl")
+    m = RunManifest(path, on_failure=lambda job, d, det: calls.append((job, d, det)))
+
+    r1 = m.start("sync_bars", "2026-08-12")
+    m.finish(r1, "failed", error="boom")
+    assert calls == [("sync_bars", "2026-08-12", {"error": "boom"})]
+
+    # idempotent re-run of the SAME failed day: no second notification
+    r2 = m.start("sync_bars", "2026-08-12")
+    m.finish(r2, "failed", error="boom again")
+    assert len(calls) == 1
+
+    # a NEW failed day notifies (the dedup key is (job, date, status))
+    r3 = m.start("sync_bars", "2026-08-13")
+    m.finish(r3, "failed", error="other")
+    assert len(calls) == 2
+
+    # success never notifies, and completed_dates still works
+    r4 = m.start("sync_bars", "2026-08-14")
+    m.finish(r4, "success", rows=10)
+    assert len(calls) == 2
+    assert m.completed_dates("sync_bars") == {"2026-08-14"}
+
+    # a raising notifier is swallowed and recorded, never propagated
+    def explode(job, d, det):
+        raise RuntimeError("smtp down")
+
+    m2 = RunManifest(str(tmp_path / "runs2.jsonl"), on_failure=explode)
+    r5 = m2.start("sync_bars", "2026-08-12")
+    m2.finish(r5, "failed", error="boom")  # must not raise
+    recs = [
+        __import__("json").loads(line)
+        for line in open(str(tmp_path / "runs2.jsonl"))
+    ]
+    assert any(r.get("status") == "notify_error" for r in recs)
+
+    # ...and a manifest WITHOUT a hook behaves exactly as before
+    m3 = RunManifest(str(tmp_path / "runs3.jsonl"))
+    r6 = m3.start("sync_bars", "2026-08-12")
+    m3.finish(r6, "failed", error="boom")
+
+
 def test_streaming_windowed_counts_and_dedup(spark, sf_dir, tmp_path):
     # stage a micro-batch drop dir from the batch events table
     ev = load_table(spark, sf_dir, "events").select(
