@@ -362,6 +362,16 @@ register_panel(
 )
 
 register_panel(
+    "overheat_panel",
+    ("day", "user_id"),
+    ("overheat_heat_score", "overheat_stage_history"),
+    doc="Per-(day, user) overheat monitor panel (W22 + the 00120 "
+    "stage machine): the cross-sectional percentile heat score joined "
+    "with the hysteresis stage enum, the transition stage_from column "
+    "(the overheat_stage_event rows), and stage_since.",
+)
+
+register_panel(
     "customer_feature_panel",
     ("c_custkey",),
     (

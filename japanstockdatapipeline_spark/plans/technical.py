@@ -290,7 +290,7 @@ def pct_above_sma_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@member(
     "overheat_heat_score",
     doc="W22 cross-sectional percentile heat score with NULL-aware "
     "weight renormalization (00120:85-93): per (day, user) metrics, "
@@ -344,3 +344,82 @@ def overheat_heat_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.8 + F.when(F.col("p3").isNotNull(), 0.2).otherwise(0.0)
     )
     return scored.select("day", "user_id", F.round(score, 6).alias("heat_score"))
+
+
+def _next_stage_sql(h: str, prev: str) -> str:
+    """The overheat transition function as a SQL CASE — rendered from
+    the SAME threshold tuple the Spark operator uses, so engine and
+    oracle cannot drift."""
+    from ..operators.overheat import OVERHEAT_THRESHOLDS
+
+    c_in, c_out, r_in, r_out, e_in, e_out = OVERHEAT_THRESHOLDS
+    return f"""CASE
+      WHEN {prev} = 'climax' THEN
+        CASE WHEN {h} >= {c_out} THEN 'climax' ELSE 'unwind' END
+      WHEN {prev} = 'unwind' THEN
+        CASE WHEN {h} >= {c_in} THEN 'climax'
+             WHEN {h} < {e_out} THEN 'none' ELSE 'unwind' END
+      WHEN {prev} = 'riding' THEN
+        CASE WHEN {h} >= {c_in} THEN 'climax'
+             WHEN {h} >= {r_out} THEN 'riding'
+             WHEN {h} >= {e_out} THEN 'early' ELSE 'none' END
+      WHEN {prev} = 'early' THEN
+        CASE WHEN {h} >= {c_in} THEN 'climax'
+             WHEN {h} >= {r_in} THEN 'riding'
+             WHEN {h} >= {e_out} THEN 'early' ELSE 'none' END
+      ELSE CASE WHEN {h} >= {c_in} THEN 'climax'
+                WHEN {h} >= {r_in} THEN 'riding'
+                WHEN {h} >= {e_in} THEN 'early' ELSE 'none' END
+    END"""
+
+
+def _stage_history_oracle() -> str:
+    from .registry import member_oracle
+
+    ns = _next_stage_sql("b.heat_score", "f.stage")
+    entry = _next_stage_sql("heat_score", "'none'")
+    return f"""
+    WITH RECURSIVE hs AS ({member_oracle("overheat_heat_score")}),
+    b AS (
+      SELECT user_id, day, heat_score,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM hs
+    ),
+    fsm(user_id, day, rn, heat_score, stage, stage_from, stage_since) AS (
+      SELECT user_id, day, rn, heat_score,
+             {entry} AS stage,
+             CAST(NULL AS VARCHAR) AS stage_from,
+             day AS stage_since
+      FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.day, b.rn, b.heat_score,
+             {ns} AS stage,
+             CASE WHEN {ns} <> f.stage THEN f.stage END AS stage_from,
+             CASE WHEN {ns} = f.stage THEN f.stage_since ELSE b.day END AS stage_since
+      FROM b JOIN fsm f ON b.user_id = f.user_id AND b.rn = f.rn + 1
+    )
+    SELECT day, user_id, stage, stage_from, stage_since FROM fsm
+    """
+
+
+@member(
+    "overheat_stage_history",
+    doc="W22 completion — the overheat STAGE machine (00120:94-95 "
+    "stage/stage_since; 00120 overheat_stage_event from<>to rows as "
+    "the stage_from column): a Schmitt-trigger ladder over the daily "
+    "heat score — enter climax >=0.8 / hold >=0.7 else unwind, enter "
+    "riding >=0.6 / hold >=0.5, enter early >=0.4 / hold >=0.3; "
+    "unwind persists until re-climax (>=0.8) or washout (<0.3 -> "
+    "none). stage_since does not move while hysteresis holds the "
+    "stage. applyInPandas per user (the sanctioned recursive-family "
+    "path, like EMA/RSI); the oracle replays the identical machine "
+    "as a RECURSIVE CTE rendered from the same threshold constants.",
+    oracle=_stage_history_oracle(),
+)
+def overheat_stage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.overheat import overheat_stages
+    from .registry import member_query
+
+    hs = member_query("overheat_heat_score").fn(spark, sf_dir)
+    out = overheat_stages(hs, "user_id", "day", "heat_score")
+    return out.select("day", "user_id", "stage", "stage_from", "stage_since")

@@ -1,0 +1,63 @@
+"""Overheat stage machine (00120 stage/stage_since/stage_event
+semantics): hysteresis holds, unwind path, washout restart."""
+
+import pandas as pd
+
+from japanstockdatapipeline_spark.operators.overheat import overheat_stages
+
+
+def test_stage_machine_hysteresis_and_unwind(spark):
+    heats = [0.45, 0.55, 0.65, 0.55, 0.85, 0.75, 0.72, 0.65, 0.25, 0.50, 0.85]
+    rows = [("A", d, h) for d, h in enumerate(heats)]
+    df = spark.createDataFrame(rows, "user_id string, day long, heat_score double")
+    out = (
+        overheat_stages(df, "user_id", "day", "heat_score")
+        .orderBy("day")
+        .collect()
+    )
+    got = [(r["stage"], r["stage_from"], r["stage_since"]) for r in out]
+    assert got == [
+        ("early", None, 0),      # 0.45 >= early_in
+        ("early", None, 0),      # 0.55 < riding_in: holds (no upgrade)
+        ("riding", "early", 2),  # 0.65 >= riding_in
+        ("riding", None, 2),     # 0.55 >= riding_out: HYSTERESIS HOLD
+                                 # (from 'none' 0.55 would only be early)
+        ("climax", "riding", 4),  # 0.85 >= climax_in
+        ("climax", None, 4),     # 0.75 >= climax_out: HOLD
+        ("climax", None, 4),     # 0.72 >= climax_out: HOLD
+        ("unwind", "climax", 7),  # 0.65 < climax_out -> unwind
+        ("none", "unwind", 8),   # 0.25 < early_out: washout
+        ("early", "none", 9),    # fresh cycle starts from none
+        ("climax", "early", 10),  # jump entry straight to climax
+    ]
+
+
+def test_stage_machine_unwind_holds_mid_band(spark):
+    # unwind persists through the riding band (no re-entry except
+    # re-climax), then washes out
+    heats = [0.9, 0.6, 0.65, 0.55, 0.2]
+    df = spark.createDataFrame(
+        [("A", d, h) for d, h in enumerate(heats)],
+        "user_id string, day long, heat_score double",
+    )
+    out = overheat_stages(df, "user_id", "day", "heat_score").orderBy("day").collect()
+    assert [r["stage"] for r in out] == ["climax", "unwind", "unwind", "unwind", "none"]
+    assert [r["stage_since"] for r in out] == [0, 1, 1, 1, 4]
+
+
+def test_stage_machine_keys_independent(spark):
+    df = spark.createDataFrame(
+        [("A", 0, 0.9), ("B", 0, 0.1), ("A", 1, 0.75), ("B", 1, 0.75)],
+        "user_id string, day long, heat_score double",
+    )
+    got = {
+        (r["user_id"], r["day"]): r["stage"]
+        for r in overheat_stages(df, "user_id", "day", "heat_score").collect()
+    }
+    # A holds climax at 0.75; B (from none) only reaches riding at 0.75
+    assert got == {
+        ("A", 0): "climax",
+        ("B", 0): "none",
+        ("A", 1): "climax",
+        ("B", 1): "riding",
+    }
