@@ -142,6 +142,7 @@ def semdedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_assignment: bool = False,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k-means cells, then
@@ -167,14 +168,18 @@ def semdedup(
     Scale: the cell self-join is an equi-join on the cell id (a
     shuffle, no all-pairs product); at real scale k grows with the
     corpus (k ~ n / target_occupancy) so per-cell work stays flat,
-    which is exactly the published algorithm's design point. A
-    production run persists the assignment once instead of letting
-    both join sides recompute it (here kept lazy for the oracle
-    gate; tools/stress_ann.py measures the persisted form).
+    which is exactly the published algorithm's design point. Both
+    sides of the self-join consume the same quantizer subtree;
+    `persist_assignment=True` caches it so it executes once (the
+    production shape — tools/stress_ann.py measures it), while the
+    default stays fully lazy for the plan-build-runs-zero-jobs
+    oracle gate.
     """
     a = kmeans_cells(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
     av = a.join(v, id_col).select(id_col, "cell", "__v")
+    if persist_assignment:
+        av = av.persist()
     left = av.select(
         F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va")
     )

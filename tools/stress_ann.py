@@ -151,7 +151,13 @@ def main() -> None:
     def sem(k_cells: int, thr: float):
         from japanstockdatapipeline_spark.operators.kmeans import semdedup
 
-        out = semdedup(corpus, k=k_cells, iters=2, threshold=thr)
+        # production shape: the quantizer assignment is persisted so
+        # the self-join's two sides don't recompute it (the registered
+        # member stays lazy for the oracle gate; earlier rounds timed
+        # the lazy form, which doubled the quantizer cost)
+        out = semdedup(
+            corpus, k=k_cells, iters=2, threshold=thr, persist_assignment=True
+        )
         kept = out.where("sem_kept").count()
         return {"kept": kept, "total": n, "k_cells": k_cells, "threshold": thr}
 

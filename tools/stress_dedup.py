@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from japanstockdatapipeline_spark.operators.dedup import (  # noqa: E402
     dup_clusters,
     exact_dedup,
+    lsh_verified_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -108,6 +109,12 @@ def main() -> None:
     timed(
         "ngram_jaccard_exact",
         lambda: ngram_jaccard_pairs(d, threshold=0.5, k=3, max_df=None).count(),
+    )
+    # the PRODUCTION two-stage composition (round-6): LSH candidates ->
+    # exact verify; compare pairs/wall against the pure exact row above
+    timed(
+        "lsh_verified_pairs",
+        lambda: lsh_verified_pairs(d, threshold=0.5, n_hashes=16, bands=4).count(),
     )
 
 

@@ -1,0 +1,97 @@
+"""Round-over-round stress regression artifact (round-5 verdict #8).
+
+Runs the two scale-path stress harnesses at their canonical configs —
+tools/stress_dedup.py at K=30 (150k docs) and tools/stress_ann.py at
+K=10 (20k vectors) — and folds their per-op JSON lines into ONE
+BENCH-adjacent artifact, STRESS_r{N}.json, so scale-path wall times
+are compared round over round like the headline queries.
+
+    python tools/stress_report.py 6          # writes STRESS_r06.json
+
+Each op records {rows/result fields, sec} plus the prior round's
+seconds (`baseline_sec`, from the SCALE.md measured tables) where one
+exists, so a regression is visible in the artifact itself.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+# Round-5 measured walls (SCALE.md "Measured" tables; ranges -> upper
+# bound). Ops without a prior measurement carry no baseline.
+BASELINE_R05 = {
+    "dedup": {
+        "exact_dedup": 2.9,
+        "simhash": 1.8,
+        "minhash_lsh_pairs": 12.7,
+        "ngram_jaccard_exact": 33.7,
+        "ngram_jaccard_maxdf": 29.6,
+        "dup_clusters_on_lsh": 24.8,
+    },
+    "ann": {
+        "brute_force_topk_matmul": 2.9,
+        "lsh_bucketed_topk": 7.2,
+        "ivf_topk": 2.4,
+        "ivf_topk_kmeans_cells": 9.9,
+        "lsh_near_dup_pairs_scaled": 21.0,
+        # r5 semdedup timings were the LAZY form (quantizer executed
+        # twice); r6 onward measures persist_assignment=True
+        "semdedup_k16": 62.0,
+        "semdedup_k64": 20.0,
+    },
+}
+
+DEDUP_K = 30
+ANN_K = 10
+
+
+def run_harness(cmd: list[str]) -> dict[str, dict]:
+    print(f"# running: {' '.join(cmd)}", file=sys.stderr)
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=False)
+    ops: dict[str, dict] = {}
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        op = rec.pop("op", None)
+        if op:
+            ops[op] = rec
+            print(f"#   {op}: {rec}", file=sys.stderr)
+    if proc.returncode != 0:
+        ops["_harness_error"] = {"rc": proc.returncode, "stderr": proc.stderr[-500:]}
+    return ops
+
+
+def main() -> int:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    out_path = f"STRESS_r{rnd:02d}.json"
+    report = {
+        "round": rnd,
+        "configs": {"dedup_k": DEDUP_K, "ann_k": ANN_K, "sf_dir": "/root/testdata/sf0.1"},
+        "suites": {},
+    }
+    for suite, cmd in (
+        ("dedup", [sys.executable, "tools/stress_dedup.py", str(DEDUP_K)]),
+        ("ann", [sys.executable, "tools/stress_ann.py", str(ANN_K)]),
+    ):
+        ops = run_harness(cmd)
+        for op, rec in ops.items():
+            base = BASELINE_R05.get(suite, {}).get(op)
+            if base is not None:
+                rec["baseline_sec"] = base
+        report["suites"][suite] = ops
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"artifact": out_path, "suites": {s: len(o) for s, o in report["suites"].items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
