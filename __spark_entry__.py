@@ -4,9 +4,9 @@ Thin shim over japanstockdatapipeline_spark.plans — the registry is
 the single source of truth binding each operator from SURVEY.md §2
 to its Spark plan and DuckDB oracle.
 
-Registry structure: 50 registered queries, of which 14 are feature
+Registry structure: 50 registered queries, of which 16 are feature
 PANELS (plans/panels.py) — full-outer joins of same-grain member
-queries (75 members as of round 5 — `len(all_members())` is the live
+queries (91 members as of round 6 — `len(all_members())` is the live
 count — each with its own oracle, individually verified
 by tests/test_oracle.py and tools/verify_local.py). Panels exist so
 every operator's values hash into one of the driver's checked rows;

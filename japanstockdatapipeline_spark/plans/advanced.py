@@ -463,7 +463,7 @@ _SNAPSHOT_ORACLE = """
     """
 
 
-@query(
+@member(
     "user_technical_snapshot",
     bench=True,
     doc="§2.10 grouped-map snapshot (computeTechnicalSnapshot, "

@@ -372,6 +372,18 @@ register_panel(
 )
 
 register_panel(
+    "user_snapshot_panel",
+    ("user_id",),
+    ("user_technical_snapshot", "overheat_ranking"),
+    renames={"user_technical_snapshot": {"key": "user_id"}},
+    doc="One-row-per-user snapshot panel (§2.10 grouped-map + the "
+    "00120 overheat_snapshot ranking): the 22-field technical "
+    "snapshot joined with trading_value_ratio / liquidity_ok / the "
+    "NULLS-LAST liquid rank on user_id — the full snapshot-table "
+    "shape the reference publishes per day.",
+)
+
+register_panel(
     "customer_feature_panel",
     ("c_custkey",),
     (

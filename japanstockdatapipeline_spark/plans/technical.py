@@ -423,3 +423,67 @@ def overheat_stage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = member_query("overheat_heat_score").fn(spark, sf_dir)
     out = overheat_stages(hs, "user_id", "day", "heat_score")
     return out.select("day", "user_id", "stage", "stage_from", "stage_since")
+
+
+@member(
+    "overheat_ranking",
+    doc="00120 overheat_snapshot ranking semantics: "
+    "trading_value_ratio = the LATEST day's trading value over the "
+    "entity's own trailing median (00120 trading_value_ratio comment "
+    "— '対自身60日中央値倍率'; the testdata carries ~30 days, so the "
+    "median spans the full history), liquidity_ok = median >= 100.0 "
+    "(calibration constant standing in for the reference's ¥100M "
+    "bar), and the ranking rank() ordered trading_value_ratio DESC "
+    "NULLS LAST **among liquidity_ok rows only** — the exact ORDER "
+    "BY discipline 00120's idx_overheat_snapshot_ranking index "
+    "demands (NULLS LAST, illiquid rows folded away, never ranked). "
+    "Scale: one groupBy on (user, day), one groupBy on user "
+    "(max_by + percentile), one window over the liquid slice.",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), per_user AS (
+      SELECT user_id,
+             quantile_cont(v, 0.5) AS med_v,
+             arg_max(v, day) AS latest_v
+      FROM m GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             round(CASE WHEN med_v > 0 THEN latest_v / med_v END, 6)
+               AS trading_value_ratio,
+             med_v >= 100.0 AS liquidity_ok
+      FROM per_user
+    )
+    SELECT user_id, trading_value_ratio, liquidity_ok,
+           CASE WHEN liquidity_ok THEN
+             rank() OVER (PARTITION BY liquidity_ok
+                          ORDER BY CASE WHEN liquidity_ok THEN trading_value_ratio END
+                                   DESC NULLS LAST)
+           END AS liquid_rank
+    FROM scored
+    """,
+)
+def overheat_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
+    m = ev.groupBy("user_id", "day").agg(F.sum("value").alias("v"))
+    per_user = m.groupBy("user_id").agg(
+        F.expr("percentile(v, 0.5)").alias("med_v"),
+        F.expr("max_by(v, day)").alias("latest_v"),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.round(
+            F.when(F.col("med_v") > 0, F.col("latest_v") / F.col("med_v")), 6
+        ).alias("trading_value_ratio"),
+        (F.col("med_v") >= 100.0).alias("liquidity_ok"),
+    )
+    w = Window.partitionBy("liquidity_ok").orderBy(
+        F.when(F.col("liquidity_ok"), F.col("trading_value_ratio")).desc_nulls_last()
+    )
+    return scored.select(
+        "user_id",
+        "trading_value_ratio",
+        "liquidity_ok",
+        F.when(F.col("liquidity_ok"), F.rank().over(w)).alias("liquid_rank"),
+    )
