@@ -157,6 +157,82 @@ def stateful_user_breadth(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_overheat_stages(stream: DataFrame) -> DataFrame:
+    """Streaming form of the overheat stage machine
+    (operators/overheat.overheat_stages — 00120 stage/stage_since/
+    stage_event semantics): per user, carry (stage, stage_since)
+    across micro-batches via applyInPandasWithState and step the
+    SAME `_step` transition function the batch operator uses, so the
+    two forms cannot drift (the W20 batch-window / ST3-stateful
+    duality, applied to W22+).
+
+    Input: a stream of (user_id, day, heat_score). Within a batch
+    rows are stepped in day order; across batches state carries.
+    Assumes in-order ingestion per key across batches (the daily
+    pipeline's shape — each micro-batch is a later trading day);
+    out-of-order days would need event-time buffering upstream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.overheat import _step
+
+    def update(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            prev, since = state.get
+        else:
+            prev, since = None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("day")
+            for day, heat in zip(pdf["day"], pdf["heat_score"]):
+                cur = _step(prev if prev is not None else "none", heat)
+                if prev is None:
+                    frm, since = None, int(day)
+                elif cur != prev:
+                    frm, since = prev, int(day)
+                else:
+                    frm = None
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "day": int(day),
+                        "heat_score": float(heat),
+                        "stage": cur,
+                        "stage_from": frm,
+                        "stage_since": since,
+                    }
+                )
+                prev = cur
+        state.update((prev, since))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("day", T.LongType()),
+            T.StructField("heat_score", T.DoubleType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("stage_from", T.StringType()),
+            T.StructField("stage_since", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("stage", T.StringType()),
+            T.StructField("stage_since", T.LongType()),
+        ]
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_parquet(
     out: DataFrame, target_dir: str, checkpoint_dir: str, *, mode: str = "append"
 ) -> None:

@@ -45,6 +45,49 @@ def test_stage_machine_unwind_holds_mid_band(spark):
     assert [r["stage_since"] for r in out] == [0, 1, 1, 1, 4]
 
 
+def test_stateful_stage_machine_equals_batch(spark, tmp_path):
+    """The streaming stage machine (applyInPandasWithState, state
+    carried across micro-batches) must emit exactly the batch
+    operator's rows — both step the same _step transition function."""
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        run_to_parquet,
+        stateful_overheat_stages,
+    )
+
+    heats = [0.45, 0.55, 0.65, 0.55, 0.85, 0.75, 0.72, 0.65, 0.25, 0.50, 0.85]
+    rows = [(u, d, h + (0.05 if u == 2 else 0.0)) for u in (1, 2) for d, h in enumerate(heats)]
+    schema = "user_id long, day long, heat_score double"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    # stage the stream as 3 day-range files; maxFilesPerTrigger=1
+    # forces one micro-batch per file so state genuinely carries
+    src = str(tmp_path / "heat_src")
+    for lo, hi in ((0, 4), (4, 8), (8, 11)):
+        part = [(u, d, h) for (u, d, h) in rows if lo <= d < hi]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "stage_out")
+    run_to_parquet(
+        stateful_overheat_stages(stream), out_dir, str(tmp_path / "cp")
+    )
+    got = {
+        (r["user_id"], r["day"], r["stage"], r["stage_from"], r["stage_since"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    want = {
+        (r["user_id"], r["day"], r["stage"], r["stage_from"], r["stage_since"])
+        for r in overheat_stages(batch_df, "user_id", "day", "heat_score").collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
+
+
 def test_stage_machine_keys_independent(spark):
     df = spark.createDataFrame(
         [("A", 0, 0.9), ("B", 0, 0.1), ("A", 1, 0.75), ("B", 1, 0.75)],
