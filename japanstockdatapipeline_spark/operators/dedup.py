@@ -82,8 +82,12 @@ def ngram_jaccard_pairs(
     pairs from a single row). Blocking undercounts `shared` for pairs
     that overlap via hot shingles while the denominator still uses
     full |A|+|B|, so J becomes a lower bound — callers at the 100 TB
-    scale choose the cap consciously; correctness-graded callers get
-    the exact semantics by default.
+    scale choose the cap consciously. The operator DEFAULT stays
+    exact; every registered plan passes max_df=256 explicitly, and
+    its oracle encodes the identical cap (round-6: engine and oracle
+    agree even when the cap binds). The measured trade at K=30 is in
+    SCALE.md; `lsh_verified_pairs` is the two-stage production
+    alternative.
     """
     # hash shingles to int64 BEFORE the shuffle: 8-byte keys instead of
     # ~k*word-length strings cuts shuffle volume several-fold at scale;
