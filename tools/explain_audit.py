@@ -156,6 +156,14 @@ CHECKS = {
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "cell self-join is an equi-join on the cell id"),
         ("Window", False, "quantizer subtree carries no corpus-wide window either"),
     ],
+    "overheat_stage_history": [
+        ("FlatMapGroupsInPandas", True, "stage machine is the sanctioned grouped-map path (per-key state walk)"),
+        ("BroadcastNestedLoopJoin|CartesianProduct|SortMergeJoin", False, "no join anywhere: heat score windows + one grouped map"),
+    ],
+    "overheat_ranking": [
+        ("hashpartitioning\\(user_id", True, "per-user median/latest aggregate shuffles on the entity key"),
+        ("BroadcastNestedLoopJoin|CartesianProduct", False, "ranking is aggregate + one window, never a product"),
+    ],
     "doc_mixture_alpha": [
         ("Join", False, "one groupBy + source-axis windows: no join"),
         ("hashpartitioning\\(source", True, "token mass aggregates on source"),
