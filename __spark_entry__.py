@@ -6,7 +6,7 @@ to its Spark plan and DuckDB oracle.
 
 Registry structure: 50 registered queries, of which 16 are feature
 PANELS (plans/panels.py) — full-outer joins of same-grain member
-queries (91 members as of round 6 — `len(all_members())` is the live
+queries (92 members as of round 6 — `len(all_members())` is the live
 count — each with its own oracle, individually verified
 by tests/test_oracle.py and tools/verify_local.py). Panels exist so
 every operator's values hash into one of the driver's checked rows;

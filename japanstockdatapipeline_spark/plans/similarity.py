@@ -223,6 +223,76 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_kmeans_oracle_sql() -> str:
+    """IVF probe logic over the GEOMETRIC k-means cells instead of the
+    label column: the quantizer CTE is the embedding_kmeans_cells
+    member oracle verbatim (same schedule, seeding, quantized argmax),
+    so the composed path is value-checked end to end."""
+    from .registry import member_oracle
+
+    return f"""
+    WITH cells AS ({member_oracle("embedding_kmeans_cells")}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT e.vec_id, c.cell, e.v
+          FROM e JOIN cells c ON c.vec_id = e.vec_id),
+    ex2 AS (SELECT cell, r.i AS i, v[r.i] AS x
+            FROM a, LATERAL unnest(range(1, 65)) AS r(i)),
+    comp2 AS (SELECT cell, i, avg(x) AS m FROM ex2 GROUP BY cell, i),
+    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid
+              FROM comp2 GROUP BY cell),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.q_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+                          c.cell ASC) AS pr
+        FROM q CROSS JOIN cent2 c)
+      WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(a.v, p.qv) AS cos
+      FROM a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+def _register_ivf_kmeans_topk() -> None:
+    """The PRODUCTION ANN composition (round 6): IVF inverted lists
+    over the GEOMETRIC k-means quantizer — the pairing SCALE.md
+    measured taking IVF recall from 0.0 (random label cells) to 1.0
+    on the 20k replica corpus, now registered and driver-checked.
+    Scale shape: quantizer as audited in embedding_kmeans_cells (no
+    window, broadcast-array argmax), then the usual IVF equi-join on
+    the cell id — never a corpus product."""
+    from ..operators.kmeans import kmeans_cells
+    from ..operators.topk import ivf_topk
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = kmeans_cells(emb, k=8, iters=2).select("vec_id", "cell")
+        quantized = emb.join(cells, "vec_id")
+        out = ivf_topk(quantized, _queries_df(emb), k=5, n_probe=2, coarse_col="cell")
+        return out.select(
+            "q_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int"),
+        )
+
+    fn.__name__ = "embedding_ivf_kmeans_topk"
+    member(
+        "embedding_ivf_kmeans_topk",
+        oracle=_ivf_kmeans_oracle_sql(),
+        doc=_register_ivf_kmeans_topk.__doc__,
+    )(fn)
+
+
 def _near_dup_oracle_sql(
     threshold: float = 0.3, n_planes: int = 4, n_tables: int = 8, seed: int = 42, every: int = 10
 ) -> str:
@@ -422,3 +492,8 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("emb_d"), F.col("dq")), 6).alias("quant_cos"),
         F.round(l2, 6).alias("quant_l2_err"),
     )
+
+
+# registered last: its oracle embeds the embedding_kmeans_cells member
+# oracle, which must exist first
+_register_ivf_kmeans_topk()
