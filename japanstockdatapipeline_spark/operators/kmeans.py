@@ -143,6 +143,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_assignment: bool = False,
+    canonical: bool = False,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k-means cells, then
@@ -161,9 +162,11 @@ def semdedup(
     necessarily a kept representative — with a similarity chain
     (cos(1,2)>=t, cos(2,3)>=t, cos(1,3)<t) vector 3 points at 2 while
     2 is itself a dup of 1. kept/not-kept is always consistent;
-    consumers that need the surviving CANONICAL for every dropped row
-    should resolve the pointer transitively (operators/dedup.
-    dup_clusters does exactly that over a pair list).
+    `canonical=True` appends `sem_canonical`: the pointer chain
+    resolved transitively (dedup.dup_clusters over the pointer
+    edges), which always lands on a KEPT row — the component's min
+    id has no lower-id pointer, so it is a representative by
+    construction. Kept rows map to themselves.
 
     Scale: the cell self-join is an equi-join on the cell id (a
     shuffle, no all-pairs product); at real scale k grows with the
@@ -196,12 +199,32 @@ def semdedup(
         .groupBy("id_b")
         .agg(F.min("id_a").alias("sem_dup_of"))
     )
-    return (
+    out = (
         av.join(dups, av[id_col] == dups["id_b"], "left")
         .select(
             id_col,
             F.col("cell").cast("bigint").alias("sem_cell"),
             "sem_dup_of",
             F.col("sem_dup_of").isNull().alias("sem_kept"),
+        )
+    )
+    if not canonical:
+        return out
+    from .dedup import dup_clusters
+
+    ptr = out.filter(F.col("sem_dup_of").isNotNull()).select(
+        F.col("sem_dup_of").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    resolved = dup_clusters(ptr).select(
+        F.col("id").alias("__rid"), F.col("cluster").alias("__canon")
+    )
+    return (
+        out.join(resolved, out[id_col] == F.col("__rid"), "left")
+        .select(
+            id_col,
+            "sem_cell",
+            "sem_dup_of",
+            "sem_kept",
+            F.coalesce("__canon", F.col(id_col)).alias("sem_canonical"),
         )
     )

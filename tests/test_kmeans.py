@@ -115,3 +115,28 @@ def test_semdedup_invariants_and_cluster_collapse(spark, clustered):
     for members in cells.values():
         first = min(members, key=lambda r: r["vec_id"])
         assert first["sem_kept"]
+
+
+def test_semdedup_canonical_resolves_chains(spark):
+    """ADVICE r5: sem_dup_of is 'a' lower-id neighbor, not the kept
+    representative — canonical=True must resolve the pointer chain to
+    the KEPT root. Chain: cos(1,2)>=t, cos(2,3)>=t, cos(1,3)<t -> 3
+    points at 2 (itself a dup of 1), canonical(3) = 1."""
+    import math
+
+    from japanstockdatapipeline_spark.operators.kmeans import semdedup
+
+    s = math.sqrt(0.5)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [s, s]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: (r["sem_dup_of"], r["sem_kept"], r["sem_canonical"])
+        for r in semdedup(vecs, k=1, iters=1, threshold=0.5, canonical=True).collect()
+    }
+    assert out == {
+        1: (None, True, 1),
+        2: (1, False, 1),
+        3: (2, False, 1),   # transitively resolved past the dropped row 2
+    }
