@@ -89,3 +89,28 @@ def test_simhash_pairs_banding_is_lossless(spark, sf_dir):
     }
     assert blocked == brute
     assert len(brute) > 0  # non-degenerate on the fixture
+
+
+def test_lsh_verified_pairs_subset_of_exact_with_true_jaccard(spark, sf_dir):
+    """Two-stage production near-dup (round 6): every verified pair
+    must appear in the exact inverted-index result with the IDENTICAL
+    Jaccard (stage 2 is exact, so no false positives and no estimated
+    values); missed pairs are banding recall only."""
+    from japanstockdatapipeline_spark.operators.dedup import (
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, k=3).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in lsh_verified_pairs(docs, threshold=0.5, n_hashes=16, bands=4).collect()
+    }
+    assert verified  # non-degenerate on the fixture
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert exact[pair] == j
