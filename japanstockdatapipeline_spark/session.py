@@ -25,6 +25,11 @@ def get_spark(app_name: str = "jsdp-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fewer, larger Arrow batches for the pandas-backed operators
+        # (mapInPandas/applyInPandas concat every batch per partition;
+        # 64k cuts that overhead ~10% on the fused panel at sf0.1 —
+        # ~14 MB/batch at 27 doubles, trivial against task memory)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
