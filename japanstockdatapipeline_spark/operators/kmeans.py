@@ -144,6 +144,7 @@ def semdedup(
     vec_col: str = "embedding",
     persist_assignment: bool = False,
     canonical: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k-means cells, then
@@ -177,12 +178,20 @@ def semdedup(
     production shape — tools/stress_ann.py measures it), while the
     default stays fully lazy for the plan-build-runs-zero-jobs
     oracle gate.
+
+    `persisted_out`: when persisting, the cached assignment DataFrame
+    is appended here so long-lived callers (sweep loops like
+    tools/stress_ann.py) can `.unpersist()` it between configs instead
+    of accumulating cached blocks; without it, release waits on the
+    ContextCleaner GC'ing the unreferenced RDD.
     """
     a = kmeans_cells(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
     av = a.join(v, id_col).select(id_col, "cell", "__v")
     if persist_assignment:
         av = av.persist()
+        if persisted_out is not None:
+            persisted_out.append(av)
     left = av.select(
         F.col(id_col).alias("id_a"), "cell", F.col("__v").alias("__va")
     )

@@ -89,6 +89,12 @@ def overheat_stages(
       was entered; unchanged while hysteresis holds the stage
       (00120:94-95).
     """
+    clash = {"stage", "stage_from", "stage_since"} & set(scored.columns)
+    if clash:
+        raise ValueError(
+            f"overheat_stages output columns {sorted(clash)} already exist "
+            "on the input frame; rename or drop them first"
+        )
     schema_str = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields)
         + ", stage string, stage_from string"

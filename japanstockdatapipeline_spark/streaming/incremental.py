@@ -572,6 +572,18 @@ class RunManifest:
         )
         if status != "success" and self.on_failure is not None:
             job, target_date = self._run_key(run_id)
+            if job is None:
+                # unknown run_id: without a (job, date) key the dedup
+                # set would collapse to (None, None, status) across ALL
+                # jobs — record the anomaly and skip notification
+                self._append(
+                    {
+                        "run_id": run_id,
+                        "status": "notify_skipped_unknown_run",
+                        "ts": time.time(),
+                    }
+                )
+                return
             if (job, target_date, status) in self._notified():
                 return
             # record BEFORE invoking: a crash mid-callback errs on the

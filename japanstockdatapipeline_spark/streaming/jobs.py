@@ -113,8 +113,14 @@ def stateful_user_breadth(stream: DataFrame) -> DataFrame:
         else:
             prev_value, running_max, n_seen = None, None, 0
         new_highs = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # materialize all of the key's Arrow chunks and sort ONCE: a
+        # per-chunk sort would step events out of ts order whenever a
+        # batch spans multiple chunks (> maxRecordsPerBatch rows)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"]
+            )
             for v in pdf["value"]:
                 if running_max is not None and v > running_max:
                     new_highs += 1
@@ -167,10 +173,14 @@ def stateful_overheat_stages(stream: DataFrame) -> DataFrame:
     duality, applied to W22+).
 
     Input: a stream of (user_id, day, heat_score). Within a batch
-    rows are stepped in day order; across batches state carries.
-    Assumes in-order ingestion per key across batches (the daily
-    pipeline's shape — each micro-batch is a later trading day);
-    out-of-order days would need event-time buffering upstream.
+    ALL of a key's rows are materialized and stepped in day order
+    (the per-key iterator yields Arrow chunks; sorting each chunk
+    independently would step days out of order whenever one batch
+    exceeds maxRecordsPerBatch, so we concat before sorting — per-key
+    per-batch histories are small by construction). Across batches
+    state carries. Assumes in-order ingestion per key across batches
+    (the daily pipeline's shape — each micro-batch is a later trading
+    day); out-of-order days would need event-time buffering upstream.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -183,8 +193,9 @@ def stateful_overheat_stages(stream: DataFrame) -> DataFrame:
         else:
             prev, since = None, None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("day")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("day")
             for day, heat in zip(pdf["day"], pdf["heat_score"]):
                 cur = _step(prev if prev is not None else "none", heat)
                 if prev is None:

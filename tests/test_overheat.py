@@ -60,11 +60,24 @@ def test_stateful_stage_machine_equals_batch(spark, tmp_path):
     batch_df = spark.createDataFrame(rows, schema)
 
     # stage the stream as 3 day-range files; maxFilesPerTrigger=1
-    # forces one micro-batch per file so state genuinely carries
+    # forces one micro-batch per file so state genuinely carries.
+    # The file source orders batches by mtime: set strictly increasing
+    # mtimes on each drop's files so identical timestamps can't batch
+    # days out of order (flake pinned by the round-6 advice).
+    import os
+    import time
+
     src = str(tmp_path / "heat_src")
-    for lo, hi in ((0, 4), (4, 8), (8, 11)):
+    seen: set = set()
+    base = time.time()
+    for i, (lo, hi) in enumerate(((0, 4), (4, 8), (8, 11))):
         part = [(u, d, h) for (u, d, h) in rows if lo <= d < hi]
         spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (base + 10 * i, base + 10 * i))
 
     stream = (
         spark.readStream.schema(batch_df.schema)
@@ -86,6 +99,17 @@ def test_stateful_stage_machine_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_stage_machine_rejects_colliding_output_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("A", 0, 0.9, "climax")],
+        "user_id string, day long, heat_score double, stage string",
+    )
+    with pytest.raises(ValueError, match="stage"):
+        overheat_stages(df, "user_id", "day", "heat_score")
 
 
 def test_stage_machine_keys_independent(spark):

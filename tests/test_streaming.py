@@ -127,6 +127,25 @@ def test_run_manifest_failure_notification(tmp_path):
     r6 = m3.start("sync_bars", "2026-08-12")
     m3.finish(r6, "failed", error="boom")
 
+    # an UNKNOWN run_id must not notify with (None, None) keys (which
+    # would poison the dedup set across all jobs) — it records an
+    # anomaly and skips, and a later real failure still notifies
+    calls4: list[tuple] = []
+    m4 = RunManifest(
+        str(tmp_path / "runs4.jsonl"),
+        on_failure=lambda job, d, det: calls4.append((job, d)),
+    )
+    m4.finish("no-such-run-id", "failed", error="orphan")
+    assert calls4 == []
+    recs4 = [
+        __import__("json").loads(line)
+        for line in open(str(tmp_path / "runs4.jsonl"))
+    ]
+    assert any(r.get("status") == "notify_skipped_unknown_run" for r in recs4)
+    r7 = m4.start("sync_bars", "2026-08-15")
+    m4.finish(r7, "failed", error="real")
+    assert calls4 == [("sync_bars", "2026-08-15")]
+
 
 def test_streaming_windowed_counts_and_dedup(spark, sf_dir, tmp_path):
     # stage a micro-batch drop dir from the batch events table

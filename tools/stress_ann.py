@@ -154,11 +154,21 @@ def main() -> None:
         # production shape: the quantizer assignment is persisted so
         # the self-join's two sides don't recompute it (the registered
         # member stays lazy for the oracle gate; earlier rounds timed
-        # the lazy form, which doubled the quantizer cost)
+        # the lazy form, which doubled the quantizer cost). The
+        # persisted handle is released between configs so the sweep
+        # doesn't accumulate cached blocks.
+        handles: list = []
         out = semdedup(
-            corpus, k=k_cells, iters=2, threshold=thr, persist_assignment=True
+            corpus,
+            k=k_cells,
+            iters=2,
+            threshold=thr,
+            persist_assignment=True,
+            persisted_out=handles,
         )
         kept = out.where("sem_kept").count()
+        for h in handles:
+            h.unpersist()
         return {"kept": kept, "total": n, "k_cells": k_cells, "threshold": thr}
 
     timed("semdedup_k16", lambda: sem(16, 0.9))
