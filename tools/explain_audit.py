@@ -172,6 +172,14 @@ CHECKS = {
         ("CartesianProduct", False, "no product: frequency table joins on the term"),
         ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True, "score pass equi-joins tokens to the vocab table"),
         ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row tercile cuts broadcast (winsorize shape)"),
+        ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
+        ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + scoring join share one tokenize"),
+    ],
+    "doc_vocab_stats": [
+        ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
+        ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + share consume one tokenize scan"),
+        ("TakeOrderedAndProject", True, "top-20 is TakeOrdered, not a global sort"),
+        ("CartesianProduct|BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row corpus-total broadcast (winsorize shape)"),
     ],
 }
 
