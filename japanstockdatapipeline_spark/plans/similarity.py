@@ -401,10 +401,16 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within-cell cosine >= 0.3 to a lower-id cell-mate => semantic "
     "dup of the smallest such id. The pairwise pass is an equi-join "
     "on the cell id, bounded by cell occupancy — never corpus^2; at "
-    "scale k grows with the corpus so per-cell work stays flat. The "
-    "oracle replays the identical quantizer schedule and pair rule.",
+    "scale k grows with the corpus so per-cell work stays flat. "
+    "`sem_canonical` resolves the sem_dup_of pointer chain "
+    "transitively (dup_clusters over the pointer edges) — it always "
+    "lands on a KEPT representative, because pointers strictly "
+    "decrease so every chain terminates at its component's min id, "
+    "which has no lower-id pointer. The oracle replays the identical "
+    "quantizer schedule, pair rule, and chain resolution (recursive "
+    "pointer walk; min(cur) = the terminal since ids decrease).",
     oracle="""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
       FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 8
@@ -434,19 +440,28 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
       WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
       GROUP BY y.vec_id
-    )
+    ),
+    resolve AS (
+      SELECT id_b, sem_dup_of AS cur FROM dups
+      UNION ALL
+      SELECT r.id_b, d2.sem_dup_of AS cur
+      FROM resolve r JOIN dups d2 ON d2.id_b = r.cur
+    ),
+    canon AS (SELECT id_b, min(cur) AS canon FROM resolve GROUP BY id_b)
     SELECT a2.vec_id,
            CAST(a2.cell AS BIGINT) AS sem_cell,
            d.sem_dup_of,
-           (d.sem_dup_of IS NULL) AS sem_kept
+           (d.sem_dup_of IS NULL) AS sem_kept,
+           coalesce(c.canon, a2.vec_id) AS sem_canonical
     FROM a2 LEFT JOIN dups d ON d.id_b = a2.vec_id
+         LEFT JOIN canon c ON c.id_b = a2.vec_id
     """,
 )
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=8, iters=2, threshold=0.3)
+    return semdedup(emb, k=8, iters=2, threshold=0.3, canonical=True)
 
 
 @member(

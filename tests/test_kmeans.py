@@ -140,3 +140,17 @@ def test_semdedup_canonical_resolves_chains(spark):
         2: (1, False, 1),
         3: (2, False, 1),   # transitively resolved past the dropped row 2
     }
+
+
+def test_registered_semdedup_canonical_is_kept(spark, sf_dir):
+    """The driver-checked member (canonical=True since round 7): every
+    sem_canonical must be a kept representative, and kept rows map to
+    themselves."""
+    from japanstockdatapipeline_spark.plans import all_members
+
+    rows = all_members()["embedding_semdedup"].fn(spark, sf_dir).collect()
+    kept = {r["vec_id"] for r in rows if r["sem_kept"]}
+    for r in rows:
+        assert r["sem_canonical"] in kept
+        if r["sem_kept"]:
+            assert r["sem_canonical"] == r["vec_id"]
