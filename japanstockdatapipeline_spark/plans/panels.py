@@ -297,6 +297,53 @@ def _register_fused_doc_features() -> None:
 
 _register_fused_doc_features()
 
+
+def _register_corpus_prep_fused() -> None:
+    """The flagship 100-TB corpus-prep member (round-6 verdict
+    stretch): doc_features_fused's 14 expression families PLUS
+    benchmark decontamination (eval gram set collapsed to one
+    broadcast array; shared-gram count becomes an array_intersect
+    expression — the member's corpus-side explode/re-agg disappears)
+    PLUS the exact-dup signal (md5 fingerprint in the scan, keep-id/
+    copy-count/is-dup from one window over the fingerprint). 2 corpus
+    scans, 2 Exchanges, broadcasts only, zero equi-joins. Oracle: the
+    same FULL-JOIN-of-members SQL extended with doc_decontamination
+    and the fingerprint window; plus the join-of-members equivalence
+    test (tests/test_fused_panel.py) and explain-audit shape rules.
+    Registered as a member (the driver registry is capped at 50);
+    bench=True tracks it as a headline row."""
+    from ..sources import load_table
+    from .llm import corpus_prep_fused
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return corpus_prep_fused(load_table(spark, sf_dir, "documents"))
+
+    fn.__name__ = "corpus_prep_fused"
+    base = panel_oracle(
+        ("doc_id",), _DOC_FUSED_MEMBERS + ("doc_decontamination",), _DOC_FUSED_RENAMES
+    )
+    oracle = f"""
+    SELECT p.*, x.fp, x.fp_keep_id, x.fp_n_docs, x.is_exact_dup
+    FROM ({base}) p JOIN (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS fp_keep_id,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS fp_n_docs,
+             doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_exact_dup
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents)
+    ) x USING (doc_id)
+    """
+    member(
+        "corpus_prep_fused",
+        oracle=oracle,
+        doc=_register_corpus_prep_fused.__doc__,
+        bench=True,
+    )(fn)
+
+
+_register_corpus_prep_fused()
+
 register_panel(
     "dup_pair_panel",
     ("id_a", "id_b"),

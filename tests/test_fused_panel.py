@@ -95,6 +95,71 @@ def test_fused_doc_features_equals_join_of_members(spark):
     assert _normalize(frows, fused.columns) == _normalize(jrows, joined.columns)
 
 
+def test_corpus_prep_fused_equals_join_of_members(spark):
+    """The corpus-prep flagship pass equals the full-outer join of the
+    14 fused members + doc_decontamination + the doc-grain exact-dup
+    signal derived from doc_exact_dedup (fingerprint window)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from japanstockdatapipeline_spark.plans.panels import (
+        _DOC_FUSED_MEMBERS,
+        _DOC_FUSED_RENAMES,
+        _renamed_member_df,
+    )
+    from japanstockdatapipeline_spark.functions.text import fingerprint_md5
+    from japanstockdatapipeline_spark.sources import load_table
+
+    fused = all_members()["corpus_prep_fused"].fn(spark, SF_SMOKE)
+    dfs = [
+        _renamed_member_df(spark, SF_SMOKE, m, _DOC_FUSED_RENAMES)
+        for m in (*_DOC_FUSED_MEMBERS, "doc_decontamination")
+    ]
+    joined = reduce(lambda a, b: a.join(b, ["doc_id"], "full_outer"), dfs)
+    # the exact-dup signal re-derived independently: fp per doc joined
+    # to the doc_exact_dedup (fp-grain) member output
+    groups = all_queries()["doc_exact_dedup"].fn(spark, SF_SMOKE)
+    per_doc = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .join(groups, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            F.col("keep_id").alias("fp_keep_id"),
+            F.col("n_docs").alias("fp_n_docs"),
+            (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup"),
+        )
+    )
+    joined = joined.join(per_doc, ["doc_id"])
+    assert sorted(fused.columns) == sorted(joined.columns)
+    frows = [tuple(r) for r in fused.collect()]
+    jrows = [tuple(r) for r in joined.collect()]
+    assert len(frows) == len(jrows)
+    assert _normalize(frows, fused.columns) == _normalize(jrows, joined.columns)
+
+
+def test_corpus_prep_fused_plan_shape(spark):
+    """2 corpus scans (main + eval carve-out), 2 corpus-sized
+    Exchanges (packing window on lang + fingerprint window) plus the
+    1-row eval-set collapse (SinglePartition over <=n_partitions
+    partial-agg rows, never corpus data), zero equi-joins — the decon
+    probe is a broadcast array intersect, not a join."""
+    fused = all_members()["corpus_prep_fused"].fn(spark, SF_SMOKE)
+    plan = _plan_of(fused)
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_ex == 3, f"2 shuffles + 1-row eval collapse expected, saw {n_ex}"
+    assert re.search(r"hashpartitioning\(lang", plan)
+    assert re.search(r"hashpartitioning\(fp", plan)
+    assert "SinglePartition" in plan  # the 1-row eval-gram-set collapse
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scan == 2, f"expected main + eval scans, saw {n_scan}"
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in corpus-prep fused plan"
+
+
 def test_fused_doc_features_plan_has_one_exchange(spark):
     """One scan, one shuffle (the packing window on lang) — vs the 9
     member subtrees the join form pays."""

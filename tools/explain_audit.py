@@ -175,6 +175,13 @@ CHECKS = {
         ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
         ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + scoring join share one tokenize"),
     ],
+    "corpus_prep_fused": [
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct", False,
+         "zero equi-joins: decon probe is a broadcast array intersect, exact-dup a fingerprint window"),
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row eval-gram-set broadcast"),
+        ("hashpartitioning\\(lang", True, "packing window shuffles on the shard"),
+        ("hashpartitioning\\(fp", True, "exact-dup signal shuffles on the fingerprint"),
+    ],
     "doc_vocab_stats": [
         ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
         ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + share consume one tokenize scan"),
