@@ -19,6 +19,8 @@ top-k on identical data). Run manually:
 from __future__ import annotations
 
 import json
+import math
+import statistics
 import sys
 import time
 
@@ -82,6 +84,15 @@ def main() -> None:
     n = corpus.count()
     print(json.dumps({"op": "build", "rows": n, "k": k, "sec": round(time.time() - t0, 2)}))
 
+    # fixed-cost calibration row (same as bench.py): separates rig
+    # drift from operator regressions round over round
+    cal = []
+    for _ in range(5):
+        c0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("sum(id) AS s").collect()
+        cal.append(time.perf_counter() - c0)
+    print(json.dumps({"op": "calibration", "sec": round(statistics.median(cal), 3)}))
+
     queries = corpus.where(F.col("vec_id") % 1000 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -126,6 +137,43 @@ def main() -> None:
         )
 
     timed("ivf_topk_kmeans_cells", ivf_kmeans)
+
+    # build/probe split (round-7 verdict #5): an ANN index AMORTIZES
+    # its build over many query batches, so the honest scale numbers
+    # are (one-off build wall, per-batch probe wall) — the combined
+    # row above re-pays the quantizer on every call. k ~ sqrt(n) is
+    # the textbook IVF operating point (per-cell occupancy ~ sqrt(n),
+    # probe cost n_probe * sqrt(n) rows); n_probe scales with k to
+    # hold the probed corpus fraction roughly constant.
+    def ivf_split(k_cells: int, n_probe: int, op: str):
+        from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+        t_b = time.time()
+        cells = kmeans_cells(corpus, k=k_cells, iters=2).select("vec_id", "cell")
+        quantized = corpus.join(cells, "vec_id").persist()
+        quantized.count()  # materialize the index
+        build_sec = round(time.time() - t_b, 2)
+        t_p = time.time()
+        rec = with_recall(
+            ivf_topk(quantized, queries, K_NN, n_probe=n_probe, coarse_col="cell")
+        )
+        probe_sec = round(time.time() - t_p, 2)
+        quantized.unpersist()
+        rec.update(
+            {
+                "op": op,
+                "k_cells": k_cells,
+                "n_probe": n_probe,
+                "build_sec": build_sec,
+                "probe_sec": probe_sec,
+                "sec": round(build_sec + probe_sec, 2),
+            }
+        )
+        print(json.dumps(rec))
+
+    ivf_split(16, 2, "ivf_kmeans_split_k16")
+    k_sqrt = int(math.isqrt(n))
+    ivf_split(k_sqrt, max(2, round(k_sqrt / 16)), "ivf_kmeans_split_ksqrt")
     # n_planes must scale with log2(corpus): the 4-plane default is
     # sized for the 200-vector registered query (16 buckets); at 20k
     # vectors it degrades to ~1250 docs/bucket and minutes of

@@ -20,6 +20,7 @@ tool, not a test — it takes minutes.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -69,13 +70,29 @@ def build(spark, sf_dir: str, k: int) -> None:
     u.write.mode("overwrite").parquet(OUT)
 
 
-def timed(name: str, fn) -> None:
+def timed(name: str, fn, extra=None) -> object:
     t0 = time.time()
     try:
         n = fn()
-        print(json.dumps({"op": name, "rows": n, "sec": round(time.time() - t0, 2)}))
+        rec = {"op": name, "rows": n, "sec": round(time.time() - t0, 2)}
+        rec.update(extra or {})
+        print(json.dumps(rec))
+        return n
     except Exception as e:  # keep going; a stress failure is a finding
         print(json.dumps({"op": name, "error": str(e)[:200], "sec": round(time.time() - t0, 2)}))
+        return None
+
+
+def calibrate(spark) -> None:
+    """Same fixed-cost row as bench.py: range(2e7).sum, median of 5 —
+    separates rig drift from operator regressions round over round
+    (the round-6 stress walls moved without one, unadjudicable)."""
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("sum(id) AS s").collect()
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({"op": "calibration", "sec": round(statistics.median(times), 3)}))
 
 
 def main() -> None:
@@ -87,6 +104,7 @@ def main() -> None:
     d = spark.read.parquet(OUT)
     n_docs = d.count()
     print(json.dumps({"op": "build", "rows": n_docs, "k": k, "sec": round(time.time() - t0, 2)}))
+    calibrate(spark)
 
     timed("exact_dedup", lambda: exact_dedup(d).count())
     timed("simhash", lambda: simhash(d).count())
@@ -106,16 +124,41 @@ def main() -> None:
             .select("id_a", "id_b")
         ).count(),
     )
-    timed(
+    exact_n = timed(
         "ngram_jaccard_exact",
         lambda: ngram_jaccard_pairs(d, threshold=0.5, k=3, max_df=None).count(),
     )
+
     # the PRODUCTION two-stage composition (round-6): LSH candidates ->
-    # exact verify; compare pairs/wall against the pure exact row above
-    timed(
-        "lsh_verified_pairs",
-        lambda: lsh_verified_pairs(d, threshold=0.5, n_hashes=16, bands=4).count(),
-    )
+    # exact verify. Verified pairs are a SUBSET of the exact pairs
+    # (property-tested), so recall = verified/exact by count. The
+    # banding sweep (round-7 verdict #3) prices the recall dial: more
+    # hashes/bands -> tighter J estimate -> fewer missed true pairs,
+    # at the cost of a wider signature shuffle.
+    for n_hashes, bands in ((16, 4), (32, 8), (64, 16)):
+        name = (
+            "lsh_verified_pairs"
+            if (n_hashes, bands) == (16, 4)
+            else f"lsh_verified_pairs_{n_hashes}x{bands}"
+        )
+        got = timed(
+            name,
+            lambda nh=n_hashes, b=bands: lsh_verified_pairs(
+                d, threshold=0.5, n_hashes=nh, bands=b
+            ).count(),
+            extra={"n_hashes": n_hashes, "bands": bands},
+        )
+        if got is not None and exact_n:
+            print(
+                json.dumps(
+                    {
+                        "op": f"{name}_recall",
+                        "recall_vs_exact": round(got / exact_n, 3),
+                        "n_hashes": n_hashes,
+                        "bands": bands,
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":
