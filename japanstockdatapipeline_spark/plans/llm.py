@@ -1567,7 +1567,11 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
       BEFORE the packing window, so it never crosses an Exchange.
       (The eval side re-scans documents to carve the benchmark out of
       the corpus — inherited from the member's self-play shape; in
-      production the benchmark is a separate small table.)
+      production the benchmark is a separate small table.) Dial: the
+      per-row intersect is O(|doc grams| + |eval grams|) — right for
+      benchmark suites up to ~1e5 grams (measured at 36.6k); for much
+      larger contamination lists use the member's explode + broadcast
+      hash-join form (shared hash table) — same oracle either way.
     - EXACT-DUP SIGNAL (doc_exact_dedup keep-rule at doc grain): the
       canonical md5 fingerprint is computed in the scan; keep-id /
       copy-count / is-dup come from one window over the fingerprint

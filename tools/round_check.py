@@ -1,0 +1,147 @@
+"""One-command round gate (round-7 verdict #6): runs every
+verification surface and writes a single PASS/FAIL artifact, so a
+round cannot silently skip a gate.
+
+    python tools/round_check.py 7                 # full gate
+    python tools/round_check.py 7 --skip-stress   # reuse STRESS_r07.json
+    python tools/round_check.py 7 --skip-pytest   # when a full run just passed
+
+Gates (each recorded in ROUNDCHECK_r{N}.json):
+  driver   — the driver contract on a VANILLA session (entry() rows,
+             50 queries, 50 oracles; session-dependent bugs only show
+             up without our tuned configs)
+  oracle   — tools/verify_local.py at sf0.01 (every registered query
+             AND every panel member vs its DuckDB oracle)
+  plans    — tools/explain_audit.py (physical-plan shape assertions)
+  pytest   — the unit/property suite
+  stress   — STRESS_r{N}.json exists with zero harness/op errors
+             (runs tools/stress_report.py if missing; --skip-stress
+             requires the artifact to already exist)
+
+Exit 0 iff every gate passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO, check=False
+    )
+    return proc.returncode, proc.stdout + proc.stderr
+
+
+def gate_driver() -> dict:
+    code = (
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[4]').getOrCreate()\n"
+        "import __spark_entry__ as E\n"
+        "rows = E.entry(spark).count()\n"
+        "qs, osql = E.queries(), E.oracle_sql()\n"
+        "print('DRIVER_CONTRACT', rows, len(qs), len(osql))\n"
+    )
+    rc, out = run([sys.executable, "-c", code])
+    m = re.search(r"DRIVER_CONTRACT (\d+) (\d+) (\d+)", out)
+    ok = rc == 0 and m is not None and int(m.group(2)) == 50 == int(m.group(3))
+    return {
+        "ok": ok,
+        "detail": m.groups() if m else out[-300:],
+    }
+
+
+def gate_oracle(sf_dir: str) -> dict:
+    rc, out = run([sys.executable, "tools/verify_local.py", sf_dir])
+    m = re.search(r"(\d+) failures", out)
+    n_pass = len(re.findall(r"^PASS ", out, re.MULTILINE))
+    ok = rc == 0 and m is not None and m.group(1) == "0"
+    return {"ok": ok, "passes": n_pass, "detail": m.group(0) if m else out[-300:]}
+
+
+def gate_plans() -> dict:
+    rc, out = run([sys.executable, "tools/explain_audit.py"])
+    m = re.search(r"(\d+) plan-audit failures", out)
+    ok = rc == 0 and m is not None and m.group(1) == "0"
+    return {"ok": ok, "detail": m.group(0) if m else out[-300:]}
+
+
+def gate_pytest() -> dict:
+    rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"])
+    m = re.search(r"(\d+) passed", out)
+    failed = re.search(r"(\d+) failed", out)
+    ok = rc == 0 and m is not None and failed is None
+    return {
+        "ok": ok,
+        "detail": (m.group(0) if m else "") + (f", {failed.group(0)}" if failed else ""),
+    }
+
+
+def gate_stress(rnd: int, skip: bool) -> dict:
+    path = os.path.join(REPO, f"STRESS_r{rnd:02d}.json")
+    if not os.path.exists(path):
+        if skip:
+            return {"ok": False, "detail": "--skip-stress but artifact missing"}
+        rc, out = run([sys.executable, "tools/stress_report.py", str(rnd)])
+        if rc != 0 or not os.path.exists(path):
+            return {"ok": False, "detail": out[-300:]}
+    with open(path) as f:
+        rep = json.load(f)
+    errs = [
+        f"{suite}/{op}"
+        for suite, ops in rep.get("suites", {}).items()
+        for op, rec in ops.items()
+        if "error" in rec or op == "_harness_error"
+    ]
+    n_ops = sum(len(o) for o in rep.get("suites", {}).values())
+    return {"ok": not errs, "ops": n_ops, "detail": errs or "no op errors"}
+
+
+def main() -> int:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    skip_stress = "--skip-stress" in sys.argv
+    skip_pytest = "--skip-pytest" in sys.argv
+    sf_dir = "/root/testdata/sf0.01"
+
+    gates: dict[str, dict] = {}
+    for name, fn in (
+        ("driver", gate_driver),
+        ("oracle", lambda: gate_oracle(sf_dir)),
+        ("plans", gate_plans),
+        ("pytest", (lambda: {"ok": True, "detail": "skipped (--skip-pytest)"})
+         if skip_pytest else gate_pytest),
+        ("stress", lambda: gate_stress(rnd, skip_stress)),
+    ):
+        t0 = time.time()
+        try:
+            rec = fn()
+        except Exception as e:  # a crashing gate is a failing gate
+            rec = {"ok": False, "detail": f"gate crashed: {e}"[:300]}
+        rec["sec"] = round(time.time() - t0, 1)
+        gates[name] = rec
+        print(f"{'PASS' if rec['ok'] else 'FAIL'}  {name}: {rec.get('detail')} "
+              f"({rec['sec']}s)", file=sys.stderr)
+
+    overall = all(g["ok"] for g in gates.values())
+    artifact = os.path.join(REPO, f"ROUNDCHECK_r{rnd:02d}.json")
+    with open(artifact, "w") as f:
+        json.dump(
+            {"round": rnd, "overall": "PASS" if overall else "FAIL", "gates": gates},
+            f, indent=1, sort_keys=True, default=str,
+        )
+        f.write("\n")
+    print(json.dumps({"artifact": os.path.basename(artifact),
+                      "overall": "PASS" if overall else "FAIL",
+                      "gates": {k: v["ok"] for k, v in gates.items()}}))
+    return 0 if overall else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
