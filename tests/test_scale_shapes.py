@@ -133,6 +133,11 @@ PLAN_TIME_JOB_ALLOWLIST = {
     # (data-dependent round count), so building the plan runs jobs
     "doc_leakage_safe_split",
     "doc_cluster_representative",
+    # round 7: semdedup registers canonical=True — the transitive
+    # sem_canonical resolution rides dup_clusters over the POINTER
+    # edges (pruned pair graph, never the corpus); the panel folds it
+    "embedding_semdedup",
+    "embedding_feature_panel",
 }
 
 
@@ -168,9 +173,14 @@ def test_plan_build_triggers_no_jobs(spark):
 
 
 def test_vocab_stats_single_corpus_scan(spark):
-    """doc_vocab_stats must tokenize the corpus exactly once (r4
-    verdict item 1): the corpus-share total comes from a window over
-    the vocab table, never a second scan+explode of documents."""
+    """doc_vocab_stats must tokenize the corpus AT MOST once (r4
+    verdict item 1, r7 shape): the vocab-grain table is persisted and
+    both the corpus-share total (1-row broadcast agg) and the
+    per-term rows consume the same InMemoryRelation — never a second
+    scan+explode of documents, and (r7) never a single-partition
+    Window. Counts are <=1 rather than ==1 because a previously
+    materialized cache entry from the shared session may replace the
+    parquet subtree entirely."""
     import re
 
     from japanstockdatapipeline_spark.plans import all_queries
@@ -181,8 +191,10 @@ def test_vocab_stats_single_corpus_scan(spark):
     )
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     n_explodes = len(re.findall(r"\(\d+\) Generate", plan))
-    assert n_scans == 1, f"expected 1 corpus scan, saw {n_scans}"
-    assert n_explodes == 1, f"expected 1 tokenize explode, saw {n_explodes}"
+    assert n_scans <= 1, f"expected <=1 corpus scan, saw {n_scans}"
+    assert n_explodes <= 1, f"expected <=1 tokenize explode, saw {n_explodes}"
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert not re.search(r"\(\d+\) Window\b", plan), "vocab-axis window is back"
 
 
 def test_explain_audit_checks_hold(spark):
