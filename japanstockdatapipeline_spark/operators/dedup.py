@@ -281,6 +281,15 @@ def lsh_verified_pairs(
     documented trade; dup_pair_panel surfaces them as NULLs against
     the exact member.
 
+    Choosing the dials (measured sweep, SCALE.md round 7): rows per
+    band r = n_hashes/bands sets candidate recall near the threshold
+    (P = 1-(1-J^r)^bands); pick r ~ ln(2)/ln(1/threshold) rounded
+    down, then size bands for the wall budget. At K=30/150k docs,
+    J>=0.5: r=2 (32/16) reaches 0.999 recall at 1.8x below exact cost
+    — the false candidates a low r admits cost only verify work,
+    which this stage prunes exactly; r=4 configs (16/4, 32/8) are the
+    cheap 0.7-0.85-recall points.
+
     Scale: stage 2 is two equi-joins of the (small) candidate list
     back to the per-doc distinct-shingle arrays, then a pure array
     expression (array_intersect) per candidate row — no shuffle grows
