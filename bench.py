@@ -28,18 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from japanstockdatapipeline_spark.plans import all_members, all_queries
 from japanstockdatapipeline_spark.session import get_spark
 
+from tools.calibration import (  # noqa: E402
+    CALIBRATION_N,
+    CALIBRATION_RUNS,
+    calibrate as _calibrate,
+)
+
 WARMUP = "pricing_summary"  # pinned: JVM/JIT + parquet-footer warm
 N_RUNS = 5
-CALIBRATION_N = 20_000_000
-
-
-def _calibrate(spark) -> float:
-    times = []
-    for _ in range(N_RUNS):
-        t0 = time.perf_counter()
-        spark.range(CALIBRATION_N).selectExpr("sum(id) AS s").collect()
-        times.append(time.perf_counter() - t0)
-    return round(statistics.median(times), 3)
 
 
 def main() -> None:
@@ -57,7 +53,7 @@ def main() -> None:
     bench_set[WARMUP].fn(spark, sf_dir).count()
 
     calibration = _calibrate(spark)
-    print(f"# calibration: {calibration:.3f}s (range({CALIBRATION_N}).sum, median of {N_RUNS})",
+    print(f"# calibration: {calibration:.3f}s (range({CALIBRATION_N}).sum, median of {CALIBRATION_RUNS})",
           file=sys.stderr)
 
     timings: dict[str, float] = {}

@@ -283,12 +283,16 @@ def lsh_verified_pairs(
 
     Choosing the dials (measured sweep, SCALE.md round 7): rows per
     band r = n_hashes/bands sets candidate recall near the threshold
-    (P = 1-(1-J^r)^bands); pick r ~ ln(2)/ln(1/threshold) rounded
-    down, then size bands for the wall budget. At K=30/150k docs,
-    J>=0.5: r=2 (32/16) reaches 0.999 recall at 1.8x below exact cost
-    — the false candidates a low r admits cost only verify work,
-    which this stage prunes exactly; r=4 configs (16/4, 32/8) are the
-    cheap 0.7-0.85-recall points.
+    (P = 1-(1-J^r)^bands). Use the smallest r >= 2 that keeps buckets
+    selective — r=2 at thresholds around 0.5 (J^2=0.25, so b=16
+    already gives P~0.99 at the threshold), r=3-4 for high thresholds
+    (J >= 0.8) where J^r stays large anyway; r=1 degenerates to
+    single-MinHash buckets (any one shared shingle-min collides) and
+    floods the verifier. The false candidates a low r admits cost
+    only verify work, which this stage prunes exactly. Measured at
+    K=30/150k docs, J>=0.5: r=2 (32/16) reaches 0.999 recall at 1.8x
+    below exact cost; r=4 configs (16/4, 32/8) are the cheap
+    0.7-0.85-recall points.
 
     Scale: stage 2 is two equi-joins of the (small) candidate list
     back to the per-doc distinct-shingle arrays, then a pure array

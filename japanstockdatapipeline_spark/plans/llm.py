@@ -699,8 +699,12 @@ def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 1e8-1e9 distinct tokens (Heaps' law) and an unpartitioned
     # WindowExec moves ALL of it through one task — the round-6 verdict
     # flagged it as the last unbounded-axis single-partition window.
-    # persist() is lazy (plan-build still runs zero jobs); the cached
-    # table is released by the ContextCleaner once unreferenced.
+    # persist() is lazy (plan-build still runs zero jobs). Cache
+    # lifetime: the entry is held by the session's CacheManager until
+    # unpersist()/clearCache() — NOT GC-released — but identical plans
+    # share one entry, so repeated calls per sf_dir do not accumulate;
+    # the vocab table is the small side by construction, and a
+    # production job should clearCache()/unpersist when done.
     by_term = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
@@ -878,6 +882,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The earlier Window.partitionBy() total was the last unbounded-
     # axis single-partition window in the package (web-scale vocab is
     # 1e8-1e9 distinct tokens); persist() stays lazy at plan build.
+    # Cache lifetime: held by the CacheManager until unpersist/
+    # clearCache (not GC-released), ONE shared entry per identical
+    # plan (per sf_dir) — see doc_vocab_stats for the full note.
     tf = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))

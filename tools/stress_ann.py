@@ -20,11 +20,12 @@ from __future__ import annotations
 
 import json
 import math
-import statistics
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+from tools.calibration import calibrate as _calibrate  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -84,14 +85,9 @@ def main() -> None:
     n = corpus.count()
     print(json.dumps({"op": "build", "rows": n, "k": k, "sec": round(time.time() - t0, 2)}))
 
-    # fixed-cost calibration row (same as bench.py): separates rig
-    # drift from operator regressions round over round
-    cal = []
-    for _ in range(5):
-        c0 = time.perf_counter()
-        spark.range(20_000_000).selectExpr("sum(id) AS s").collect()
-        cal.append(time.perf_counter() - c0)
-    print(json.dumps({"op": "calibration", "sec": round(statistics.median(cal), 3)}))
+    # THE shared fixed-cost calibration row (tools/calibration.py,
+    # same as bench.py): separates rig drift from operator regressions
+    print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
     queries = corpus.where(F.col("vec_id") % 1000 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

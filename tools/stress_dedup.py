@@ -20,11 +20,12 @@ tool, not a test — it takes minutes.
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+from tools.calibration import calibrate as _calibrate  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -84,15 +85,11 @@ def timed(name: str, fn, extra=None) -> object:
 
 
 def calibrate(spark) -> None:
-    """Same fixed-cost row as bench.py: range(2e7).sum, median of 5 —
-    separates rig drift from operator regressions round over round
-    (the round-6 stress walls moved without one, unadjudicable)."""
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(20_000_000).selectExpr("sum(id) AS s").collect()
-        times.append(time.perf_counter() - t0)
-    print(json.dumps({"op": "calibration", "sec": round(statistics.median(times), 3)}))
+    """THE shared fixed-cost row (tools/calibration.py, same as
+    bench.py) — separates rig drift from operator regressions round
+    over round (the round-6 stress walls moved without one,
+    unadjudicable)."""
+    print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
 
 def main() -> None:
