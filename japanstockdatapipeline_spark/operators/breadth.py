@@ -66,15 +66,12 @@ def year_bucket_high_low(
     use_prev = F.col("__m") <= 3
 
     def merged(cur, prv, pick_max: bool):
-        both = F.when(
-            F.col(cur).isNull(), F.col(prv)
-        ).when(F.col(prv).isNull(), F.col(cur))
-        cmp = (
-            F.when(F.col(prv) > F.col(cur), F.col(prv)).otherwise(F.col(cur))
-            if pick_max
-            else F.when(F.col(prv) < F.col(cur), F.col(prv)).otherwise(F.col(cur))
+        # greatest/least skip NULLs natively, so the Jan-Mar merge of
+        # the two buckets is one call (NULL only when both are NULL)
+        combine = F.greatest if pick_max else F.least
+        return F.when(use_prev, combine(F.col(cur), F.col(prv))).otherwise(
+            F.col(cur)
         )
-        return F.when(use_prev, F.coalesce(both, cmp)).otherwise(F.col(cur))
 
     base_max = merged("__cur_max", "__prev_max", True)
     base_min = merged("__cur_min", "__prev_min", False)

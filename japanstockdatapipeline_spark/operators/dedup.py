@@ -214,6 +214,12 @@ def minhash_lsh_pairs(
     Scale shape: explode to bands (xN rows), shuffle on band key,
     join within buckets only — never a cross join.
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}): a remainder "
+            "would silently drop trailing minhashes from banding, changing "
+            "the effective recall curve P = 1-(1-J^r)^b"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signature(docs, n_hashes, k, id_col=id_col, text_col=text_col)
     banded = sig.select(
@@ -507,7 +513,15 @@ def simhash_pairs(
     assert 60 % bands == 0, "bands must divide the 60-bit simhash"
     width = 60 // bands
     mask = (1 << width) - 1
-    s = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
+    # degenerate-doc guard (same reasoning as minhash_signature's):
+    # every zero-token doc has simhash 0 and would collide in EVERY
+    # band — m empty docs emit ~m^2/2 candidate pairs from single
+    # buckets. Content-free docs have no meaningful Hamming distance;
+    # exclude them from pair generation (the oracle applies the same
+    # filter).
+    s = docs.filter(F.size(tokens(F.lower(F.col(text_col)))) >= 1).select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh")
+    )
     banded = s.select(
         "id",
         "sh",

@@ -133,10 +133,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_n: int) -> DataFrame:
     """Metadata-only frame-sampling plan: explode frame indices
     0, every_n, 2*every_n, ... < n_frames. Never reads the payload —
-    column pruning keeps the binary out of the scan entirely."""
-    return media.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    column pruning keeps the binary out of the scan entirely.
+
+    Rows with n_frames <= 0 (possible in real ingested metadata, even
+    though the fake attacher guarantees >= 1) emit zero frame rows —
+    without the guard, sequence(0, -1, +step) is an illegal-boundaries
+    runtime error that kills the whole job."""
+    idxs = F.when(
+        F.col("meta.n_frames") > 0,
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return media.select("doc_id", F.explode(idxs).alias("frame_idx"))

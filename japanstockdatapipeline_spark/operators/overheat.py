@@ -108,7 +108,14 @@ def overheat_stages(
         stages, froms, sinces = [], [], []
         prev, since = "none", None
         for i, h in enumerate(heats):
-            cur = _step(prev, h)
+            # NULL/NaN heat = no observation: hold the stage, no
+            # transition, stage_since unchanged. Without this guard
+            # NaN compares False everywhere, silently stepping e.g.
+            # climax -> unwind, and a None (object dtype) raises.
+            # (The registered pipeline never feeds NULLs — the heat
+            # score null-renormalizes — so the oracle needs no
+            # matching rule; this protects direct API use.)
+            cur = prev if (h is None or pd.isna(h)) else _step(prev, h)
             if i == 0:
                 froms.append(None)
                 since = orders[0]

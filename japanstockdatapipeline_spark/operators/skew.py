@@ -26,6 +26,15 @@ def salted_aggregate(
     functions only; avg must be decomposed by the caller into
     sum+count, which is exactly why this helper doesn't accept it).
     """
+    allowed = {"sum", "count", "min", "max"}
+    bad = {fn for fn in aggs.values() if fn not in allowed}
+    if bad:
+        raise ValueError(
+            f"salted_aggregate supports only re-aggregable functions "
+            f"{sorted(allowed)}, got {sorted(bad)}: e.g. an avg of per-salt "
+            "avgs is unweighted and silently wrong — decompose avg into "
+            "sum+count"
+        )
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -29,8 +29,11 @@ from .smoothers import atr_np, ema_np, macd_np, rsi_np
 
 __all__ = ["snapshot_from_bars", "technical_snapshot", "technical_snapshot_ohlcv"]
 
+# the key field's TYPE is substituted from the input frame at call
+# time (a string security code is the natural key for Japanese
+# stocks); the output column is always NAMED `key` — callers rename
 SNAPSHOT_SCHEMA = (
-    "key bigint, n_bars bigint, close double, sma_25 double, sma_75 double, "
+    "key {key_type}, n_bars bigint, close double, sma_25 double, sma_75 double, "
     "sma_200 double, dev_25 double, dev_75 double, dev_200 double, "
     "above_sma200 boolean, cross_25_75 string, cross_25_75_age bigint, "
     "rsi_14 double, macd double, macd_signal double, macd_hist double, "
@@ -211,7 +214,10 @@ def technical_snapshot_ohlcv(
         .repartition(key_col)
         .sortWithinPartitions(key_col, order_col)
     )
-    return src.mapInPandas(per_partition, schema=SNAPSHOT_SCHEMA)
+    key_type = df.schema[key_col].dataType.simpleString()
+    return src.mapInPandas(
+        per_partition, schema=SNAPSHOT_SCHEMA.format(key_type=key_type)
+    )
 
 
 def technical_snapshot(

@@ -220,15 +220,15 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("__cv"),
     )
-    # cell centroids via posexplode + per-position mean (one shuffle)
-    ex = c.select("__cell", F.posexplode("__cv").alias("pos", "x"))
-    centroids = (
-        ex.groupBy("__cell", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("__cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("__cell", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
-    )
+    # cell centroids via posexplode + per-position mean (one shuffle) —
+    # the SAME helper the k-means quantizer uses, so the registered
+    # IVF-over-kmeans composition has one centroid definition that
+    # cannot drift between build and probe
+    from .kmeans import _centroids_of
+
+    centroids = _centroids_of(
+        c.select(F.col("__cell").alias("cell"), "__cv"), "__cv"
+    ).select(F.col("cell").alias("__cell"), F.col("__cvec").alias("__centroid"))
     q = queries.select(F.col(q_id_col), as_double_array(F.col(q_vec_col)).alias("__qv"))
     probe_w = Window.partitionBy(q_id_col).orderBy(
         F.col("__ccos").desc(), F.col("__cell").asc()
@@ -274,6 +274,17 @@ def brute_force_topk_matmul(
     import numpy as np
     import pandas as pd
 
+    # the Arrow batch path packs ids as int64 — reject other id types
+    # loudly instead of silently coercing (strings would crash deep in
+    # numpy, floats would round)
+    for df_, col_ in ((corpus, id_col), (queries, q_id_col)):
+        dt = df_.schema[col_].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"brute_force_topk_matmul needs an integral id column; "
+                f"{col_!r} is {dt} (use brute_force_topk for other id types)"
+            )
+
     qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -290,14 +301,14 @@ def brute_force_topk_matmul(
             top = min(k + 1, len(ids))
             idx = np.argpartition(-cos, top - 1, axis=0)[:top]  # per query
             out = {
-                "q_id": np.repeat(q_ids, top),
+                q_id_col: np.repeat(q_ids, top),
                 "neighbor_id": ids[idx].T.ravel(),
                 "cos": np.take_along_axis(cos, idx, axis=0).T.ravel(),
             }
             yield pd.DataFrame(out)
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
-        batches, schema="q_id bigint, neighbor_id bigint, cos double"
+        batches, schema=f"{q_id_col} bigint, neighbor_id bigint, cos double"
     ).filter(F.col("neighbor_id") != F.col(q_id_col))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

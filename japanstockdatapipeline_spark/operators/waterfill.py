@@ -59,14 +59,29 @@ def water_fill_cap(
         .withColumn("__cum", F.sum("__w").over(run))
     )
     # s(i-1) = (1 - (i-1)*cap) / (1 - cum_{i-1});  cum_{i-1} = cum_i - w_i
-    s_prev = (1 - (F.col("__i") - 1) * F.lit(cap)) / (1 - (F.col("__cum") - F.col("__w")))
-    cond = (F.col("__w") * s_prev >= F.lit(cap)).cast("int")
+    # Zero-weight tail guard: once the normalized prefix sums to 1,
+    # every remaining row has weight 0 and can never be capped — and
+    # the denominator is 0, so the raw division dies under ANSI mode
+    # (Spark 4 default) and mis-caps under non-ANSI. Branch before
+    # dividing (CaseWhen evaluates only the taken branch).
+    denom_prev = 1 - (F.col("__cum") - F.col("__w"))
+    s_prev = (1 - (F.col("__i") - 1) * F.lit(cap)) / denom_prev
+    cond = (
+        F.when(denom_prev > 0, F.col("__w") * s_prev >= F.lit(cap))
+        .otherwise(F.lit(False))
+        .cast("int")
+    )
     o = o.withColumn("__flag", F.min(cond).over(run))  # running AND down the prefix
     grp = Window.partitionBy(*group_cols)
     k_star = F.max(F.when(F.col("__flag") == 1, F.col("__i"))).over(grp)
     cum_k = F.max(F.when(F.col("__flag") == 1, F.col("__cum"))).over(grp)
-    s_k = F.when(k_star.isNull(), F.lit(1.0)).otherwise(
-        (1 - k_star * F.lit(cap)) / (1 - cum_k)
+    # same guard for the redistribution scale: cum_k = 1 means zero
+    # weight remains outside the capped prefix, so the scale is moot
+    # (the only consumers are zero-weight rows) — pin it to 0
+    s_k = (
+        F.when(k_star.isNull(), F.lit(1.0))
+        .when(F.lit(1.0) - cum_k <= 0, F.lit(0.0))
+        .otherwise((1 - k_star * F.lit(cap)) / (1 - cum_k))
     )
     out = F.when(F.col("__flag") == 1, F.lit(cap)).otherwise(F.col("__w") * s_k)
     # infeasible guard: cap*n <= 1 -> all pinned to cap, normalized by

@@ -1727,7 +1727,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> CASE WHEN (x >> bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                   THEN 1::BIGINT << bit ELSE 0 END
                   for bit in range(0, 60)]) AS BIGINT) AS sim
-      FROM t
+      FROM t WHERE len(h) > 0
     ), banded AS (
       SELECT doc_id, sim, b.band AS band,
              (sim >> (15 * b.band)) & 32767 AS key

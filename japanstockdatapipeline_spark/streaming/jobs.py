@@ -197,7 +197,10 @@ def stateful_overheat_stages(stream: DataFrame) -> DataFrame:
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values("day")
             for day, heat in zip(pdf["day"], pdf["heat_score"]):
-                cur = _step(prev if prev is not None else "none", heat)
+                base = prev if prev is not None else "none"
+                # NULL/NaN heat = no observation: hold (same rule as
+                # the batch operator, so the two forms cannot drift)
+                cur = base if (heat is None or pd.isna(heat)) else _step(base, heat)
                 if prev is None:
                     frm, since = None, int(day)
                 elif cur != prev:
@@ -208,7 +211,9 @@ def stateful_overheat_stages(stream: DataFrame) -> DataFrame:
                     {
                         "user_id": user_id,
                         "day": int(day),
-                        "heat_score": float(heat),
+                        "heat_score": float("nan")
+                        if (heat is None or pd.isna(heat))
+                        else float(heat),
                         "stage": cur,
                         "stage_from": frm,
                         "stage_since": since,

@@ -114,3 +114,29 @@ def test_lsh_verified_pairs_subset_of_exact_with_true_jaccard(spark, sf_dir):
     assert set(verified) <= set(exact)
     for pair, j in verified.items():
         assert exact[pair] == j
+
+
+def test_simhash_pairs_empty_docs_do_not_collide(spark):
+    """Review fix: zero-token docs all hash to simhash 0 and would
+    collide in every band (quadratic spurious candidates) — they are
+    excluded from pair generation, same guard as minhash_signature."""
+    from japanstockdatapipeline_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(5)]
+        + [(8, "   ")]
+        + [(10, "a b c"), (11, "a b c")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs).collect()}
+    assert pairs == {(10, 11)}
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    """Review fix: a non-dividing band count silently dropped trailing
+    minhashes from banding — now a loud ValueError."""
+    from japanstockdatapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, n_hashes=16, bands=5)

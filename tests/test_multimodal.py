@@ -104,3 +104,23 @@ def test_image_stats_non_ascii_bytes(spark):
         assert out[doc_id]["max_byte"] == (max(raw) if raw else 0)
         expected_mean = sum(raw) / len(raw) if raw else 0.0
         assert abs(out[doc_id]["mean_byte"] - expected_mean) < 1e-9
+
+
+def test_frame_plan_zero_frames_emits_no_rows(spark):
+    """Review fix: n_frames = 0 made sequence(0, -1, +step) raise an
+    illegal-boundaries error killing the job; it must emit zero frame
+    rows for that doc instead."""
+    rows = spark.createDataFrame([(1, 0), (2, 3)], ["doc_id", "nf"]).select(
+        "doc_id",
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.col("nf").cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"])
+        for r in frame_sample_plan(rows, every_n=2).collect()
+    }
+    assert got == {(2, 0), (2, 2)}

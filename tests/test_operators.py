@@ -314,3 +314,36 @@ def test_multi_basket_all_equals_single_basket(spark):
         for r in all_members()["multi_basket_valuation"].fn(spark, sf).collect()
     }
     assert single == multi
+
+
+def test_salted_aggregate_rejects_non_reaggregable(spark):
+    """Review fix: avg of per-salt avgs is unweighted and silently
+    wrong — non-re-aggregable functions are now a loud ValueError."""
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([(1, 1.0)], ["k", "x"])
+    with pytest.raises(ValueError, match="avg"):
+        salted_aggregate(df, ["k"], {"x": "avg"})
+
+
+def test_matmul_topk_honors_q_id_col(spark):
+    """Review fix: the BLAS path hardcoded q_id in its Arrow schema,
+    crashing for any caller-supplied q_id_col; non-integral ids are
+    now rejected loudly instead of silently coerced."""
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.topk import brute_force_topk_matmul
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(100, [1.0, 1.0])], ["query_id", "q_vec"])
+    rows = brute_force_topk_matmul(corpus, queries, 2, q_id_col="query_id").collect()
+    assert {r["query_id"] for r in rows} == {100}
+    assert len(rows) == 2
+
+    s_corpus = spark.createDataFrame([("a", [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="integral id"):
+        brute_force_topk_matmul(s_corpus, queries, 1)

@@ -128,3 +128,17 @@ def test_stage_machine_keys_independent(spark):
         ("A", 1): "climax",
         ("B", 1): "riding",
     }
+
+
+def test_stage_machine_null_heat_holds(spark):
+    """Review fix: NULL/NaN heat = no observation — hold the stage
+    with no transition (NaN comparisons are all-False, which silently
+    stepped climax -> unwind before the guard)."""
+    df = spark.createDataFrame(
+        [("A", 0, 0.9), ("A", 1, None), ("A", 2, 0.75)],
+        "user_id string, day long, heat_score double",
+    )
+    out = overheat_stages(df, "user_id", "day", "heat_score").orderBy("day").collect()
+    assert [r["stage"] for r in out] == ["climax", "climax", "climax"]
+    assert [r["stage_since"] for r in out] == [0, 0, 0]
+    assert [r["stage_from"] for r in out] == [None, None, None]

@@ -47,6 +47,24 @@ def test_closed_form_matches_iterative(spark, seed, cap):
     np.testing.assert_allclose(got, expected, rtol=1e-9)
 
 
+def test_zero_weight_tail_rows(spark):
+    """Review fix: rows after the normalized prefix sums to 1 (zero
+    weights) made s_prev divide by zero — ANSI crash (Spark 4
+    default) or silent over-allocation. They must come out 0 and the
+    group must still sum to 1."""
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 2, 0.1), (1, 3, 0.0), (1, 4, 0.0)], ["g", "id", "w"]
+    )
+    out = {
+        r["id"]: r["capped_weight"]
+        for r in water_fill_cap(df, ["g"], "w", 0.5, tiebreak="id").collect()
+    }
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == pytest.approx(0.5)
+    assert out[3] == 0.0 and out[4] == 0.0
+    assert sum(out.values()) == pytest.approx(1.0)
+
+
 def test_no_cap_binding_is_identity(spark):
     df = spark.createDataFrame([(1, 1, 1.0), (1, 2, 1.0), (1, 3, 2.0), (1, 4, 1.0), (1, 5, 1.0)], ["g", "id", "w"])
     out = {r["id"]: r["capped_weight"] for r in water_fill_cap(df, ["g"], "w", 0.5, tiebreak="id").collect()}
