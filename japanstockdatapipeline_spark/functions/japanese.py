@@ -65,21 +65,38 @@ def era_date_to_iso(col: Column) -> Column:
     for name, b in _ERA_BASE.items():
         base = F.when(era == name, F.lit(b)).otherwise(base)
     ok = base.isNotNull() & y.isNotNull() & m.isNotNull() & d.isNotNull()
-    return F.when(ok, F.make_date(base + y, m, d))
+    # build the ISO string and try_cast to date: make_date raises
+    # under ANSI mode (Spark 4 default) on out-of-range fields
+    # (月=13, 2月30日), which would abort the whole scan on one
+    # malformed row — try_cast keeps the NULL-for-unparseable promise
+    # for every invalid combination
+    iso = F.concat_ws(
+        "-",
+        (base + y).cast("string"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lpad(d.cast("string"), 2, "0"),
+    )
+    return F.when(ok, iso.try_cast("date"))
 
 
 def iso_to_era_date(col: Column) -> Column:
-    """Format a DateType as the era string (era chosen by date range,
-    元年 for year 1) — the inverse of era_date_to_iso."""
+    """Format a DateType as the era string (era chosen by the FULL
+    transition date, 元年 for year 1) — the inverse of era_date_to_iso.
+
+    Era boundaries are mid-year: 令和 from 2019-05-01, 平成 from
+    1989-01-08 (before that, 昭和 64 ran Jan 1-7) — a year-only rule
+    mislabels Jan-Apr 2019 and the first week of 1989. Dates before
+    1926-12-25 (Taisho and earlier) are out of the reference's
+    domain and render as non-positive 昭和 years."""
     y, m, d = F.year(col), F.month(col), F.dayofmonth(col)
+    reiwa = col >= F.lit("2019-05-01").cast("date")
+    heisei = col >= F.lit("1989-01-08").cast("date")
     era = (
-        F.when(y >= 2019, F.lit("令和"))
-        .when(y >= 1989, F.lit("平成"))
+        F.when(reiwa, F.lit("令和"))
+        .when(heisei, F.lit("平成"))
         .otherwise(F.lit("昭和"))
     )
-    base = (
-        F.when(y >= 2019, F.lit(2018)).when(y >= 1989, F.lit(1988)).otherwise(F.lit(1925))
-    )
+    base = F.when(reiwa, F.lit(2018)).when(heisei, F.lit(1988)).otherwise(F.lit(1925))
     ey = y - base
     eys = F.when(ey == 1, F.lit("元")).otherwise(ey.cast("string"))
     return F.concat(

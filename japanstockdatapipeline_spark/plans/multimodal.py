@@ -87,13 +87,15 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
     fmt AS (
+      -- era chosen by the FULL transition date (令和 from 2019-05-01,
+      -- 平成 from 1989-01-08), matching functions/japanese.py
       SELECT d,
-             (CASE WHEN year(d) >= 2019 THEN '令和'
-                   WHEN year(d) >= 1989 THEN '平成' ELSE '昭和' END)
-             || (CASE WHEN year(d) - (CASE WHEN year(d) >= 2019 THEN 2018
-                        WHEN year(d) >= 1989 THEN 1988 ELSE 1925 END) = 1
-                 THEN '元' ELSE CAST(year(d) - (CASE WHEN year(d) >= 2019 THEN 2018
-                        WHEN year(d) >= 1989 THEN 1988 ELSE 1925 END) AS VARCHAR) END)
+             (CASE WHEN d >= DATE '2019-05-01' THEN '令和'
+                   WHEN d >= DATE '1989-01-08' THEN '平成' ELSE '昭和' END)
+             || (CASE WHEN year(d) - (CASE WHEN d >= DATE '2019-05-01' THEN 2018
+                        WHEN d >= DATE '1989-01-08' THEN 1988 ELSE 1925 END) = 1
+                 THEN '元' ELSE CAST(year(d) - (CASE WHEN d >= DATE '2019-05-01' THEN 2018
+                        WHEN d >= DATE '1989-01-08' THEN 1988 ELSE 1925 END) AS VARCHAR) END)
              || '年' || CAST(month(d) AS VARCHAR) || '月'
              || CAST(day(d) AS VARCHAR) || '日' AS era_str
       FROM days

@@ -103,10 +103,17 @@ class PagedApiReader(DataSourceReader):
         )
 
         def fetch_page(offset: int, limit: int) -> list[tuple]:
-            bucket.acquire()
-            clock["now"] += 1.0  # request latency on the virtual clock
+            # acquire INSIDE the retried callable: each retry is a real
+            # request and must consume a token — acquiring once outside
+            # would let a 429-retry storm exceed the provider's budget
+            # (exactly the condition the limiter exists for)
+            def attempt():
+                bucket.acquire()
+                clock["now"] += 1.0  # request latency on the virtual clock
+                return fetch(offset, limit)
+
             return with_retry(
-                lambda: fetch(offset, limit),
+                attempt,
                 max_retries=5,
                 sleep=_sleep,
                 rng=lambda: 0.0,

@@ -24,6 +24,7 @@ __all__ = [
     "forward_fill_plan",
     "catch_up_plan",
     "write_partition_overwrite",
+    "write_with_audit",
     "list_partitions",
     "remove_partition",
     "prune_retention",
@@ -118,12 +119,19 @@ def catch_up_plan(
     lookback window MINUS days with a successful run; process the
     oldest `max_catch_up`. Inputs: single-column DataFrames `d`.
     The anti-join runs distributed; only the tiny result is collected.
+
+    `today` defaults to the current date — the lookback window ALWAYS
+    applies. (It used to be skipped entirely when today was omitted,
+    which scheduled arbitrarily old — or future — calendar days and
+    let the same `max_catch_up` ancient slots crowd out the real
+    recent backlog on every run.)
     """
     cal = calendar_days.select(F.col(calendar_days.columns[0]).alias("d"))
     done = completed_days.select(F.col(completed_days.columns[0]).alias("d"))
-    if today is not None:
-        lo = today - dt.timedelta(days=lookback_days)
-        cal = cal.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(today)))
+    if today is None:
+        today = dt.date.today()
+    lo = today - dt.timedelta(days=lookback_days)
+    cal = cal.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(today)))
     missing = cal.join(done, "d", "left_anti").orderBy("d").limit(max_catch_up)
     return [r["d"] for r in missing.collect()]
 
@@ -395,7 +403,16 @@ def snapshot_diff(
     columns null-safely. Scale: a single co-partitioned shuffle on
     the keys — the same cost as any keyed join of the two snapshots."""
     val_cols = [c for c in before.columns if c not in keys]
-    assert val_cols == [c for c in after.columns if c not in keys], "schema mismatch"
+    after_cols = {c for c in after.columns if c not in keys}
+    # explicit, order-insensitive check (a select/join between
+    # versions commonly reorders columns; and an assert would vanish
+    # under python -O, letting mismatched schemas reach the join)
+    if set(val_cols) != after_cols:
+        raise ValueError(
+            f"snapshot_diff schema mismatch: before-only "
+            f"{sorted(set(val_cols) - after_cols)}, after-only "
+            f"{sorted(after_cols - set(val_cols))}"
+        )
     # explicit presence markers: a row whose value columns are all
     # NULL is still PRESENT, so presence cannot be inferred from the
     # value columns
@@ -485,11 +502,17 @@ def compact_partitions(
 ) -> list[dict]:
     """Execute `compaction_plan`: rewrite each flagged partition to
     its target file count — read, repartition(target), write to a
-    dot-prefixed sibling dir (invisible to Spark scans), then swap
-    via FS delete + rename. The swap is atomic on HDFS/local; on
-    object stores rename is copy-based, so a production deployment
-    swaps through the table format's commit (Delta/Iceberg rewrite)
-    — the planner half is unchanged. Returns the executed plan."""
+    dot-prefixed sibling dir (invisible to Spark scans), then swap by
+    renames: src -> dot-prefixed trash, tmp -> src, delete trash.
+    The ORIGINAL data is never deleted before the rewritten data is
+    in place, so a crash mid-swap loses nothing (worst case the
+    partition is briefly absent and the trash dir holds the original
+    for manual restore — each individual HDFS/local rename is atomic,
+    but the three-step swap as a whole is not, and concurrent readers
+    can see the partition missing for an instant). On object stores
+    rename is copy-based, so a production deployment swaps through
+    the table format's commit (Delta/Iceberg rewrite) — the planner
+    half is unchanged. Returns the executed plan."""
     plan = compaction_plan(
         spark, path, partition_col, max_files=max_files, target_bytes=target_bytes
     )
@@ -498,14 +521,21 @@ def compact_partitions(
             continue
         src = f"{path}/{partition_col}={row['value']}"
         tmp = f"{path}/.compact_{partition_col}={row['value']}"
+        trash = f"{path}/.compact_trash_{partition_col}={row['value']}"
         spark.read.parquet(src).repartition(row["target_files"]).write.mode(
             "overwrite"
         ).parquet(tmp)
         fs, src_p = _hadoop_fs(spark, src)
         _, tmp_p = _hadoop_fs(spark, tmp)
-        fs.delete(src_p, True)
+        _, trash_p = _hadoop_fs(spark, trash)
+        fs.delete(trash_p, True)  # clear any leftover from a prior crash
+        if not fs.rename(src_p, trash_p):
+            raise IOError(f"compaction swap failed moving {src} aside")
         if not fs.rename(tmp_p, src_p):
-            raise IOError(f"compaction swap failed for {src}")
+            # restore the original rather than leaving the partition gone
+            fs.rename(trash_p, src_p)
+            raise IOError(f"compaction swap failed for {src}; original restored")
+        fs.delete(trash_p, True)
     return plan
 
 

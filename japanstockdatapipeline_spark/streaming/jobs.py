@@ -20,10 +20,12 @@ __all__ = [
     "dedup_stream",
     "session_window_counts",
     "stateful_user_breadth",
+    "stateful_overheat_stages",
     "enrich_with_master_current",
     "enrich_with_master_pit",
     "attribution_join_streams",
     "run_to_parquet",
+    "run_foreach_batch_upsert",
     "score_histogram",
     "drift_gated_ingest",
 ]
@@ -122,6 +124,13 @@ def stateful_user_breadth(stream: DataFrame) -> DataFrame:
                 ["ts_us", "event_id"]
             )
             for v in pdf["value"]:
+                # NULL value = no observation (events.value is
+                # nullable; Arrow delivers NaN): skip it — a NaN
+                # assigned into running_max would poison every later
+                # comparison (x > NaN is always False), permanently
+                # disabling new-high detection for the key
+                if v is None or pd.isna(v):
+                    continue
                 if running_max is not None and v > running_max:
                     new_highs += 1
                 running_max = v if running_max is None else max(running_max, v)
@@ -305,14 +314,21 @@ def run_foreach_batch_upsert(
 
 def score_histogram(df: DataFrame, score_col: str) -> list[int]:
     """10-bucket histogram of a [0,1] score (bucket = floor(s*10),
-    clamped to 9) — the static reference side of the drift gate.
-    Distributed agg; only the 10 bucket counts reach the driver."""
+    clamped to [0, 9]) — the static reference side of the drift gate.
+    Distributed agg; only the 10 bucket counts reach the driver.
+
+    NULL scores are EXCLUDED (a missing score is not evidence about
+    the distribution) and out-of-range scores clamp to the edge
+    buckets — without both guards a NULL-scored batch silently
+    inflated bucket 9 (least() skips NULL, and Python negative
+    indexing wrote bucket -1 into hist[9]), corrupting the PSI."""
+    b = (
+        F.least(F.greatest(F.floor(F.col(score_col) * 10), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("b")
+    )
     rows = (
-        df.groupBy(
-            F.least(F.floor(F.col(score_col) * 10), F.lit(9)).cast("int").alias("b")
-        )
-        .count()
-        .collect()
+        df.filter(F.col(score_col).isNotNull()).groupBy(b).count().collect()
     )
     hist = [0] * 10
     for r in rows:

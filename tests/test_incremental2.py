@@ -164,7 +164,18 @@ def test_manifest_replay_query_matches_runmanifest_code(spark, tmp_path):
     done = spark.createDataFrame(
         [(dt.date.fromisoformat(s),) for s in sorted(completed)] or [(None,)], ["d"]
     )
-    planned_code = set(catch_up_plan(cal, done, max_catch_up=5))
+    # anchor the lookback window to the replay's own date range (the
+    # planner now always applies it; unanchored it would default to
+    # the wall clock and filter these historical days out entirely)
+    planned_code = set(
+        catch_up_plan(
+            cal,
+            done,
+            max_catch_up=5,
+            today=max(days),
+            lookback_days=(max(days) - min(days)).days,
+        )
+    )
     planned_query = {dt.date.fromisoformat(r["order_date"]) for r in rows if r["catch_up_planned"]}
     assert planned_code == planned_query
 

@@ -124,3 +124,26 @@ def test_frame_plan_zero_frames_emits_no_rows(spark):
         for r in frame_sample_plan(rows, every_n=2).collect()
     }
     assert got == {(2, 0), (2, 2)}
+
+
+def test_era_boundaries_and_invalid_dates(spark):
+    """Review fixes: era chosen by the FULL transition date (Jan-Apr
+    2019 is 平成 31, Jan 1-7 1989 is 昭和 64), and out-of-range
+    month/day parse to NULL instead of an ANSI DateTimeException."""
+    df = spark.createDataFrame(
+        [("2019-01-05",), ("2019-05-01",), ("1989-01-05",), ("1989-01-08",)],
+        ["iso"],
+    ).select(F.col("iso").cast("date").alias("d"))
+    got = {str(r["d"]): r["era"] for r in df.select(
+        "d", iso_to_era_date(F.col("d")).alias("era")).collect()}
+    assert got["2019-01-05"] == "平成31年1月5日"
+    assert got["2019-05-01"] == "令和元年5月1日"
+    assert got["1989-01-05"] == "昭和64年1月5日"
+    assert got["1989-01-08"] == "平成元年1月8日"
+
+    bad = spark.createDataFrame(
+        [("令和6年13月5日",), ("平成2年2月30日",), ("令和6年1月5日",)], ["s"]
+    )
+    parsed = [r["d"] for r in bad.select(era_date_to_iso(F.col("s")).alias("d")).collect()]
+    assert parsed[0] is None and parsed[1] is None
+    assert str(parsed[2]) == "2024-01-05"

@@ -44,7 +44,7 @@ def test_forward_fill_overlap_and_cap():
 def test_catch_up_plan_anti_join(spark):
     cal = spark.createDataFrame([(D(2026, 8, d),) for d in range(1, 11)], ["d"])
     done = spark.createDataFrame([(D(2026, 8, d),) for d in (1, 2, 3, 5, 7, 9, 10)], ["d"])
-    missing = catch_up_plan(cal, done, max_catch_up=2)
+    missing = catch_up_plan(cal, done, max_catch_up=2, today=D(2026, 8, 13))
     assert missing == [D(2026, 8, 4), D(2026, 8, 6)]  # oldest first, capped
 
 
@@ -373,3 +373,51 @@ def test_drift_gated_ingest_quarantines_shifted_batch(spark, tmp_path):
     # the passing batch's PSI is small, the shifted one large
     by_ok = {v["ingested"]: v["psi"] for v in verdicts}
     assert by_ok[True] < 0.05 < 0.25 < by_ok[False]
+
+
+def test_score_histogram_null_and_out_of_range(spark):
+    """Review fix: NULL scores were silently counted in bucket 9 (and
+    negatives wrote hist[-1]); NULLs are excluded, out-of-range clamps
+    to the edge buckets."""
+    from japanstockdatapipeline_spark.streaming.jobs import score_histogram
+
+    df = spark.createDataFrame(
+        [(0.55,), (None,), (-0.05,), (1.7,), (0.0,)], ["score"]
+    )
+    hist = score_histogram(df, "score")
+    assert hist == [2, 0, 0, 0, 0, 1, 0, 0, 0, 1]  # -0.05->0, 1.7->9, NULL dropped
+    assert sum(hist) == 4
+
+
+def test_catch_up_plan_window_always_applies(spark):
+    """Review fix: omitting `today` used to disable the lookback
+    window entirely, scheduling arbitrarily old or future days."""
+    import datetime as dt
+
+    from japanstockdatapipeline_spark.streaming.incremental import catch_up_plan
+
+    today = dt.date.today()
+    cal = spark.createDataFrame(
+        [(today - dt.timedelta(days=400),), (today - dt.timedelta(days=3),),
+         (today + dt.timedelta(days=30),)],
+        ["d"],
+    )
+    done = spark.createDataFrame([(today - dt.timedelta(days=9999),)], ["d"])
+    got = catch_up_plan(cal, done, lookback_days=30, max_catch_up=5)
+    assert got == [today - dt.timedelta(days=3)]  # old + future both excluded
+
+
+def test_snapshot_diff_tolerates_column_reorder(spark):
+    """Review fix: the schema check is order-insensitive (a select/
+    join between versions reorders columns) and raises ValueError —
+    not a strippable assert — on a real mismatch."""
+    import pytest
+
+    from japanstockdatapipeline_spark.streaming.incremental import snapshot_diff
+
+    b = spark.createDataFrame([(1, "x", 10)], ["id", "a", "b"])
+    a = spark.createDataFrame([(1, 10, "x")], ["id", "b", "a"])
+    out = {r["id"]: r["diff_status"] for r in snapshot_diff(b, a, ["id"]).collect()}
+    assert out == {1: "unchanged"}
+    with pytest.raises(ValueError, match="after-only"):
+        snapshot_diff(b, a.withColumnRenamed("a", "c"), ["id"])
