@@ -86,19 +86,24 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle.",
     oracle="""
     WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
-    fmt AS (
-      -- era chosen by the FULL transition date (令和 from 2019-05-01,
-      -- 平成 from 1989-01-08), matching functions/japanese.py
+    based AS (
+      -- era chosen ONCE by the FULL transition date (令和 from
+      -- 2019-05-01, 平成 from 1989-01-08), matching
+      -- functions/japanese.py; era name derives from the base year
       SELECT d,
-             (CASE WHEN d >= DATE '2019-05-01' THEN '令和'
-                   WHEN d >= DATE '1989-01-08' THEN '平成' ELSE '昭和' END)
-             || (CASE WHEN year(d) - (CASE WHEN d >= DATE '2019-05-01' THEN 2018
-                        WHEN d >= DATE '1989-01-08' THEN 1988 ELSE 1925 END) = 1
-                 THEN '元' ELSE CAST(year(d) - (CASE WHEN d >= DATE '2019-05-01' THEN 2018
-                        WHEN d >= DATE '1989-01-08' THEN 1988 ELSE 1925 END) AS VARCHAR) END)
+             CASE WHEN d >= DATE '2019-05-01' THEN 2018
+                  WHEN d >= DATE '1989-01-08' THEN 1988 ELSE 1925 END AS base
+      FROM days
+    ),
+    fmt AS (
+      SELECT d,
+             (CASE base WHEN 2018 THEN '令和'
+                        WHEN 1988 THEN '平成' ELSE '昭和' END)
+             || (CASE WHEN year(d) - base = 1
+                 THEN '元' ELSE CAST(year(d) - base AS VARCHAR) END)
              || '年' || CAST(month(d) AS VARCHAR) || '月'
              || CAST(day(d) AS VARCHAR) || '日' AS era_str
-      FROM days
+      FROM based
     )
     SELECT strftime(d, '%Y-%m-%d') AS order_date, era_str,
            strftime(make_date(

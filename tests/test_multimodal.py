@@ -147,3 +147,36 @@ def test_era_boundaries_and_invalid_dates(spark):
     parsed = [r["d"] for r in bad.select(era_date_to_iso(F.col("s")).alias("d")).collect()]
     assert parsed[0] is None and parsed[1] is None
     assert str(parsed[2]) == "2024-01-05"
+
+
+def test_era_roundtrip_oracle_exercises_boundaries(spark, tmp_path):
+    """The gate's TPC-H dates (1992-98) sit entirely inside Heisei, so
+    the oracle's era-boundary logic is never exercised by the driver —
+    run Spark member AND DuckDB oracle on synthetic boundary dates and
+    require identical output (a year-only regression in either side
+    fails here)."""
+    import duckdb
+
+    from japanstockdatapipeline_spark.plans import all_members
+
+    days = ["2019-01-05", "2019-05-01", "1989-01-05", "1989-01-08", "1995-06-15"]
+    spark.createDataFrame([(d,) for d in days], ["o_orderdate"]).select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate")
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    m = all_members()["era_date_roundtrip"]
+    spark_rows = {
+        r["order_date"]: (r["era_str"], r["parsed_back"])
+        for r in m.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    oracle_rows = {r[0]: (r[1], r[2]) for r in con.execute(m.oracle).fetchall()}
+    assert spark_rows == oracle_rows
+    assert spark_rows["2019-01-05"][0] == "平成31年1月5日"
+    assert spark_rows["1989-01-05"][0] == "昭和64年1月5日"
+    # every date round-trips through the era string
+    assert all(k == v[1] for k, v in spark_rows.items())
