@@ -1867,3 +1867,182 @@ def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value(F.col("n_b")).cast("bigint").alias("drift_n_incoming"),
         F.max_by("bucket", F.abs(F.col("p") - F.col("q"))).cast("int").alias("drift_top_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based data selection: hashed-feature quality classifier + DSIR
+# ---------------------------------------------------------------------------
+
+# Hashing-trick dimensionality (Weinberger et al. 2009): every token maps
+# to one of D buckets via a salted md5 — portable, so the DuckDB oracle
+# reproduces the exact bucket ids. D is deliberately small here; a
+# production filter uses 2^20+ buckets with the same plan shape.
+_CLF_D = 512
+_CLF_BIAS = -0.05
+# Deterministic stand-in for a trained weight vector (LCG over the bucket
+# id, values in [-1, 1]); inlined verbatim into the oracle SQL the way
+# the LSH hyperplane literals are (plans/similarity.py), so both engines
+# score identically. A real deployment swaps in fastText/logreg weights —
+# the plan is identical: the model is a literal array riding the scan.
+_CLF_W = [((1103515245 * b + 12345) % 2001 - 1000) / 1000.0 for b in range(_CLF_D)]
+_CLF_W_SQL = "[" + ", ".join(repr(x) for x in _CLF_W) + "]::DOUBLE[]"
+
+
+def _hash_bucket(tok, salt: str, d: int):
+    """Portable md5 bucket id in [0, d) — same value computable in
+    DuckDB as ('0x' || substr(md5(salt || tok), 1, 15))::BIGINT % d."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 15), 16, 10)
+        .cast("bigint")
+        % d
+    )
+
+
+@member(
+    "doc_quality_classifier",
+    doc="Classifier-based quality filtering (the GPT-3/LLaMA/fastText "
+    "pipeline stage, Brown et al. 2020 Appendix A): a linear model "
+    "over hashed unigram features — each token hashes into one of "
+    "512 buckets (hashing trick, Weinberger et al. 2009), the doc "
+    "logit is the mean bucket weight plus a bias, squashed to a "
+    "keep-probability by a sigmoid. Weights are a deterministic "
+    "literal vector inlined into both engines (a trained model "
+    "drops in without changing the plan). Pure Catalyst expressions "
+    "riding the scan: zero joins, zero shuffles, zero Python — the "
+    "classifier is free at 100 TB.",
+    oracle=f"""
+    WITH w(wv) AS (SELECT {_CLF_W_SQL}),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0 THEN
+               {_CLF_BIAS!r} + list_sum(list_transform(toks,
+                 tk -> wv[CAST(('0x' || substr(md5('qb:' || tk), 1, 15))::BIGINT
+                               % {_CLF_D} AS INT) + 1]))
+               / len(toks) END AS logit
+      FROM t, w
+    )
+    SELECT doc_id,
+           round(logit, 6) AS clf_logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS clf_prob,
+           logit >= 0 AS clf_keep
+    FROM s
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in _CLF_W])
+    toks = TX.tokens(F.lower(F.col("text")))
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(warr, (_hash_bucket(t, "qb:", _CLF_D) + 1).cast("int")),
+    )
+    logit = F.when(F.size(toks) > 0, F.lit(_CLF_BIAS) + wsum / F.size(toks))
+    return d.select(
+        "doc_id",
+        F.round(logit, 6).alias("clf_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_prob"),
+        (logit >= 0).alias("clf_keep"),
+    )
+
+
+_DSIR_D = 512
+
+
+@member(
+    "doc_dsir_weight",
+    doc="Data Selection via Importance Resampling (DSIR, Xie et al. "
+    "2023): per document, the mean log-likelihood ratio of its tokens "
+    "under two hashed-unigram bucket models — the target domain "
+    "(lang='en' docs stand in for the in-domain sample; production "
+    "swaps in an actual target corpus) vs the raw corpus — with "
+    "add-one smoothing over the 512 buckets; docs at or above the "
+    "70th-percentile log-weight are selected. Shape: tokens collapse "
+    "to a bucket-grain count table (bounded at D=512 rows regardless "
+    "of corpus size — no Heaps'-law vocab axis), persisted so the "
+    "totals (1-row broadcast, the winsorize shape) and the scoring "
+    "join share one tokenize; the percentile cut is a second 1-row "
+    "broadcast. No corpus-wide window, no product.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir:' || lower(t.tok)), 1, 15))::BIGINT
+               % {_DSIR_D} AS b
+      FROM documents,
+      LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '')) AS t(tok)
+    ),
+    counts AS (
+      SELECT b, CAST(count(*) AS DOUBLE) AS n_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_tgt
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM counts),
+    rates AS (
+      SELECT b, ln((n_tgt + 1) / (tot.nt + {_DSIR_D}))
+               - ln((n_raw + 1) / (tot.nr + {_DSIR_D})) AS llr
+      FROM counts, tot
+    ),
+    perdoc AS (
+      SELECT tok.doc_id, round(avg(r.llr), 6) AS dsir_logw
+      FROM tok JOIN rates r USING (b)
+      GROUP BY tok.doc_id
+    ),
+    cut AS (SELECT round(quantile_cont(dsir_logw, 0.7), 6) AS c FROM perdoc)
+    SELECT perdoc.doc_id, perdoc.dsir_logw,
+           perdoc.dsir_logw >= cut.c AS dsir_selected
+    FROM perdoc, cut
+    """,
+)
+def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+    ).select("doc_id", "lang", _hash_bucket(F.col("term"), "dsir:", _DSIR_D).alias("b"))
+    # bucket-grain count table: bounded at D rows by construction, so
+    # (unlike the unigram vocab table) it can never outgrow an executor;
+    # persisted so the totals and the scoring join share one tokenize.
+    # Cache lifetime: one shared CacheManager entry per identical plan —
+    # see doc_vocab_stats for the full note.
+    counts = (
+        tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("double")
+            .alias("n_tgt"),
+        )
+        .persist()
+    )
+    tot = counts.agg(F.sum("n_raw").alias("nr"), F.sum("n_tgt").alias("nt"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1) / (F.col("nt") + _DSIR_D))
+            - F.log((F.col("n_raw") + 1) / (F.col("nr") + _DSIR_D))
+        ).alias("llr"),
+    )
+    per_doc = (
+        tok.join(rates, "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("llr"), 6).alias("dsir_logw"))
+    )
+    cut = per_doc.agg(
+        F.round(F.expr("percentile(dsir_logw, 0.7D)"), 6).alias("__c")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "dsir_logw",
+            (F.col("dsir_logw") >= F.col("__c")).alias("dsir_selected"),
+        )
+    )

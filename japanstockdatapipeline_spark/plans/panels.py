@@ -228,6 +228,8 @@ register_panel(
         "doc_leakage_safe_split",
         "doc_unigram_logprob",
         "doc_cluster_representative",
+        "doc_quality_classifier",
+        "doc_dsir_weight",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

@@ -1,0 +1,107 @@
+"""Unit vectors for the model-based selection members added in round 7:
+the hashed-feature quality classifier and DSIR importance weights."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from japanstockdatapipeline_spark.plans.llm import (
+    _CLF_BIAS,
+    _CLF_D,
+    _CLF_W,
+    _DSIR_D,
+    doc_dsir_weight,
+    doc_quality_classifier,
+)
+
+
+def _bucket(tok: str, salt: str, d: int) -> int:
+    """Mirror of the portable md5 bucket (plans/llm._hash_bucket)."""
+    return int(hashlib.md5((salt + tok).encode()).hexdigest()[:15], 16) % d
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+def test_classifier_exact_score_and_mean_pooling(spark, tmp_path):
+    """A single-token doc scores exactly bias + w[bucket]; repeating a
+    doc's tokens leaves the mean-pooled logit unchanged; keep == logit
+    >= 0; whitespace-only text yields NULLs."""
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha", "en"),
+            (2, "alpha beta", "en"),
+            (3, "alpha beta alpha beta alpha beta", "en"),
+            (4, "   ", "en"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in doc_quality_classifier(spark, sf_dir).collect()}
+
+    w_alpha = _CLF_W[_bucket("alpha", "qb:", _CLF_D)]
+    assert got[1]["clf_logit"] == round(_CLF_BIAS + w_alpha, 6)
+    # mean pooling: token proportions, not counts, set the score
+    assert got[2]["clf_logit"] == got[3]["clf_logit"]
+    for doc_id in (1, 2, 3):
+        r = got[doc_id]
+        assert r["clf_keep"] == (r["clf_logit"] >= 0)
+        assert abs(r["clf_prob"] - 1.0 / (1.0 + math.exp(-r["clf_logit"]))) < 1e-5
+        assert 0.0 < r["clf_prob"] < 1.0
+    assert got[4]["clf_logit"] is None
+    assert got[4]["clf_prob"] is None
+    assert got[4]["clf_keep"] is None
+
+
+def test_dsir_exact_llr_and_target_preference(spark, tmp_path):
+    """Hand-computed log-likelihood ratios on a 3-doc corpus: the
+    target-token doc outranks the raw-token doc, the mixed doc sits
+    between, and the 70th-percentile selection keeps a top set whose
+    minimum clears every unselected score."""
+    # target domain (en) speaks 'tgt'; the raw remainder speaks 'raw'
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "tgt tgt tgt tgt", "en"),
+            (2, "raw raw raw raw", "de"),
+            (3, "tgt raw", "fr"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in doc_dsir_weight(spark, sf_dir).collect()}
+
+    b_tgt, b_raw = _bucket("tgt", "dsir:", _DSIR_D), _bucket("raw", "dsir:", _DSIR_D)
+    assert b_tgt != b_raw, "pick different test tokens: bucket collision"
+    # bucket counts: 'tgt' 5 raw / 4 target, 'raw' 5 raw / 0 target;
+    # totals 10 raw, 4 target; add-one smoothing over D buckets
+    def llr(n_tgt, n_raw):
+        return math.log((n_tgt + 1) / (4 + _DSIR_D)) - math.log(
+            (n_raw + 1) / (10 + _DSIR_D)
+        )
+
+    llr_tgt, llr_raw = llr(4, 5), llr(0, 5)
+    assert got[1]["dsir_logw"] == round(llr_tgt, 6)
+    assert got[2]["dsir_logw"] == round(llr_raw, 6)
+    assert got[3]["dsir_logw"] == round((llr_tgt + llr_raw) / 2, 6)
+    assert got[1]["dsir_logw"] > got[3]["dsir_logw"] > got[2]["dsir_logw"]
+
+    selected = [r for r in got.values() if r["dsir_selected"]]
+    unselected = [r for r in got.values() if not r["dsir_selected"]]
+    assert selected and unselected
+    assert min(r["dsir_logw"] for r in selected) >= max(
+        r["dsir_logw"] for r in unselected
+    )
+
+
+def test_dsir_selection_rate_on_corpus(spark, sf_dir):
+    """On the real documents table the 70th-percentile cut keeps about
+    30% of docs (exact fraction depends on ties at the cut)."""
+    rows = doc_dsir_weight(spark, sf_dir).collect()
+    frac = sum(1 for r in rows if r["dsir_selected"]) / len(rows)
+    assert 0.25 <= frac <= 0.35

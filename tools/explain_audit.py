@@ -182,6 +182,20 @@ CHECKS = {
         ("hashpartitioning\\(lang", True, "packing window shuffles on the shard"),
         ("hashpartitioning\\(fp", True, "exact-dup signal shuffles on the fingerprint"),
     ],
+    "doc_quality_classifier": [
+        ("Join|Exchange", False,
+         "scan-speed expressions: the hashed-feature model is a literal array riding the scan"),
+    ],
+    "doc_dsir_weight": [
+        ("CartesianProduct", False, "never a product: scoring equi-joins tokens to the bucket table"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True,
+         "score pass equi-joins tokens to the 512-row bucket LM table"),
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True,
+         "1-row totals + percentile cut broadcast (winsorize shape)"),
+        ("Window", False, "no corpus-wide window on any axis"),
+        ("InMemoryTableScan|InMemoryRelation", True,
+         "bucket table persisted: totals + scoring join share one tokenize"),
+    ],
     "doc_vocab_stats": [
         ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
         ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + share consume one tokenize scan"),
