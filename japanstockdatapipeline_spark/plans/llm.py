@@ -1416,13 +1416,14 @@ def doc_features_fused(
     pre_window=None,
 ) -> DataFrame:
     """ONE-pass production form of the expression-only document
-    features: the 14 per-document members that need no cross-document
+    features: the 15 per-document members that need no cross-document
     join (text stats, lang id, BPE counts, repetition, rolling hash,
     simhash, null normalization, stratified-sample membership,
     sequence packing, PII redaction, URL canonicalization, width
-    normalization, HTML stripping, Gopher quality flags) computed in a single select over ONE scan of
+    normalization, HTML stripping, Gopher quality flags, the hashed-
+    feature quality classifier) computed in a single select over ONE scan of
     documents — 1 Exchange total (the packing window on lang) vs the
-    panel's 14 member subtrees. Value-locked three ways: the same
+    panel's 15 member subtrees. Value-locked three ways: the same
     FULL-JOIN DuckDB oracle as the member subset, an equivalence test
     against the join-of-members (tests/test_fused_panel.py), and an
     Exchange-count plan assertion.
@@ -1530,6 +1531,9 @@ def doc_features_fused(
         # governance members (expression-only: PII redaction, URL
         # canonicalization, width normalization)
         *_governance_cols(),
+        # doc_quality_classifier (hashed-feature linear model: the
+        # weights are a literal array, so the filter is free in-scan)
+        *clf_cols(),
         *(extra_cols or []),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
@@ -1561,7 +1565,7 @@ def doc_features_fused(
 
 def corpus_prep_fused(docs: DataFrame) -> DataFrame:
     """The flagship 100-TB corpus-prep pass (round-6 verdict stretch):
-    doc_features_fused's 14 expression families PLUS the two join
+    doc_features_fused's 15 expression families PLUS the two join
     members that previously ran as separate subtrees, folded into the
     same single corpus scan —
 
@@ -1935,6 +1939,13 @@ def _hash_bucket(tok, salt: str, d: int):
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *clf_cols())
+
+
+def clf_cols() -> list:
+    """The classifier's three output expressions over the raw `text`
+    column — shared by the member and the fused one-pass forms so
+    they stay definitionally identical."""
     warr = F.array(*[F.lit(w) for w in _CLF_W])
     toks = TX.tokens(F.lower(F.col("text")))
     wsum = F.aggregate(
@@ -1944,12 +1955,11 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(warr, (_hash_bucket(t, "qb:", _CLF_D) + 1).cast("int")),
     )
     logit = F.when(F.size(toks) > 0, F.lit(_CLF_BIAS) + wsum / F.size(toks))
-    return d.select(
-        "doc_id",
+    return [
         F.round(logit, 6).alias("clf_logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_prob"),
         (logit >= 0).alias("clf_keep"),
-    )
+    ]
 
 
 _DSIR_D = 512

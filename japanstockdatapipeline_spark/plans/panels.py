@@ -258,6 +258,7 @@ _DOC_FUSED_MEMBERS = (
     "doc_width_normalize",
     "doc_html_strip",
     "doc_gopher_quality_flags",
+    "doc_quality_classifier",
     "doc_sequence_packing",
 )
 _DOC_FUSED_RENAMES = {
@@ -269,9 +270,9 @@ _DOC_FUSED_RENAMES = {
 
 def _register_fused_doc_features() -> None:
     """ONE-pass production form of the expression-only document
-    features: the 14 per-document members that need no cross-document
+    features: the 15 per-document members that need no cross-document
     join, computed in a single select over ONE scan of documents
-    (1 Exchange — the packing window — vs 14 member subtrees).
+    (1 Exchange — the packing window — vs 15 member subtrees).
     Value-locked three ways: the same FULL-JOIN DuckDB oracle as the
     member subset, an equivalence test against the join-of-members
     (tests/test_fused_panel.py), and an Exchange-count plan
@@ -302,7 +303,7 @@ _register_fused_doc_features()
 
 def _register_corpus_prep_fused() -> None:
     """The flagship 100-TB corpus-prep member (round-6 verdict
-    stretch): doc_features_fused's 14 expression families PLUS
+    stretch): doc_features_fused's 15 expression families PLUS
     benchmark decontamination (eval gram set collapsed to one
     broadcast array; shared-gram count becomes an array_intersect
     expression — the member's corpus-side explode/re-agg disappears)

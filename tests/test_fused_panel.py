@@ -73,7 +73,7 @@ def test_fused_plan_has_one_exchange(spark):
 
 def test_fused_doc_features_equals_join_of_members(spark):
     """The one-pass document-feature form equals the full-outer join
-    of its 9 expression-only members (same columns, same values)."""
+    of its expression-only members (same columns, same values)."""
     from functools import reduce
 
     from japanstockdatapipeline_spark.plans.panels import (
@@ -97,7 +97,7 @@ def test_fused_doc_features_equals_join_of_members(spark):
 
 def test_corpus_prep_fused_equals_join_of_members(spark):
     """The corpus-prep flagship pass equals the full-outer join of the
-    14 fused members + doc_decontamination + the doc-grain exact-dup
+    fused members + doc_decontamination + the doc-grain exact-dup
     signal derived from doc_exact_dedup (fingerprint window)."""
     from functools import reduce
 
