@@ -2056,3 +2056,120 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dsir_logw") >= F.col("__c")).alias("dsir_selected"),
         )
     )
+
+
+# winnowing parameters: k-token grams, min-selected over W consecutive
+# gram hashes => ANY shared token run of length >= k + W - 1 between two
+# docs shares at least one fingerprint, regardless of alignment (the
+# winnowing guarantee — Schleimer, Wilkerson, Aiken, SIGMOD 2003).
+_WN_K = 8
+_WN_W = 8
+
+
+@member(
+    "doc_winnowed_spans",
+    doc="Alignment-robust repeated-span detection via winnowing "
+    "fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS "
+    "algorithm; the Spark-shaped stand-in for suffix-array ExactSubstr "
+    "dedup, Lee et al. 2022): per doc, every overlapping 8-token gram "
+    "is hashed (portable md5), each window of 8 consecutive gram "
+    "hashes keeps its minimum, and the distinct selected fingerprints "
+    "are scored against corpus document frequency. Any token run of "
+    ">= 15 shared tokens between two docs is guaranteed to share a "
+    "fingerprint AT ANY OFFSET — the modality fixed-chunk dedup "
+    "(doc_chunk_dedup) structurally misses for shifted copies. "
+    "Fingerprint density is ~2/(W+1) of positions, so the exploded "
+    "volume is ~22% of token count; the df table is the same "
+    "posting-list shape as the other dedup operators (map-side "
+    "combine, equi-join back, never a product).",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_WN_K + _WN_W - 1} THEN
+               list_transform(range(1, len(toks) - {_WN_K} + 2),
+                 p -> ('0x' || substr(md5('0:' ||
+                        array_to_string(list_slice(toks, p, p + {_WN_K} - 1), ' ')),
+                      1, 15))::BIGINT)
+             ELSE []::BIGINT[] END AS hs
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WN_W} + 2),
+               i -> list_min(list_slice(hs, i, i + {_WN_W} - 1)))) AS fps
+      FROM g
+    ), win AS (
+      SELECT doc_id, unnest(fps) AS fp FROM f
+    ), df AS (
+      SELECT fp, count(DISTINCT doc_id) AS df FROM win GROUP BY fp
+    ), agg AS (
+      SELECT win.doc_id,
+             CAST(count(*) AS BIGINT) AS wn_fingerprints,
+             CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS wn_shared
+      FROM win JOIN df USING (fp) GROUP BY win.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.wn_fingerprints, 0) AS wn_fingerprints,
+           coalesce(a.wn_shared, 0) AS wn_shared,
+           CASE WHEN a.wn_fingerprints > 0
+                THEN round(a.wn_shared * 1.0 / a.wn_fingerprints, 6) END
+             AS wn_shared_frac,
+           CASE WHEN a.wn_fingerprints > 0
+                THEN a.wn_shared * 2 >= a.wn_fingerprints END AS wn_dup_flag
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    # all overlapping k-gram hashes (stride 1 — winnowing needs the
+    # full lattice so min-selection is content-defined)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - _WN_K + 1),
+        lambda p: _md5_hash64(F.concat_ws(" ", F.slice(toks, p, _WN_K)), 0),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - _WN_W + 1),
+            lambda i: F.array_min(F.slice(grams, i, _WN_W)),
+        )
+    )
+    guarded = F.when(n >= _WN_K + _WN_W - 1, fps).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    win = d.select("doc_id", F.explode(guarded).alias("fp"))
+    df_tab = win.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    agg = (
+        win.join(df_tab, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("wn_fingerprints"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("wn_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("wn_fingerprints", F.lit(0)).alias("wn_fingerprints"),
+            F.coalesce("wn_shared", F.lit(0)).alias("wn_shared"),
+            F.when(
+                F.col("wn_fingerprints") > 0,
+                F.round(F.col("wn_shared") / F.col("wn_fingerprints"), 6),
+            ).alias("wn_shared_frac"),
+            F.when(
+                F.col("wn_fingerprints") > 0,
+                F.col("wn_shared") * 2 >= F.col("wn_fingerprints"),
+            ).alias("wn_dup_flag"),
+        )
+    )

@@ -230,6 +230,7 @@ register_panel(
         "doc_cluster_representative",
         "doc_quality_classifier",
         "doc_dsir_weight",
+        "doc_winnowed_spans",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

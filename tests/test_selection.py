@@ -105,3 +105,32 @@ def test_dsir_selection_rate_on_corpus(spark, sf_dir):
     rows = doc_dsir_weight(spark, sf_dir).collect()
     frac = sum(1 for r in rows if r["dsir_selected"]) / len(rows)
     assert 0.25 <= frac <= 0.35
+
+
+def test_winnowed_spans_alignment_robust(spark, tmp_path):
+    """The winnowing guarantee: a shared run of >= k+W-1 (=15) tokens
+    is caught at ANY offset — including offsets that break fixed-chunk
+    alignment; unique docs share nothing; short docs (< 15 tokens)
+    yield zero fingerprints."""
+    from japanstockdatapipeline_spark.plans.llm import doc_winnowed_spans
+
+    run = " ".join(f"r{i}" for i in range(15))  # exactly the guarantee bound
+    rows = [
+        (1, "a1 a2 a3 " + run + " a4 a5", "en"),            # run at offset 3
+        (2, "b1 b2 b3 b4 b5 b6 b7 " + run + " b8", "en"),   # same run at offset 7
+        (3, " ".join(f"u{i}" for i in range(30)), "en"),     # fully unique
+        (4, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10", "en"),        # 10 < 15 tokens
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_winnowed_spans(spark, sf_dir).collect()}
+
+    # offsets 3 vs 7 differ mod 4 AND mod 8: any fixed-stride scheme
+    # with stride > 1 can miss this pair; winnowing must not
+    assert got[1]["wn_shared"] >= 1
+    assert got[2]["wn_shared"] >= 1
+    assert got[3]["wn_shared"] == 0 and got[3]["wn_fingerprints"] > 0
+    assert got[4]["wn_fingerprints"] == 0
+    assert got[4]["wn_shared_frac"] is None and got[4]["wn_dup_flag"] is None
+    for doc_id in (1, 2, 3):
+        r = got[doc_id]
+        assert r["wn_dup_flag"] == (r["wn_shared"] * 2 >= r["wn_fingerprints"])

@@ -196,6 +196,13 @@ CHECKS = {
         ("InMemoryTableScan|InMemoryRelation", True,
          "bucket table persisted: totals + scoring join share one tokenize"),
     ],
+    "doc_winnowed_spans": [
+        ("CartesianProduct|BroadcastNestedLoopJoin", False,
+         "posting-list shape: fingerprint df joins back by key, never a product"),
+        ("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True,
+         "df table equi-joins back on the fingerprint"),
+        ("Window", False, "no corpus-wide window: winnow selection is per-row array expressions"),
+    ],
     "doc_vocab_stats": [
         ("Window", False, "no vocab-axis single-partition window: corpus total is a 1-row agg off the persisted vocab table"),
         ("InMemoryTableScan|InMemoryRelation", True, "vocab table persisted: total + share consume one tokenize scan"),
