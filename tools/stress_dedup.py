@@ -105,6 +105,16 @@ def main() -> None:
 
     timed("exact_dedup", lambda: exact_dedup(d).count())
     timed("simhash", lambda: simhash(d).count())
+    # alignment-robust repeated-span signal (round-7): the replica
+    # corpus is its worst case by construction — every replica shares
+    # almost every span with its siblings, so the posting lists are
+    # maximally hot. Count flagged docs, not pairs.
+    from japanstockdatapipeline_spark.plans.llm import winnowed_spans
+
+    timed(
+        "winnowed_spans",
+        lambda: winnowed_spans(d).where(F.col("wn_dup_flag")).count(),
+    )
     timed(
         "minhash_lsh_pairs",
         lambda: minhash_lsh_pairs(d, n_hashes=16, bands=4).count(),
