@@ -2142,11 +2142,17 @@ def winnowed_spans(d: DataFrame) -> DataFrame:
     staged = d.select("doc_id", toks.alias("__toks"))
     n = F.size(F.col("__toks"))
     # all overlapping k-gram hashes (stride 1 — winnowing needs the
-    # full lattice so min-selection is content-defined)
+    # full lattice so min-selection is content-defined). Same zip
+    # idiom as functions/text.shingles (k literal-start slices zipped
+    # into one struct array — k allocations per ROW, then a flat
+    # walk): neutral at this doc length, but shingles measured
+    # per-position slice() ~60x slower on long docs.
+    m = n - (_WN_K - 1)
+    z = F.arrays_zip(*[F.slice("__toks", j + 1, m) for j in range(_WN_K)])
     grams = F.transform(
-        F.sequence(F.lit(1), n - _WN_K + 1),
-        lambda p: _md5_hash64(
-            F.concat_ws(" ", F.slice(F.col("__toks"), p, _WN_K)), 0
+        z,
+        lambda s: _md5_hash64(
+            F.concat_ws(" ", *[s[str(j)] for j in range(_WN_K)]), 0
         ),
     )
     staged = staged.select(
@@ -2155,11 +2161,10 @@ def winnowed_spans(d: DataFrame) -> DataFrame:
         .otherwise(F.array().cast("array<bigint>"))
         .alias("__grams"),
     )
+    mg = F.size("__grams") - (_WN_W - 1)
+    zg = F.arrays_zip(*[F.slice("__grams", j + 1, mg) for j in range(_WN_W)])
     fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__grams") - _WN_W + 1),
-            lambda i: F.array_min(F.slice(F.col("__grams"), i, _WN_W)),
-        )
+        F.transform(zg, lambda s: F.least(*[s[str(j)] for j in range(_WN_W)]))
     )
     guarded = F.when(F.size("__grams") >= _WN_W, fps).otherwise(
         F.array().cast("array<bigint>")
