@@ -32,9 +32,11 @@ __all__ = [
 ]
 
 
-def _md5_hash64(col: Column, seed: int) -> Column:
+def _md5_hash64(col: Column, seed: int | str) -> Column:
     """Deterministic 63-bit hash from md5 hex — portable across engines
-    (same value computable in DuckDB SQL), unlike xxhash64.
+    (same value computable in DuckDB SQL), unlike xxhash64. `seed` may
+    be an int or a string salt; either way the hashed prefix is
+    "<seed>:" — the single home of the portable-hash idiom.
     """
     h = F.md5(F.concat(F.lit(str(seed) + ":"), col))
     # first 15 hex chars => 60 bits, fits bigint exactly

@@ -1532,12 +1532,15 @@ def doc_features_fused(
         # canonicalization, width normalization)
         *_governance_cols(),
         # doc_quality_classifier (hashed-feature linear model: the
-        # weights are a literal array, so the filter is free in-scan)
-        *clf_cols(),
+        # weights are a literal array, so the filter is free in-scan);
+        # staged raw logit — derived to the three outputs in the next
+        # projection so the lambda fold runs ONCE per row
+        clf_logit_expr().alias("__clf_logit"),
         *(extra_cols or []),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
     )
+    one = one.select("*", *clf_output_cols()).drop("__clf_logit")
     if pre_window is not None:
         one = pre_window(one)
     W_CTX = 2048
@@ -1894,12 +1897,12 @@ _CLF_W_SQL = "[" + ", ".join(repr(x) for x in _CLF_W) + "]::DOUBLE[]"
 
 def _hash_bucket(tok, salt: str, d: int):
     """Portable md5 bucket id in [0, d) — same value computable in
-    DuckDB as ('0x' || substr(md5(salt || tok), 1, 15))::BIGINT % d."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 15), 16, 10)
-        .cast("bigint")
-        % d
-    )
+    DuckDB as ('0x' || substr(md5(salt || ':' || tok), 1, 15))::BIGINT
+    % d. Delegates to the single home of the portable-hash idiom
+    (operators/dedup._md5_hash64)."""
+    from ..operators.dedup import _md5_hash64
+
+    return _md5_hash64(tok, salt) % d
 
 
 @member(
@@ -1933,32 +1936,48 @@ def _hash_bucket(tok, salt: str, d: int):
     SELECT doc_id,
            round(logit, 6) AS clf_logit,
            round(1.0 / (1.0 + exp(-logit)), 6) AS clf_prob,
-           logit >= 0 AS clf_keep
+           round(logit, 6) >= 0 AS clf_keep
     FROM s
     """,
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *clf_cols())
+    return d.select("doc_id", clf_logit_expr().alias("__clf_logit")).select(
+        "doc_id", *clf_output_cols()
+    )
 
 
-def clf_cols() -> list:
-    """The classifier's three output expressions over the raw `text`
-    column — shared by the member and the fused one-pass forms so
-    they stay definitionally identical."""
+def clf_logit_expr():
+    """The mean-pooled hashed-feature logit over the raw `text` column
+    (NULL when the doc has no tokens) — shared by the member and the
+    fused one-pass forms so they stay definitionally identical. Stage
+    it as its OWN projection column before deriving the outputs: the
+    fold is lambda-bearing, so Catalyst cannot CSE it across the
+    three output columns (the winnowed_spans staging note), and
+    CollapseProject keeps the stages apart because the alias is
+    non-cheap and multiply referenced."""
     warr = F.array(*[F.lit(w) for w in _CLF_W])
     toks = TX.tokens(F.lower(F.col("text")))
     wsum = F.aggregate(
         toks,
         F.lit(0.0),
         lambda acc, t: acc
-        + F.element_at(warr, (_hash_bucket(t, "qb:", _CLF_D) + 1).cast("int")),
+        + F.element_at(warr, (_hash_bucket(t, "qb", _CLF_D) + 1).cast("int")),
     )
-    logit = F.when(F.size(toks) > 0, F.lit(_CLF_BIAS) + wsum / F.size(toks))
+    return F.when(F.size(toks) > 0, F.lit(_CLF_BIAS) + wsum / F.size(toks))
+
+
+def clf_output_cols(logit_col: str = "__clf_logit") -> list:
+    """The three classifier outputs derived from a staged logit
+    column. `clf_keep` compares the ROUNDED logit so the emitted
+    columns are self-consistent at the decision boundary (a raw logit
+    of -4e-7 must not report clf_logit = -0.0 with clf_keep False)."""
+    logit = F.col(logit_col)
+    rounded = F.round(logit, 6)
     return [
-        F.round(logit, 6).alias("clf_logit"),
+        rounded.alias("clf_logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_prob"),
-        (logit >= 0).alias("clf_keep"),
+        (rounded >= 0).alias("clf_keep"),
     ]
 
 
@@ -2016,7 +2035,7 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
-    ).select("doc_id", "lang", _hash_bucket(F.col("term"), "dsir:", _DSIR_D).alias("b"))
+    ).select("doc_id", "lang", _hash_bucket(F.col("term"), "dsir", _DSIR_D).alias("b"))
     # bucket-grain count table: bounded at D rows by construction, so
     # (unlike the unigram vocab table) it can never outgrow an executor;
     # persisted so the totals and the scoring join share one tokenize.
