@@ -1950,12 +1950,16 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clf_logit_expr():
     """The mean-pooled hashed-feature logit over the raw `text` column
     (NULL when the doc has no tokens) — shared by the member and the
-    fused one-pass forms so they stay definitionally identical. Stage
-    it as its OWN projection column before deriving the outputs: the
-    fold is lambda-bearing, so Catalyst cannot CSE it across the
-    three output columns (the winnowed_spans staging note), and
-    CollapseProject keeps the stages apart because the alias is
-    non-cheap and multiply referenced."""
+    fused one-pass forms so they stay definitionally identical. Staged
+    as its OWN projection column before the outputs are derived, so
+    the plan carries ONE fold instead of three. Measured neutral at
+    sf0.01 doc lengths — whole-stage codegen already CSEs a shared
+    fold INPUT across sibling project expressions (unlike an array
+    expression referenced inside a lambda BODY, the per-element
+    re-evaluation class winnowed_spans works around) — but staging
+    makes single evaluation a plan property rather than a codegen one,
+    and CollapseProject keeps the stages apart (non-cheap,
+    multiply-referenced alias)."""
     warr = F.array(*[F.lit(w) for w in _CLF_W])
     toks = TX.tokens(F.lower(F.col("text")))
     wsum = F.aggregate(
