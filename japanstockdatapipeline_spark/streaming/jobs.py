@@ -28,6 +28,7 @@ __all__ = [
     "run_foreach_batch_upsert",
     "score_histogram",
     "drift_gated_ingest",
+    "quality_gated_ingest",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -396,6 +397,63 @@ def drift_gated_ingest(
     )
     q.awaitTermination()
     return verdicts
+
+
+def quality_gated_ingest(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    partition_col: str,
+    *,
+    rejects_dir: str | None = None,
+    min_prob: float = 0.5,
+) -> list[dict]:
+    """Streaming ROW-LEVEL quality gate (the streaming form of
+    `doc_quality_classifier`, complementing the BATCH-level PSI gate
+    `drift_gated_ingest`): the hashed-feature classifier columns ride
+    the stream as pure expressions (zero extra shuffle, zero Python),
+    and each micro-batch routes rows with clf_prob >= min_prob into
+    the target and the rest — including docs with no tokens (NULL
+    prob) — to the rejects dir (or drops them if none). The standard
+    corpus-intake shape: score in the scan, split at the sink, keep
+    the rejects for review. Returns per-batch {kept, rejected}
+    counts."""
+    from ..plans.llm import clf_logit_expr, clf_output_cols
+    from .incremental import write_partition_overwrite
+
+    scored = (
+        stream.withColumn("__clf_logit", clf_logit_expr())
+        .select("*", *clf_output_cols())
+        .drop("__clf_logit")
+    )
+    stats: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            keep_pred = F.col("clf_prob") >= min_prob
+            keep = batch_df.filter(keep_pred)
+            rej = batch_df.filter(~F.coalesce(keep_pred, F.lit(False)))
+            n_keep = keep.count()
+            n_rej = rej.count()
+            if n_keep:
+                write_partition_overwrite(keep, target_dir, partition_col)
+            if n_rej and rejects_dir is not None:
+                write_partition_overwrite(rej, rejects_dir, partition_col)
+            stats.append(
+                {"batch_id": int(batch_id), "kept": n_keep, "rejected": n_rej}
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        scored.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
 
 
 def enrich_with_master_current(

@@ -134,3 +134,38 @@ def test_winnowed_spans_alignment_robust(spark, tmp_path):
     for doc_id in (1, 2, 3):
         r = got[doc_id]
         assert r["wn_dup_flag"] == (r["wn_shared"] * 2 >= r["wn_fingerprints"])
+
+
+def test_winnowing_guarantee_sweep(spark, tmp_path):
+    """Property sweep of the winnowing theorem: for 40 seeded random
+    (run_len >= 15, offset_a, offset_b) cases — each a pair of docs
+    sharing one run inside otherwise-unique text — BOTH docs of every
+    pair carry at least one shared fingerprint. One Spark pass covers
+    all cases (disjoint token namespaces keep pairs independent)."""
+    import random
+
+    from japanstockdatapipeline_spark.plans.llm import doc_winnowed_spans
+
+    rng = random.Random(20260814)
+    rows, expect_pairs = [], []
+    doc_id = 0
+    for case in range(40):
+        run_len = rng.randint(15, 30)
+        off_a, off_b = rng.randint(0, 9), rng.randint(0, 9)
+        run = [f"c{case}r{i}" for i in range(run_len)]
+        pad_a = [f"c{case}a{i}" for i in range(off_a + 16)]
+        pad_b = [f"c{case}b{i}" for i in range(off_b + 16)]
+        text_a = " ".join(pad_a[:off_a] + run + pad_a[off_a:])
+        text_b = " ".join(pad_b[:off_b] + run + pad_b[off_b:])
+        rows.append((doc_id, text_a, "en"))
+        rows.append((doc_id + 1, text_b, "en"))
+        expect_pairs.append((doc_id, doc_id + 1))
+        doc_id += 2
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_winnowed_spans(spark, sf_dir).collect()}
+    misses = [
+        (a, b)
+        for a, b in expect_pairs
+        if got[a]["wn_shared"] < 1 or got[b]["wn_shared"] < 1
+    ]
+    assert not misses, f"winnowing guarantee violated for pairs {misses}"

@@ -421,3 +421,77 @@ def test_snapshot_diff_tolerates_column_reorder(spark):
     assert out == {1: "unchanged"}
     with pytest.raises(ValueError, match="after-only"):
         snapshot_diff(b, a.withColumnRenamed("a", "c"), ["id"])
+
+
+def test_quality_gated_ingest_matches_batch_classifier(spark, tmp_path):
+    """The streaming row-level quality gate splits each micro-batch
+    exactly as the batch classifier member would: target = clf_prob >=
+    min_prob, rejects = the rest INCLUDING no-token docs (NULL prob);
+    per-batch stats account for every row."""
+    import hashlib
+
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.plans.llm import (
+        _CLF_D,
+        _CLF_W,
+        clf_logit_expr,
+        clf_output_cols,
+    )
+    from japanstockdatapipeline_spark.streaming.jobs import quality_gated_ingest
+
+    # pick words with strongly positive / negative bucket weights so
+    # both verdicts are guaranteed present (mirror of _hash_bucket)
+    def w_of(tok):
+        b = int(hashlib.md5(f"qb:{tok}".encode()).hexdigest()[:15], 16) % _CLF_D
+        return _CLF_W[b]
+
+    words = [f"w{i}" for i in range(200)]
+    pos = [w for w in words if w_of(w) > 0.3][:3]
+    neg = [w for w in words if w_of(w) < -0.3][:3]
+    assert len(pos) == 3 and len(neg) == 3
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(pos), " ".join(neg), "   "],
+            "d": ["2024-01-02"] * 3,
+        }
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": [" ".join(pos + neg[:1]), " ".join(neg + pos[:1])],
+            "d": ["2024-01-03"] * 2,
+        }
+    ).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, d string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target, rejects = str(tmp_path / "gold"), str(tmp_path / "rejects")
+    stats = quality_gated_ingest(
+        stream, target, str(tmp_path / "cp"), "d", rejects_dir=rejects
+    )
+
+    batch = spark.read.parquet(str(src))
+    scored = (
+        batch.withColumn("__clf_logit", clf_logit_expr())
+        .select("*", *clf_output_cols())
+        .drop("__clf_logit")
+    )
+    expected_keep = {
+        r["doc_id"] for r in scored.collect() if r["clf_prob"] is not None and r["clf_prob"] >= 0.5
+    }
+    got_keep = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    got_rej = {r["doc_id"] for r in spark.read.parquet(rejects).collect()}
+    assert got_keep == expected_keep
+    assert got_keep | got_rej == {1, 2, 3, 4, 5}
+    assert not (got_keep & got_rej)
+    assert 3 in got_rej  # whitespace-only doc: NULL prob -> rejected
+    assert len(stats) == 2
+    assert sum(s["kept"] + s["rejected"] for s in stats) == 5
