@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["kmeans_cells", "semdedup"]
+__all__ = ["kmeans_cells", "semdedup", "pq_codes"]
 
 
 def _centroids_of(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -236,4 +236,167 @@ def semdedup(
             "sem_kept",
             F.coalesce("__canon", F.col(id_col)).alias("sem_canonical"),
         )
+    )
+
+
+def _seed_subspace(j: int, dsub: int):
+    """Seed codebook for subspace j: slice each collected seed vector
+    (a separate factory so the 2-arg transform lambda closes over j
+    without growing its signature — pyspark derives the lambda's SQL
+    arity from the Python signature)."""
+    return F.transform(
+        "__s",
+        lambda s, i: F.struct(
+            i.alias("cell"),
+            F.slice(s["__sv"], j * dsub + 1, dsub).alias("__cvec"),
+        ),
+    )
+
+
+def _l2sq(a, b):
+    """Squared Euclidean distance between two equal-length arrays —
+    a fold in array order, so both engines accumulate identically."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou, Douze, Schmid, TPAMI 2011 — the
+    IVF-PQ/FAISS compression scheme): the vector splits into `m`
+    subspaces of dim/m dims; each subspace gets its own k-cell
+    codebook (same deterministic Lloyd schedule as `kmeans_cells`:
+    k-smallest-id seeds, `iters` assignment rounds, 6dp-rounded
+    distance argmin with ascending-cell tie-break, L2 metric as in
+    the paper); a vector's code is its m nearest sub-centroid ids
+    (m*log2(k) bits — here 8x4 = 32 bits vs 64 doubles, a 128x
+    compression), and the reconstruction (concatenated chosen
+    sub-centroids) is audited against the original.
+
+    Output: (vec_id, pq_code 'c0-c1-...-c{m-1}', pq_l2_err,
+    pq_recon_cos).
+
+    Scale shape: ASSIGNMENT is pure expressions over ONE broadcast
+    codebook row (all m*k sub-centroids — k*dim doubles, tiny), so a
+    Lloyd round adds zero corpus shuffle, exactly like kmeans_cells;
+    the recompute explodes corpus rows to (j, cell, pos) element
+    grain — the same one-shuffle elementwise mean as _centroids_of,
+    m subspaces sharing a single aggregation. At 100 TB you would
+    train the codebook on a sample and only run the (shuffle-free)
+    assignment over the corpus — the split is the same `assign`
+    closure applied to a fixed codebook row.
+    """
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
+
+    # seeds: the k smallest ids (distributed partial top-k), each
+    # sliced into its m sub-vectors -> ONE row holding the codebook
+    # as array[j] of array[struct(cell, __cvec)]
+    seed_row = (
+        v.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("__sid"), F.col("__v").alias("__sv"))
+                )
+            ).alias("__s")
+        )
+        .select(F.array(*[_seed_subspace(j, dsub) for j in range(m)]).alias("__cb"))
+    )
+
+    def assign(cb_row: DataFrame) -> DataFrame:
+        # per subspace: argmin L2 over the broadcast codebook as
+        # max(struct(round(-d2, 6), -cell)) — min distance, then min
+        # cell, matching the oracle's ORDER BY round(d2,6), cell
+        def best_for(j: int):
+            sub = F.slice("__v", j * dsub + 1, dsub)
+            scored = F.transform(
+                F.element_at("__cb", j + 1),
+                lambda c: F.struct(
+                    F.round(-_l2sq(sub, c["__cvec"]), 6).alias("negd"),
+                    (-c["cell"]).alias("negcell"),
+                ),
+            )
+            best = F.array_max(scored)
+            return F.struct(
+                F.lit(j).alias("j"), (-best["negcell"]).alias("cell")
+            )
+
+        return v.crossJoin(F.broadcast(cb_row)).select(
+            id_col,
+            "__v",
+            "__cb",
+            F.array(*[best_for(j) for j in range(m)]).alias("__code"),
+        )
+
+    def recompute(a: DataFrame) -> DataFrame:
+        ex = a.select("__v", F.explode("__code").alias("c")).select(
+            F.col("c.j").alias("j"),
+            F.col("c.cell").alias("cell"),
+            F.slice("__v", F.col("c.j") * dsub + 1, F.lit(dsub)).alias("__sv"),
+        )
+        ex = ex.select("j", "cell", F.posexplode("__sv").alias("pos", "x"))
+        cents = (
+            ex.groupBy("j", "cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("j", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("j", "cell", F.transform("pm", lambda s: s["m"]).alias("__cvec"))
+        )
+        return (
+            cents.groupBy("j")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("cell", "__cvec"))).alias(
+                    "__percell"
+                )
+            )
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("j", "__percell"))
+                ).alias("__jc")
+            )
+            .select(F.transform("__jc", lambda s: s["__percell"]).alias("__cb"))
+        )
+
+    a = assign(seed_row)
+    for _ in range(iters - 1):
+        a = assign(recompute(a))
+
+    recon = F.flatten(
+        F.transform(
+            "__code",
+            lambda c: F.element_at(
+                F.filter(F.get("__cb", c["j"]), lambda s: s["cell"] == c["cell"]), 1
+            )["__cvec"],
+        )
+    )
+    staged = a.select(
+        id_col,
+        F.array_join(
+            F.transform("__code", lambda c: c["cell"].cast("string")), "-"
+        ).alias("pq_code"),
+        "__v",
+        recon.alias("__recon"),
+    )
+    return staged.select(
+        id_col,
+        "pq_code",
+        F.round(F.sqrt(_l2sq(F.col("__v"), F.col("__recon"))), 6).alias("pq_l2_err"),
+        F.round(cosine_similarity(F.col("__v"), F.col("__recon")), 6).alias(
+            "pq_recon_cos"
+        ),
     )

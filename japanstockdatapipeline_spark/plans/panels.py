@@ -396,12 +396,14 @@ register_panel(
         "embedding_vector_literal",
         "embedding_int8_quant",
         "embedding_semdedup",
+        "embedding_pq_codes",
     ),
     doc="Per-vector feature panel (F7, F8 + the k-means coarse "
     "quantizer): label-centroid cosine, k-means cell assignment "
     "(geometric IVF cells), the 6dp vector literal (every-100th "
     "vector; absent rows -> NULL vec_literal), the int8 quantization "
-    "audit, and the SemDeDup semantic-dup verdict joined on vec_id.",
+    "audit, the SemDeDup semantic-dup verdict, and the product-"
+    "quantization code + reconstruction audit joined on vec_id.",
 )
 
 register_panel(

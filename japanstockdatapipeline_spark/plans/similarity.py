@@ -512,3 +512,74 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered last: its oracle embeds the embedding_kmeans_cells member
 # oracle, which must exist first
 _register_ivf_kmeans_topk()
+
+
+@member(
+    "embedding_pq_codes",
+    doc="Product quantization (Jégou et al., TPAMI 2011 — the IVF-PQ/"
+    "FAISS compression scheme; operators/kmeans.pq_codes): 8 subspaces "
+    "of 8 dims, each with its own 16-cell codebook trained by the same "
+    "deterministic Lloyd schedule as embedding_kmeans_cells (k-smallest-"
+    "id seeds, 2 assignment rounds, 6dp-rounded L2 argmin, ascending-"
+    "cell tie-break). Output: the 32-bit code per vector (vs 64 "
+    "doubles — 128x) plus the reconstruction audit (L2 error + cosine "
+    "to the original). Assignment is pure expressions over ONE "
+    "broadcast codebook row; the oracle unrolls the identical "
+    "schedule in SQL.",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v
+      FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 16
+    ),
+    sub AS (
+      SELECT vec_id, r.j AS j, list_slice(v, r.j * 8 + 1, r.j * 8 + 8) AS sv
+      FROM emb, LATERAL unnest(range(0, 8)) AS r(j)
+    ),
+    scb AS (
+      SELECT cell, r.j AS j, list_slice(v, r.j * 8 + 1, r.j * 8 + 8) AS cv
+      FROM seeds, LATERAL unnest(range(0, 8)) AS r(j)
+    ),
+    a1 AS (
+      SELECT sub.vec_id, sub.j, scb.cell, sub.sv
+      FROM sub JOIN scb USING (j)
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.j
+        ORDER BY round(list_sum(list_transform(range(1, 9),
+                  i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6) ASC,
+                 scb.cell ASC) = 1
+    ),
+    cx AS (
+      SELECT j, cell, r.i AS i, avg(sv[r.i]) AS m
+      FROM a1, LATERAL unnest(range(1, 9)) AS r(i)
+      GROUP BY j, cell, r.i
+    ),
+    c1 AS (SELECT j, cell, list(m ORDER BY i) AS cv FROM cx GROUP BY j, cell),
+    a2 AS (
+      SELECT sub.vec_id, sub.j, c1.cell
+      FROM sub JOIN c1 USING (j)
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.j
+        ORDER BY round(list_sum(list_transform(range(1, 9),
+                  i -> (sv[i] - c1.cv[i]) * (sv[i] - c1.cv[i]))), 6) ASC,
+                 c1.cell ASC) = 1
+    ),
+    codes AS (
+      SELECT a2.vec_id,
+             string_agg(a2.cell::VARCHAR, '-' ORDER BY a2.j) AS pq_code,
+             flatten(list(c1.cv ORDER BY a2.j)) AS recon
+      FROM a2 JOIN c1 USING (j, cell)
+      GROUP BY a2.vec_id
+    )
+    SELECT c.vec_id, c.pq_code,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - c.recon[i]) * (e.v[i] - c.recon[i])))), 6) AS pq_l2_err,
+           round(list_cosine_similarity(e.v, c.recon), 6) AS pq_recon_cos
+    FROM codes c JOIN emb e USING (vec_id)
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=8, k=16, iters=2)

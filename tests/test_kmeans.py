@@ -154,3 +154,49 @@ def test_registered_semdedup_canonical_is_kept(spark, sf_dir):
         assert r["sem_canonical"] in kept
         if r["sem_kept"]:
             assert r["sem_canonical"] == r["vec_id"]
+
+
+def test_pq_codes_structure_and_duplicate_consistency(spark):
+    """PQ semantics: codes have m parts each in [0, k); identical
+    vectors always get identical codes; the reconstruction audit is
+    bounded (cos <= 1, err >= 0)."""
+    from japanstockdatapipeline_spark.operators.kmeans import pq_codes
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    rows = []
+    vid = 0
+    for i in range(20):
+        for _ in range(2):  # every vector duplicated
+            rows.append((vid, [float(x) for x in base[i]]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in pq_codes(vecs, m=8, k=16, iters=2).collect()}
+    assert len(out) == 40
+    by_vec = {}
+    for vid, r in out.items():
+        parts = r["pq_code"].split("-")
+        assert len(parts) == 8 and all(0 <= int(p) < 16 for p in parts)
+        assert r["pq_recon_cos"] <= 1.0 and r["pq_l2_err"] >= 0.0
+        by_vec.setdefault(vid // 2, set()).add(r["pq_code"])
+    # duplicates of the same base vector share one code
+    assert all(len(codes) == 1 for codes in by_vec.values())
+
+
+def test_pq_exact_reconstruction_when_corpus_is_codebook(spark):
+    """When the corpus is exactly 16 distinct vectors (each repeated,
+    with the 16 smallest ids covering all of them), Lloyd converges to
+    those vectors as sub-centroids in every subspace: reconstruction
+    is exact (err 0, cos 1)."""
+    from japanstockdatapipeline_spark.operators.kmeans import pq_codes
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(16, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(16)]
+    rows += [(16 + i, [float(x) for x in base[i % 16]]) for i in range(32)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_codes(vecs, m=8, k=16, iters=2).collect()
+    assert len(out) == 48
+    for r in out:
+        assert r["pq_l2_err"] == 0.0
+        assert r["pq_recon_cos"] == 1.0

@@ -196,6 +196,12 @@ CHECKS = {
         ("InMemoryTableScan|InMemoryRelation", True,
          "bucket table persisted: totals + scoring join share one tokenize"),
     ],
+    "embedding_pq_codes": [
+        ("BroadcastExchange", True, "codebook broadcast each Lloyd round (one row, m*k sub-centroids)"),
+        ("CartesianProduct", False, "assignment is vectors x 1 broadcast codebook row, never corpus x codebook rows"),
+        ("Window", False, "no corpus-wide window: seed is orderBy+limit, argmin is an array expression"),
+        ("hashpartitioning\\(vec_id", False, "no per-round corpus shuffle on the vector id"),
+    ],
     "doc_winnowed_spans": [
         ("CartesianProduct|BroadcastNestedLoopJoin", False,
          "posting-list shape: fingerprint df joins back by key, never a product"),
