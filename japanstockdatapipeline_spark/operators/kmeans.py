@@ -32,12 +32,12 @@ cell even for near-ties.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["kmeans_cells", "semdedup", "pq_codes"]
+__all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk"]
 
 
 def _centroids_of(assigned: DataFrame, vec_col: str) -> DataFrame:
@@ -263,7 +263,7 @@ def _l2sq(a, b):
     )
 
 
-def pq_codes(
+def _pq_reconstruct(
     vecs: DataFrame,
     m: int = 8,
     k: int = 16,
@@ -384,13 +384,31 @@ def pq_codes(
             )["__cvec"],
         )
     )
-    staged = a.select(
+    return a.select(
         id_col,
         F.array_join(
             F.transform("__code", lambda c: c["cell"].cast("string")), "-"
         ).alias("pq_code"),
         "__v",
         recon.alias("__recon"),
+    )
+
+
+def pq_codes(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codes + reconstruction audit (the
+    registered member's shape) — see _pq_reconstruct for the
+    algorithm and scale notes."""
+    staged = _pq_reconstruct(
+        vecs, m, k, iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
     return staged.select(
         id_col,
@@ -399,4 +417,60 @@ def pq_codes(
         F.round(cosine_similarity(F.col("__v"), F.col("__recon")), 6).alias(
             "pq_recon_cos"
         ),
+    )
+
+
+def pq_adc_topk(
+    vecs: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    m: int = 8,
+    k_cells: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed corpus — the
+    IVF-PQ SERVING path (Jégou et al. 2011 §IV): queries stay full
+    precision, corpus vectors are replaced by their PQ
+    reconstructions, distance = sum over subspaces of d2(q_j,
+    sub-centroid[code_j]) — algebraically EXACTLY d2(q, recon)
+    because the subspaces partition the dims. Ranking is ascending
+    6dp-rounded ADC distance with ascending-neighbor tie-break; the
+    emitted `cos` is the TRUE cosine of the retrieved neighbor, so
+    recall audits compare directly against the exact/LSH/IVF columns.
+
+    Scale notes: the query side is bounded by construction (every
+    `every`-th vector) and broadcasts; the corpus side is one
+    compressed-domain scan — in production the per-query m*k_cells
+    distance lookup table (the LUT trick) and IVF cell probing both
+    drop in without changing these semantics; this operator registers
+    the exhaustive-over-codes form so the oracle can replay it
+    exactly.
+    """
+    coded = _pq_reconstruct(
+        vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select(F.col(id_col).alias("neighbor_id"), "__v", "__recon")
+    q = vecs.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("q_id"), as_double_array(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("__qv"), F.col("__recon")), 6).alias("__adc"),
+            F.round(cosine_similarity(F.col("__qv"), F.col("__v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )

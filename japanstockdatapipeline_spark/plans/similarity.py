@@ -514,20 +514,11 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_ivf_kmeans_topk()
 
 
-@member(
-    "embedding_pq_codes",
-    doc="Product quantization (Jégou et al., TPAMI 2011 — the IVF-PQ/"
-    "FAISS compression scheme; operators/kmeans.pq_codes): 8 subspaces "
-    "of 8 dims, each with its own 16-cell codebook trained by the same "
-    "deterministic Lloyd schedule as embedding_kmeans_cells (k-smallest-"
-    "id seeds, 2 assignment rounds, 6dp-rounded L2 argmin, ascending-"
-    "cell tie-break). Output: the 32-bit code per vector (vs 64 "
-    "doubles — 128x) plus the reconstruction audit (L2 error + cosine "
-    "to the original). Assignment is pure expressions over ONE "
-    "broadcast codebook row; the oracle unrolls the identical "
-    "schedule in SQL.",
-    oracle="""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# the PQ training/coding CTE chain (through `codes`, which carries the
+# per-vector reconstruction) — shared verbatim by the embedding_pq_codes
+# and embedding_pq_adc_topk oracles so both replay the identical schedule
+_PQ_CTES = """
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v
       FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 16
@@ -570,7 +561,23 @@ _register_ivf_kmeans_topk()
              flatten(list(c1.cv ORDER BY a2.j)) AS recon
       FROM a2 JOIN c1 USING (j, cell)
       GROUP BY a2.vec_id
-    )
+    )"""
+
+
+@member(
+    "embedding_pq_codes",
+    doc="Product quantization (Jégou et al., TPAMI 2011 — the IVF-PQ/"
+    "FAISS compression scheme; operators/kmeans.pq_codes): 8 subspaces "
+    "of 8 dims, each with its own 16-cell codebook trained by the same "
+    "deterministic Lloyd schedule as embedding_kmeans_cells (k-smallest-"
+    "id seeds, 2 assignment rounds, 6dp-rounded L2 argmin, ascending-"
+    "cell tie-break). Output: the 32-bit code per vector (vs 64 "
+    "doubles — 128x) plus the reconstruction audit (L2 error + cosine "
+    "to the original). Assignment is pure expressions over ONE "
+    "broadcast codebook row; the oracle unrolls the identical "
+    "schedule in SQL.",
+    oracle=f"""
+    WITH {_PQ_CTES}
     SELECT c.vec_id, c.pq_code,
            round(sqrt(list_sum(list_transform(range(1, 65),
              i -> (e.v[i] - c.recon[i]) * (e.v[i] - c.recon[i])))), 6) AS pq_l2_err,
@@ -583,3 +590,45 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_codes(emb, m=8, k=16, iters=2)
+
+
+@member(
+    "embedding_pq_adc_topk",
+    doc="IVF-PQ SERVING path (Jégou et al. 2011 §IV; operators/kmeans."
+    "pq_adc_topk): asymmetric-distance top-5 — full-precision queries "
+    "(every 50th vector) against the PQ-COMPRESSED corpus, ranked by "
+    "ascending 6dp-rounded ADC distance (= exact L2 to the "
+    "reconstruction, since subspaces partition the dims) with "
+    "ascending-neighbor tie-break; the emitted cos is the TRUE cosine "
+    "of each retrieved neighbor, directly comparable to the exact/"
+    "LSH/IVF recall columns in ann_topk_panel. The oracle reuses the "
+    "identical PQ CTE chain.",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.recon[i]) * (q.qv[i] - c.recon[i]))), 6) AS adc
+      FROM codes c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT r.q_id, r.neighbor_id,
+           round(list_cosine_similarity(eq.v, en.v), 6) AS cos,
+           CAST(r.rank AS INT) AS rank
+    FROM ranked r JOIN emb eq ON eq.vec_id = r.q_id
+                  JOIN emb en ON en.vec_id = r.neighbor_id
+    WHERE r.rank <= 5
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, k=5, every=50)

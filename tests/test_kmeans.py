@@ -200,3 +200,33 @@ def test_pq_exact_reconstruction_when_corpus_is_codebook(spark):
     for r in out:
         assert r["pq_l2_err"] == 0.0
         assert r["pq_recon_cos"] == 1.0
+
+
+def test_pq_adc_topk_equals_exact_l2_when_reconstruction_exact(spark):
+    """With an exactly-reconstructable corpus (16 distinct vectors
+    repeated), ADC distance == true L2, so the ADC top-k must equal a
+    numpy exact-L2 top-k under the same (round-6, ascending-id) rank
+    rule."""
+    from japanstockdatapipeline_spark.operators.kmeans import pq_adc_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(16, 64))
+    vecs_np = {i: base[i] for i in range(16)}
+    vecs_np.update({16 + i: base[i % 16] for i in range(32)})
+    rows = [(vid, [float(x) for x in v]) for vid, v in vecs_np.items()]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = pq_adc_topk(vecs, k=5, every=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    for q_id in (0, 10, 20, 30, 40):
+        qv = vecs_np[q_id]
+        scored = sorted(
+            (round(float(((qv - v) ** 2).sum()), 6), vid)
+            for vid, v in vecs_np.items()
+            if vid != q_id
+        )
+        expected = [vid for _, vid in scored[:5]]
+        assert [n for _, n in sorted(by_q[q_id])] == expected, q_id

@@ -202,6 +202,11 @@ CHECKS = {
         ("Window", False, "no corpus-wide window: seed is orderBy+limit, argmin is an array expression"),
         ("hashpartitioning\\(vec_id", False, "no per-round corpus shuffle on the vector id"),
     ],
+    "embedding_pq_adc_topk": [
+        ("CartesianProduct", False, "query side is bounded and broadcast, never a shuffled product"),
+        ("BroadcastExchange|BroadcastNestedLoopJoin", True, "codebook + query rows broadcast"),
+        ("hashpartitioning\\(vec_id", False, "no corpus shuffle on the vector id"),
+    ],
     "doc_winnowed_spans": [
         ("CartesianProduct|BroadcastNestedLoopJoin", False,
          "posting-list shape: fingerprint df joins back by key, never a product"),
