@@ -134,6 +134,32 @@ def main() -> None:
 
     timed("ivf_topk_kmeans_cells", ivf_kmeans)
 
+    # PQ compression + ADC serving (round-7): code-assignment wall and
+    # mean reconstruction cosine at 20k, then the ADC top-k with recall
+    # vs the exact-cosine set (cross-metric: ADC ranks by compressed
+    # L2 — the honest number a PQ rollout reviews)
+    def pq_audit():
+        from japanstockdatapipeline_spark.operators.kmeans import pq_codes
+
+        row = (
+            pq_codes(corpus, m=8, k=16, iters=2)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("pq_recon_cos"), 4).alias("mean_recon_cos"),
+            )
+            .collect()[0]
+        )
+        return {"rows": row["n"], "mean_recon_cos": row["mean_recon_cos"]}
+
+    timed("pq_codes", pq_audit)
+
+    def pq_adc():
+        from japanstockdatapipeline_spark.operators.kmeans import pq_adc_topk
+
+        return with_recall(pq_adc_topk(corpus, k=K_NN, every=1000))
+
+    timed("pq_adc_topk", pq_adc)
+
     # build/probe split (round-7 verdict #5): an ANN index AMORTIZES
     # its build over many query batches, so the honest scale numbers
     # are (one-off build wall, per-batch probe wall) — the combined
