@@ -40,15 +40,19 @@ from ..functions.vectors import as_double_array, cosine_similarity
 __all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk"]
 
 
-def _centroids_of(assigned: DataFrame, vec_col: str) -> DataFrame:
-    """Per-cell elementwise mean via posexplode (one shuffle)."""
-    ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+def _centroids_of(
+    assigned: DataFrame, vec_col: str, keys: tuple[str, ...] = ("cell",)
+) -> DataFrame:
+    """Per-key elementwise mean via posexplode (one shuffle). `keys`
+    defaults to the flat k-means grain; the PQ path passes
+    ("j", "cell") so all m subspaces share this single aggregation."""
+    ex = assigned.select(*keys, F.posexplode(vec_col).alias("pos", "x"))
     return (
-        ex.groupBy("cell", "pos")
+        ex.groupBy(*keys, "pos")
         .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s["m"]).alias("__cvec"))
+        .select(*keys, F.transform("pm", lambda s: s["m"]).alias("__cvec"))
     )
 
 
@@ -344,19 +348,12 @@ def _pq_reconstruct(
         )
 
     def recompute(a: DataFrame) -> DataFrame:
-        ex = a.select("__v", F.explode("__code").alias("c")).select(
+        sliced = a.select("__v", F.explode("__code").alias("c")).select(
             F.col("c.j").alias("j"),
             F.col("c.cell").alias("cell"),
             F.slice("__v", F.col("c.j") * dsub + 1, F.lit(dsub)).alias("__sv"),
         )
-        ex = ex.select("j", "cell", F.posexplode("__sv").alias("pos", "x"))
-        cents = (
-            ex.groupBy("j", "cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("j", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("j", "cell", F.transform("pm", lambda s: s["m"]).alias("__cvec"))
-        )
+        cents = _centroids_of(sliced, "__sv", keys=("j", "cell"))
         return (
             cents.groupBy("j")
             .agg(
@@ -422,14 +419,16 @@ def pq_codes(
 
 def pq_adc_topk(
     vecs: DataFrame,
+    queries: DataFrame,
     k: int = 5,
-    every: int = 50,
     m: int = 8,
     k_cells: int = 16,
     iters: int = 2,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
     dim: int = 64,
 ) -> DataFrame:
     """Asymmetric-distance top-k over the PQ-compressed corpus — the
@@ -442,8 +441,9 @@ def pq_adc_topk(
     emitted `cos` is the TRUE cosine of the retrieved neighbor, so
     recall audits compare directly against the exact/LSH/IVF columns.
 
-    Scale notes: the query side is bounded by construction (every
-    `every`-th vector) and broadcasts; the corpus side is one
+    Scale notes: `queries` is a (q_id, q_vec) frame like every
+    sibling top-k operator (small by construction) and broadcasts;
+    the corpus side is one
     compressed-domain scan — in production the per-query m*k_cells
     distance lookup table (the LUT trick) and IVF cell probing both
     drop in without changing these semantics; this operator registers
@@ -453,8 +453,9 @@ def pq_adc_topk(
     coded = _pq_reconstruct(
         vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
     ).select(F.col(id_col).alias("neighbor_id"), "__v", "__recon")
-    q = vecs.filter(F.col(id_col) % every == 0).select(
-        F.col(id_col).alias("q_id"), as_double_array(F.col(vec_col)).alias("__qv")
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        as_double_array(F.col(q_vec_col)).alias("__qv"),
     )
     scored = (
         coded.crossJoin(F.broadcast(q))

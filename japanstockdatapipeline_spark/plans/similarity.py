@@ -631,4 +631,4 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, k=5, every=50)
+    return pq_adc_topk(emb, _queries_df(emb), k=5)

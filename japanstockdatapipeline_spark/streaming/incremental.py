@@ -137,20 +137,23 @@ def catch_up_plan(
 
 
 def write_partition_overwrite(
-    df: DataFrame, path: str, partition_col: str
+    df: DataFrame, path: str, partition_col: str | list[str]
 ) -> None:
     """ST5 atomic snapshot publication: dynamic partition overwrite —
     replaces exactly the partitions present in `df`, atomically per
     partition. This replaces the reference's write-chunks-then-flip-
-    publication-marker dance (00050:20-41).
+    publication-marker dance (00050:20-41). `partition_col` may be a
+    list for multi-level partitioning (e.g. (date, ingest_batch) when
+    one logical partition spans writers).
     """
+    cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     # per-write option (not a session conf mutation): scopes dynamic
     # overwrite to THIS write, so concurrent jobs in the same session
     # keep their own overwrite semantics
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*cols)
         .parquet(path)
     )
 

@@ -412,12 +412,25 @@ def quality_gated_ingest(
     `doc_quality_classifier`, complementing the BATCH-level PSI gate
     `drift_gated_ingest`): the hashed-feature classifier columns ride
     the stream as pure expressions (zero extra shuffle, zero Python),
-    and each micro-batch routes rows with clf_prob >= min_prob into
-    the target and the rest — including docs with no tokens (NULL
-    prob) — to the rejects dir (or drops them if none). The standard
-    corpus-intake shape: score in the scan, split at the sink, keep
-    the rejects for review. Returns per-batch {kept, rejected}
-    counts."""
+    and each micro-batch routes keep rows into the target and the
+    rest — including docs with no tokens (NULL prob) — to the rejects
+    dir (or drops them if none). The standard corpus-intake shape:
+    score in the scan, split at the sink, keep the rejects for
+    review. Returns per-batch {kept, rejected} counts.
+
+    Routing is always self-consistent with the EMITTED columns: at
+    the default min_prob=0.5 the gate is exactly the `clf_keep`
+    column (so the split never contradicts what the batch member
+    doc_quality_classifier writes at the rounding boundary); any
+    other threshold cuts on the emitted 6dp `clf_prob`.
+
+    Writes partition by (partition_col, ingest_batch): one logical
+    partition routinely spans micro-batches here (row-level split +
+    per-file batching), so a flat per-batch dynamic overwrite of
+    partition_col would clobber earlier batches' accepted rows; the
+    batch-scoped subpartition keeps replays idempotent (a re-run of
+    batch N overwrites only its own subpartition) without losing
+    cross-batch rows."""
     from ..plans.llm import clf_logit_expr, clf_output_cols
     from .incremental import write_partition_overwrite
 
@@ -431,15 +444,26 @@ def quality_gated_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            keep_pred = F.col("clf_prob") >= min_prob
-            keep = batch_df.filter(keep_pred)
-            rej = batch_df.filter(~F.coalesce(keep_pred, F.lit(False)))
+            if min_prob == 0.5:
+                keep_pred = F.col("clf_keep")
+            else:
+                keep_pred = F.col("clf_prob") >= min_prob
+            keep = batch_df.filter(keep_pred).withColumn(
+                "ingest_batch", F.lit(int(batch_id))
+            )
+            rej = batch_df.filter(~F.coalesce(keep_pred, F.lit(False))).withColumn(
+                "ingest_batch", F.lit(int(batch_id))
+            )
             n_keep = keep.count()
             n_rej = rej.count()
             if n_keep:
-                write_partition_overwrite(keep, target_dir, partition_col)
+                write_partition_overwrite(
+                    keep, target_dir, [partition_col, "ingest_batch"]
+                )
             if n_rej and rejects_dir is not None:
-                write_partition_overwrite(rej, rejects_dir, partition_col)
+                write_partition_overwrite(
+                    rej, rejects_dir, [partition_col, "ingest_batch"]
+                )
             stats.append(
                 {"batch_id": int(batch_id), "kept": n_keep, "rejected": n_rej}
             )

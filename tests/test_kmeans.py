@@ -216,7 +216,10 @@ def test_pq_adc_topk_equals_exact_l2_when_reconstruction_exact(spark):
     rows = [(vid, [float(x) for x in v]) for vid, v in vecs_np.items()]
     vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
-    got = pq_adc_topk(vecs, k=5, every=10).collect()
+    queries = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = pq_adc_topk(vecs, queries, k=5).collect()
     by_q = {}
     for r in got:
         by_q.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"]))

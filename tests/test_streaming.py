@@ -460,11 +460,15 @@ def test_quality_gated_ingest_matches_batch_classifier(spark, tmp_path):
             "d": ["2024-01-02"] * 3,
         }
     ).to_parquet(src / "a.parquet")
+    # batch 2 SHARES partition d=2024-01-02 with batch 1: the gate
+    # must not clobber batch 1's accepted rows when the same logical
+    # partition spans micro-batches (regression: flat per-batch
+    # dynamic overwrite lost them; now batch-scoped subpartitions)
     pd.DataFrame(
         {
             "doc_id": [4, 5],
             "text": [" ".join(pos + neg[:1]), " ".join(neg + pos[:1])],
-            "d": ["2024-01-03"] * 2,
+            "d": ["2024-01-02", "2024-01-03"],
         }
     ).to_parquet(src / "b.parquet")
 

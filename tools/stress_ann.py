@@ -156,7 +156,7 @@ def main() -> None:
     def pq_adc():
         from japanstockdatapipeline_spark.operators.kmeans import pq_adc_topk
 
-        return with_recall(pq_adc_topk(corpus, k=K_NN, every=1000))
+        return with_recall(pq_adc_topk(corpus, queries, k=K_NN))
 
     timed("pq_adc_topk", pq_adc)
 
