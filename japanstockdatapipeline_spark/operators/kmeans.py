@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk"]
+__all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk", "pq_adc_rerank_topk"]
 
 
 def _centroids_of(
@@ -472,6 +472,53 @@ def pq_adc_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_adc_rerank_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 20,
+    m: int = 8,
+    k_cells: int = 16,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage PQ serving (the production IVF-PQ recipe, and the ANN
+    analog of the dedup family's lsh_verified_pairs composition): the
+    compressed-domain ADC scan produces a `candidates`-deep shortlist
+    per query, then the shortlist alone is re-ranked by TRUE cosine
+    (descending, ascending-neighbor tie-break) and cut to top-k —
+    exactness restored on |shortlist| rows, recall bounded only by
+    whether the true neighbors survive the ADC cut (candidates/k is
+    the recall dial). Costs one extra window over candidates*|queries|
+    rows — nothing corpus-sized."""
+    cand = pq_adc_topk(
+        vecs,
+        queries,
+        k=candidates,
+        m=m,
+        k_cells=k_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+        dim=dim,
+    ).select("q_id", "neighbor_id", "cos")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )

@@ -374,6 +374,7 @@ register_panel(
         "embedding_ivf_topk",
         "embedding_ivf_kmeans_topk",
         "embedding_pq_adc_topk",
+        "embedding_pq_rerank_topk",
     ),
     renames={
         "embedding_knn_topk": {"neighbor_id": "knn_id", "cos": "knn_cos"},
@@ -381,10 +382,12 @@ register_panel(
         "embedding_ivf_topk": {"neighbor_id": "ivf_id", "cos": "ivf_cos"},
         "embedding_ivf_kmeans_topk": {"neighbor_id": "ivfk_id", "cos": "ivfk_cos"},
         "embedding_pq_adc_topk": {"neighbor_id": "pq_id", "cos": "pq_cos"},
+        "embedding_pq_rerank_topk": {"neighbor_id": "pqr_id", "cos": "pqr_cos"},
     },
     doc="ANN comparison panel (T2/J8 + scale paths): brute-force, LSH, "
     "label-cell IVF, the PRODUCTION k-means-quantized IVF top-k, and "
-    "the PQ asymmetric-distance top-k (compressed-domain serving) "
+    "the PQ asymmetric-distance top-k (compressed-domain serving), "
+    "and its two-stage true-cosine re-rank "
     "joined on (q_id, rank) — exactly the recall audit table an ANN "
     "rollout reviews (the kmeans column is the pairing SCALE.md "
     "measured at recall 1.0 on the replica corpus).",

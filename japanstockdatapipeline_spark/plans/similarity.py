@@ -632,3 +632,47 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, _queries_df(emb), k=5)
+
+
+@member(
+    "embedding_pq_rerank_topk",
+    doc="Two-stage PQ serving (the production IVF-PQ recipe; operators/"
+    "kmeans.pq_adc_rerank_topk — the ANN analog of the dedup family's "
+    "lsh_verified_pairs composition): ADC scan -> 20-deep shortlist "
+    "per query -> TRUE-cosine re-rank -> top-5. Exactness restored on "
+    "the shortlist; candidates/k is the recall dial. Oracle extends "
+    "the shared PQ CTE chain with the shortlist and the re-rank.",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.recon[i]) * (q.qv[i] - c.recon[i]))), 6) AS adc
+      FROM codes c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    shortlist AS (
+      SELECT q_id, neighbor_id
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc ASC, neighbor_id ASC) <= 20
+    ),
+    true_cos AS (
+      SELECT s.q_id, s.neighbor_id,
+             round(list_cosine_similarity(eq.v, en.v), 6) AS cos
+      FROM shortlist s JOIN emb eq ON eq.vec_id = s.q_id
+                       JOIN emb en ON en.vec_id = s.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM true_cos)
+    WHERE rank <= 5
+    """,
+)
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_rerank_topk(emb, _queries_df(emb), k=5, candidates=20)

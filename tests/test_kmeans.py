@@ -233,3 +233,38 @@ def test_pq_adc_topk_equals_exact_l2_when_reconstruction_exact(spark):
         )
         expected = [vid for _, vid in scored[:5]]
         assert [n for _, n in sorted(by_q[q_id])] == expected, q_id
+
+
+def test_pq_rerank_recall_dominates_raw_adc(spark):
+    """The two-stage form (ADC shortlist -> true-cosine re-rank) must
+    retrieve at least as many true top-k neighbors as the raw ADC cut
+    for every query, and its output must be cosine-sorted."""
+    from japanstockdatapipeline_spark.operators.kmeans import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+    from japanstockdatapipeline_spark.operators.topk import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vecs.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    adc = {
+        (r["q_id"], r["neighbor_id"])
+        for r in pq_adc_topk(vecs, queries, k=5).collect()
+    }
+    rer_rows = pq_adc_rerank_topk(vecs, queries, k=5, candidates=20).collect()
+    rer = {(r["q_id"], r["neighbor_id"]) for r in rer_rows}
+    assert len(rer & exact) >= len(adc & exact)
+    by_q = {}
+    for r in rer_rows:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos"]))
+    for ranked in by_q.values():
+        cs = [c for _, c in sorted(ranked)]
+        assert cs == sorted(cs, reverse=True)

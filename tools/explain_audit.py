@@ -207,6 +207,10 @@ CHECKS = {
         ("BroadcastExchange|BroadcastNestedLoopJoin", True, "codebook + query rows broadcast"),
         ("hashpartitioning\\(vec_id", False, "no corpus shuffle on the vector id"),
     ],
+    "embedding_pq_rerank_topk": [
+        ("CartesianProduct", False, "shortlist from the broadcast ADC scan, re-rank is a window over candidates only"),
+        ("Window", True, "true-cosine re-rank window over the bounded shortlist"),
+    ],
     "doc_winnowed_spans": [
         ("CartesianProduct|BroadcastNestedLoopJoin", False,
          "posting-list shape: fingerprint df joins back by key, never a product"),

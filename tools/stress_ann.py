@@ -160,6 +160,15 @@ def main() -> None:
 
     timed("pq_adc_topk", pq_adc)
 
+    def pq_rerank():
+        from japanstockdatapipeline_spark.operators.kmeans import pq_adc_rerank_topk
+
+        return with_recall(
+            pq_adc_rerank_topk(corpus, queries, k=K_NN, candidates=4 * K_NN)
+        )
+
+    timed("pq_adc_rerank_topk", pq_rerank, extra={"candidates": 4 * K_NN})
+
     # build/probe split (round-7 verdict #5): an ANN index AMORTIZES
     # its build over many query batches, so the honest scale numbers
     # are (one-off build wall, per-batch probe wall) — the combined
