@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "round_half_up",
+    "round6_ratio",
+    "round6_ratio_sql",
     "product_of_list",
     "product_agg",
     "zscore",
@@ -30,6 +32,63 @@ def round_half_up(col: Column, scale: int = 2) -> Column:
     positive values; we use the builtin, which stays JVM-side.
     """
     return F.round(col, scale)
+
+
+def round6_ratio(num_sql: str, den_sql: str, wide: bool = False) -> Column:
+    """EXACT half-up 6dp rounding of the rational num/den (SCALE.md
+    rule 5, extended: any value feeding an equality-hashed output is
+    rounded in integer arithmetic, never through a float round).
+
+    Why: when the true value lands exactly on a .5e-6 boundary (easy
+    for ratios of fixed-precision inputs — a hashed-classifier logit
+    is (wsum-50n)/(1000n); a turnover ratio is a quotient of 2dp-price
+    sums), the float is 1 ulp off the boundary and the ENGINES' round
+    primitives then disagree even on bit-identical doubles: Spark
+    rounds the shortest decimal repr (BigDecimal.valueOf), DuckDB
+    scales by 1e6 in float and rounds that. Measured: the double just
+    below 0.0350625 rounds to 0.035062 in Spark and 0.035063 in
+    DuckDB. Integer arithmetic sidesteps both primitives:
+
+        q = sign * ((2*|num|*1e6 + den) div (2*den)),  den > 0
+        result = q / 1e6   (one exact int->double cast + one
+                            correctly-rounded IEEE division -- bit-
+                            identical in both engines)
+
+    Takes SQL fragments (not Columns) because integral division is
+    only reachable through the `div` operator; operands must be
+    BIGINT-safe: |num| * 2e6 must fit int64 (fine for token counts /
+    scaled yen values; overflow would need |num| > 4.6e12). For wider
+    operands (products of 2dp factors, doc-stat cross terms at 100 TB
+    doc sizes) pass wide=True: operands run in DECIMAL(38,0) on the
+    Spark side and HUGEINT in the oracle — the final quotient always
+    fits int64 (it is the 6dp-scaled output value), which is all
+    Spark's decimal `div` requires.
+    """
+    return F.expr(round6_ratio_sql(num_sql, den_sql, div="div", wide=wide))
+
+
+def round6_ratio_sql(
+    num_sql: str, den_sql: str, div: str = "//", wide: bool = False
+) -> str:
+    """The DuckDB-oracle (and, with div='div', Spark) SQL form of
+    round6_ratio. Positive operands only reach the integral division
+    (sign handled by CASE), so truncating vs flooring `div` semantics
+    never diverge. wide=True casts operands to DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) before scaling; note the cast wraps the fragment
+    AS GIVEN, so a fragment that already overflows int64 internally
+    must lead with its own widening cast."""
+    if wide:
+        t = "DECIMAL(38,0)" if div == "div" else "HUGEINT"
+        num_sql = f"CAST({num_sql} AS {t})"
+        den_sql = f"CAST({den_sql} AS {t})"
+    s = f"(({num_sql}) * 1000000)"
+    d = f"({den_sql})"
+    q_pos = f"((2 * {s} + {d}) {div} (2 * {d}))"
+    q_neg = f"((2 * (-{s}) + {d}) {div} (2 * {d}))"
+    return (
+        f"(CAST(CASE WHEN {s} >= 0 THEN {q_pos} ELSE -{q_neg} END AS DOUBLE)"
+        f" / 1000000.0)"
+    )
 
 
 def product_of_list(lst: Column) -> Column:

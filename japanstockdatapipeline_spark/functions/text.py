@@ -18,6 +18,14 @@ __all__ = [
     "stopword_ratio",
     "punct_ratio",
     "quality_score",
+    "TEXT_STAGE_NAMES",
+    "text_stat_stage_cols",
+    "quality_num_sql",
+    "quality_den_sql",
+    "quality_q6_sql",
+    "quality_q6_col",
+    "quality_ge_half_sql",
+    "quality_bucket_sql",
     "lang_id",
     "fingerprint_md5",
     "shingles",
@@ -68,12 +76,99 @@ def quality_score(text: Column) -> Column:
     0.4 * length factor (saturates at 200 tokens)
     + 0.3 * (1 - stopword_ratio)
     + 0.3 * (1 - min(punct_ratio * 10, 1)).
-    """
+
+    Float form — fine for internal heuristics, but any EMITTED /
+    compared / bucketed use must go through the exact integer rails
+    below (quality_q6_col & friends): the score is a rational with
+    denominator 500*n_tokens*len_text, so it lands exactly on
+    round(x, 6) half-way boundaries, 0.5-threshold cuts, and 0.1
+    bucket edges, where float evaluation is engine-divergent (the
+    round-7 sf0.1 oracle-flip class)."""
     nt = n_tokens(text)
     lf = F.least(nt.cast("double") / F.lit(200.0), F.lit(1.0))
     swr = F.coalesce(stopword_ratio(text), F.lit(0.0))
     pr = F.least(F.coalesce(punct_ratio(text), F.lit(0.0)) * 10.0, F.lit(1.0))
     return 0.4 * lf + 0.3 * (1.0 - swr) + 0.3 * (1.0 - pr)
+
+
+# ---------------------------------------------------------------------------
+# Exact integer rails for the text stats (SCALE.md rule 5 extension):
+# every emitted text-stat value is a ratio of small integer counts, so
+# the 6dp output / threshold cut / decile bucket is computed in integer
+# arithmetic from (n_tokens, sum_token_len, n_stopwords, n_punct,
+# len_text) and is bit-identical across engines by construction.
+# ---------------------------------------------------------------------------
+
+TEXT_STAGE_NAMES = ("__ts_nt", "__ts_sl", "__ts_sw", "__ts_np", "__ts_ln")
+
+
+def text_stat_stage_cols(text: Column) -> list:
+    """The five integer counts every exact text-stat output derives
+    from, staged under the TEXT_STAGE_NAMES aliases (one tokenize
+    per row; CollapseProject keeps the stage apart)."""
+    toks = tokens(text)
+    return [
+        F.size(toks).cast("bigint").alias("__ts_nt"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("__ts_sl"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("__ts_sw"),
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("bigint").alias("__ts_np"),
+        F.length(text).cast("bigint").alias("__ts_ln"),
+    ]
+
+
+def quality_num_sql(nt: str, sw: str, np_: str, ln: str) -> str:
+    """Numerator of the exact quality-score rational over integer
+    fragments: score = num / (500*NT*C) with NT=max(nt,1), C=max(ln,1)
+    — algebraically identical to the float form term by term
+    (saturating length factor, coalesced ratios). Internal BIGINT
+    bound: 500*nt*len_text < 9.2e18, i.e. docs up to ~40 MB of text
+    at worst-case token density — far past any sane document; split
+    larger payloads upstream."""
+    NT = f"greatest({nt}, 1)"
+    C = f"greatest({ln}, 1)"
+    LFN = f"least({nt}, 200)"
+    return (
+        f"({LFN} * {NT} * {C} + 150 * {C} * ({NT} - ({sw}))"
+        f" + 150 * {NT} * ({C} - least(10 * ({np_}), {C})))"
+    )
+
+
+def quality_den_sql(nt: str, ln: str) -> str:
+    return f"(500 * greatest({nt}, 1) * greatest({ln}, 1))"
+
+
+def quality_q6_sql(nt: str, sw: str, np_: str, ln: str, div: str = "//") -> str:
+    """Exact 6dp-rounded quality score (SQL; div='div' for Spark)."""
+    from .semantics import round6_ratio_sql
+
+    return round6_ratio_sql(
+        quality_num_sql(nt, sw, np_, ln), quality_den_sql(nt, ln), div=div, wide=True
+    )
+
+
+def quality_q6_col(
+    nt: str = "__ts_nt", sw: str = "__ts_sw", np_: str = "__ts_np", ln: str = "__ts_ln"
+) -> Column:
+    return F.expr(quality_q6_sql(nt, sw, np_, ln, div="div"))
+
+
+def quality_ge_half_sql(nt: str, sw: str, np_: str, ln: str) -> str:
+    """score >= 0.5 decided exactly (2*num >= den) — a float compare
+    is engine-divergent when the exact score IS 0.5."""
+    num = quality_num_sql(nt, sw, np_, ln)
+    den = quality_den_sql(nt, ln)
+    return f"(2 * {num} >= {den})"
+
+
+def quality_bucket_sql(nt: str, sw: str, np_: str, ln: str, div: str = "//") -> str:
+    """least(floor(score*10), 9) decided exactly: (10*num) div den."""
+    num = quality_num_sql(nt, sw, np_, ln)
+    den = quality_den_sql(nt, ln)
+    return f"least((10 * {num}) {div} {den}, 9)"
 
 
 def lang_id(text: Column) -> Column:

@@ -151,6 +151,12 @@ def ngram_jaccard_pairs(
     shared = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("shared")
     )
+    # the float jaccard drives the threshold cut (safe: one correctly-
+    # rounded division of exact ints — the minimal excess over any
+    # threshold is >= 1/(2U), orders above 1 ulp); the integer pieces
+    # ride along so callers emitting a 6dp value can round EXACTLY
+    # (functions/semantics.round6_ratio — the rational I/U lands on
+    # .5e-6 boundaries, where engine float rounds disagree)
     return shared.select(
         "id_a",
         "id_b",
@@ -158,6 +164,9 @@ def ngram_jaccard_pairs(
             F.col("shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("shared"))
         ).alias("jaccard"),
+        "shared",
+        "n_a",
+        "n_b",
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -269,8 +278,8 @@ def minhash_lsh_pairs(
 def lsh_verified_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
-    n_hashes: int = 16,
-    bands: int = 4,
+    n_hashes: int = 32,
+    bands: int = 16,
     k: int = 3,
     *,
     id_col: str = "doc_id",
@@ -278,6 +287,14 @@ def lsh_verified_pairs(
 ) -> DataFrame:
     """PRODUCTION two-stage near-dup: MinHash-LSH candidate generation
     -> EXACT shingle-Jaccard verification on the candidates only.
+
+    DEFAULT dials are the measured-dominant r=2 point (32 hashes /
+    16 bands): 0.999 recall at 1.8x below exact cost in the round-7
+    sweep — strictly better than the old 16/4 narrative default
+    (0.712 recall) and than r=4 64/16 (0.943 at higher wall) on both
+    axes. Pass 16/4 or 32/8 explicitly for the cheap 0.7-0.85-recall
+    regime (natural corpora whose dup pairs sit well above the
+    threshold).
 
     This is the composition every real corpus dedup runs (the round-5
     verdict's missing registration): stage 1 bounds the pair space by
@@ -319,10 +336,19 @@ def lsh_verified_pairs(
     jac = shared.cast("double") / (
         F.size("shs_a") + F.size("shs_b") - shared
     )
+    # integer pieces ride along for exact 6dp emission (see
+    # ngram_jaccard_pairs)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            shared.cast("bigint").alias("shared"),
+            F.size("shs_a").cast("bigint").alias("n_a"),
+            F.size("shs_b").cast("bigint").alias("n_b"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -76,6 +76,45 @@ def _trail(v: np.ndarray, w: int, fn) -> np.ndarray:
     return out
 
 
+def _trail_mean(v: np.ndarray, w: int) -> np.ndarray:
+    """Trailing mean with SEQUENTIAL frame-order accumulation — the
+    bit-exact twin of Spark's window avg, which re-sums each sliding
+    frame oldest-row-first (SlidingWindowFunctionFrame has no retract
+    path). numpy's mean (pairwise/unrolled reduce) and pandas
+    rolling().mean() (add/subtract accumulator) associate differently
+    and drift 1 ulp from the member form — enough to flip a
+    round(x, 6) boundary (slow_k 17.3828125 at sf0.1)."""
+    out = np.full(len(v), np.nan)
+    if len(v) >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(v, w)
+        acc = sw[:, 0].astype(float, copy=True)
+        for j in range(1, w):
+            acc = acc + sw[:, j]
+        out[w - 1 :] = acc / float(w)
+    return out
+
+
+def _trail_std_pop(v: np.ndarray, w: int) -> np.ndarray:
+    """Trailing population stddev via the SAME Welford recurrence
+    Spark's stddev_pop (CentralMomentAgg) runs per frame in row order:
+    delta = x - mean; mean += delta/n; m2 += delta*(x - mean);
+    sqrt(m2/n). numpy's two-pass std associates differently — same
+    1-ulp class as _trail_mean (sqrt itself is correctly rounded, so
+    identical m2 in means identical stddev out)."""
+    out = np.full(len(v), np.nan)
+    if len(v) >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(v, w)
+        mean = np.zeros(sw.shape[0])
+        m2 = np.zeros(sw.shape[0])
+        for j in range(w):
+            x = sw[:, j]
+            delta = x - mean
+            mean = mean + delta / float(j + 1)
+            m2 = m2 + delta * (x - mean)
+        out[w - 1 :] = np.sqrt(m2 / float(w))
+    return out
+
+
 def _shift(v: np.ndarray, k: int) -> np.ndarray:
     out = np.full(len(v), np.nan)
     if k < len(v):
@@ -102,8 +141,8 @@ def _group_frame(g: pd.DataFrame) -> pd.DataFrame:
     )
 
     # rolling_event_stats: SMA5 + Bollinger, population sigma (W9/W13)
-    s5 = _trail(v, 5, lambda s: s.mean(axis=1))
-    sd5 = _trail(v, 5, lambda s: s.std(axis=1))  # ddof=0 == stddev_pop
+    s5 = _trail_mean(v, 5)
+    sd5 = _trail_std_pop(v, 5)
     out["sma5"], out["bb_up"], out["bb_dn"] = s5, s5 + 2 * sd5, s5 - 2 * sd5
 
     # event_running_high: prior running max excluding current (W20)
@@ -134,12 +173,15 @@ def _group_frame(g: pd.DataFrame) -> pd.DataFrame:
     ll = _trail(v, 14, lambda s: s.min(axis=1))
     with np.errstate(invalid="ignore", divide="ignore"):
         raw_k = np.where(~np.isnan(hh) & (hh != ll), 100.0 * (v - ll) / (hh - ll), np.nan)
-    slow_k = pd.Series(raw_k).rolling(3, min_periods=3).mean().to_numpy()
-    slow_d = pd.Series(slow_k).rolling(3, min_periods=3).mean().to_numpy()
+    # SMA3 passes as explicit frame-order sums (NaN anywhere in the
+    # 3-row frame -> NaN == the members' count(col) OVER w3 = 3 gate);
+    # pandas rolling().mean() accumulates differently -> 1-ulp drift
+    slow_k = (_shift(raw_k, 2) + _shift(raw_k, 1) + raw_k) / 3.0
+    slow_d = (_shift(slow_k, 2) + _shift(slow_k, 1) + slow_k) / 3.0
     out["raw_k"], out["slow_k"], out["slow_d"] = raw_k, slow_k, slow_d
 
     # event_golden_cross: sign of SMA5-SMA20, flips + age (W18)
-    sma20 = _trail(v, 20, lambda s: s.mean(axis=1))
+    sma20 = _trail_mean(v, 20)
     with np.errstate(invalid="ignore"):
         state = np.where(
             np.isnan(s5) | np.isnan(sma20), np.nan, np.where(s5 >= sma20, 1.0, -1.0)

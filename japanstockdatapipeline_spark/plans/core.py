@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import semantics as _SEM
 from ..functions.semantics import zscore
 from ..operators.windows import top_n_per_key
 from ..sources import load_table
@@ -195,33 +196,50 @@ def acctbal_nation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A2 exact product aggregate (numeric_product, 00093:24-37): "
     "per-order product of (1 - discount), exact fold — not exp(sum(ln)).",
     oracle="""
-    SELECT l_orderkey,
-           round(product(round((1 - l_discount) * 100)) / pow(100, count(*)), 6) AS disc_factor,
-           count(*) AS n_lines
-    FROM lineitem
-    GROUP BY l_orderkey
-    """,
+    SELECT l_orderkey, {RATIO} AS disc_factor, n_lines
+    FROM (
+      SELECT l_orderkey,
+             list_reduce(list(CAST(round((1 - l_discount) * 100) AS HUGEINT)),
+                         (a, b) -> a * b) AS iprod,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    """.replace(
+        "{RATIO}",
+        _SEM.round6_ratio_sql(
+            "iprod", "CAST('1' || repeat('00', n_lines) AS HUGEINT)", wide=True
+        ),
+    ),
 )
 def order_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.semantics import product_of_list
-
     li = load_table(spark, sf_dir, "lineitem")
     # discounts are 2-dp: scale (1-d) to an exact integer in [0,100] so
-    # the product is exact in double (< 2^53 for <=7 lines) and hence
-    # independent of multiply order — the same trick both engines share.
-    # This is the reference's "numeric_product, not exp(sum(ln))" rule
-    # (00093:24-37) adapted to IEEE doubles.
-    scaled = F.round((1 - F.col("l_discount")) * 100, 0)
-    return (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.round(
-                product_of_list(F.collect_list(scaled))
-                / F.pow(F.lit(100.0), F.count(F.lit(1))),
-                6,
-            ).alias("disc_factor"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+    # the per-order product is EXACT and multiply-order-insensitive —
+    # folded in DECIMAL(38,0) (a double product loses bits past 7
+    # lines AND associates differently across engines). This is the
+    # reference's "numeric_product, not exp(sum(ln))" rule (00093:24-37)
+    # taken to its integer conclusion. The 6dp output is then rounded
+    # in wide integer arithmetic against the exact power 100^n built
+    # as '1' || repeat('00', n) — pow() in double is inexact past 1e15
+    # and the rational prod/100^n lands exactly on .5e-6 boundaries,
+    # where engine float rounds disagree. Bound: n_lines <= 18 per
+    # order keeps 100^n inside DECIMAL(38)/HUGEINT (testdata max 13).
+    scaled = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    agged = li.groupBy("l_orderkey").agg(
+        F.aggregate(
+            F.collect_list(scaled),
+            F.lit(1).cast("decimal(38,0)"),
+            lambda a, x: a * x,
+        ).alias("__prod"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agged.select(
+        "l_orderkey",
+        _SEM.round6_ratio(
+            "__prod", "CAST('1' || repeat('00', n_lines) AS DECIMAL(38,0))", wide=True
+        ).alias("disc_factor"),
+        "n_lines",
     )
 
 
@@ -362,26 +380,36 @@ def order_date_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W6 window product with frame excluding current row — the split "
     "suffix-product (00093:50-71), exact fold not exp(sum(log)).",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           round(coalesce(
-             product(round((1 - l_discount) * 100)) OVER w
-               / pow(100, count(*) OVER w), 1.0), 6) AS suffix_factor
-    FROM lineitem
-    WINDOW w AS (
-      PARTITION BY l_orderkey
-      ORDER BY l_linenumber DESC, l_discount DESC, l_partkey DESC,
-               l_suppkey DESC, l_quantity DESC, l_extendedprice DESC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    SELECT l_orderkey, l_linenumber, {RATIO} AS suffix_factor
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             coalesce(list_reduce(list(CAST(round((1 - l_discount) * 100) AS HUGEINT))
+                                    OVER w, (a, b) -> a * b), 1) AS sprod,
+             count(*) OVER w AS scnt
+      FROM lineitem
+      WINDOW w AS (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber DESC, l_discount DESC, l_partkey DESC,
+                 l_suppkey DESC, l_quantity DESC, l_extendedprice DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
     )
-    """,
+    """.replace(
+        "{RATIO}",
+        _SEM.round6_ratio_sql(
+            "sprod", "CAST('1' || repeat('00', scnt) AS HUGEINT)", wide=True
+        ),
+    ),
 )
 def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the testdata — order
     # on a full tiebreak so the frame is deterministic, and compute the
-    # product over exact scaled integers so it is order-insensitive
-    # anyway (2-dp discounts => 100*(1-d) is an exact int; products of
-    # <=7 such ints stay < 2^53).
+    # product over exact scaled integers in DECIMAL(38,0) so it is
+    # order-insensitive and exact at any frame length up to 18 factors
+    # (a double product loses bits past 7); the 6dp output rounds in
+    # wide integer arithmetic against the string-built exact 100^n
+    # (see order_discount_product).
     w_desc = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_linenumber").desc(),
         F.col("l_discount").desc(),
@@ -392,14 +420,20 @@ def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scaled = F.round((1 - F.col("l_discount")) * 100, 0)
     frame = w_desc.rowsBetween(Window.unboundedPreceding, -1)
-    lst = F.collect_list(scaled).over(frame)
-    from ..functions.semantics import product_of_list
-
-    return li.select(
+    lst = F.collect_list(scaled.cast("long")).over(frame)
+    staged = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            product_of_list(lst) / F.pow(F.lit(100.0), F.size(lst)), 6
+        F.aggregate(
+            lst, F.lit(1).cast("decimal(38,0)"), lambda a, x: a * x
+        ).alias("__sprod"),
+        F.size(lst).alias("__scnt"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        _SEM.round6_ratio(
+            "__sprod", "CAST('1' || repeat('00', __scnt) AS DECIMAL(38,0))", wide=True
         ).alias("suffix_factor"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import semantics as SEM
 from ..functions import text as TX
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
 from ..sources import load_table
@@ -24,31 +25,30 @@ _SW = "', '".join(TX.STOPWORDS)
     "doc_text_stats",
     doc="Text analysis: token counting (whitespace), avg token length, "
     "stopword ratio, punctuation ratio, quality score — all Catalyst "
-    "expressions (north-star text ops).",
+    "expressions (north-star text ops). Every emitted ratio is a "
+    "rational of integer counts, so the 6dp values are computed in "
+    "exact integer arithmetic (functions/text exact rails; SCALE.md "
+    "rule 5) — float round primitives disagree across engines when "
+    "these rationals land exactly on a .5e-6 boundary.",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, n_chars,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(text) AS len_text
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) AS BIGINT) AS ln
       FROM documents
     ), s AS (
-      SELECT doc_id, n_chars,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE WHEN len(toks) > 0 THEN
-               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS avg_tok,
-             CASE WHEN len(toks) > 0 THEN
-               CAST(len(list_filter(toks, x -> lower(x) IN ('{_SW}'))) AS DOUBLE) / len(toks) END AS swr,
-             CASE WHEN len_text > 0 THEN CAST(n_punct AS DOUBLE) / len_text END AS pr
+      SELECT doc_id, n_chars, np, ln,
+             CAST(len(toks) AS BIGINT) AS nt,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sl,
+             CAST(len(list_filter(toks, x -> lower(x) IN ('{_SW}'))) AS BIGINT) AS sw
       FROM t
     )
-    SELECT doc_id, n_chars, n_tokens,
-           round(avg_tok, 6) AS avg_token_len,
-           round(swr, 6) AS stopword_ratio,
-           round(pr, 6) AS punct_ratio,
-           round(0.4 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
-                 + 0.3 * (1.0 - coalesce(swr, 0.0))
-                 + 0.3 * (1.0 - least(coalesce(pr, 0.0) * 10.0, 1.0)), 6) AS quality_score
+    SELECT doc_id, n_chars, nt AS n_tokens,
+           CASE WHEN nt > 0 THEN {SEM.round6_ratio_sql('sl', 'nt')} END AS avg_token_len,
+           CASE WHEN nt > 0 THEN {SEM.round6_ratio_sql('sw', 'nt')} END AS stopword_ratio,
+           CASE WHEN ln > 0 THEN {SEM.round6_ratio_sql('np', 'ln')} END AS punct_ratio,
+           {TX.quality_q6_sql('nt', 'sw', 'np', 'ln')} AS quality_score
     FROM s
     """,
     bench=True,
@@ -56,14 +56,17 @@ _SW = "', '".join(TX.STOPWORDS)
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    staged = d.select("doc_id", "n_chars", *TX.text_stat_stage_cols(t))
+    has_t = F.col("__ts_nt") > 0
+    has_c = F.col("__ts_ln") > 0
+    return staged.select(
         "doc_id",
         "n_chars",
-        TX.n_tokens(t).alias("n_tokens"),
-        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
-        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(TX.quality_score(t), 6).alias("quality_score"),
+        F.col("__ts_nt").alias("n_tokens"),
+        F.when(has_t, SEM.round6_ratio("__ts_sl", "__ts_nt")).alias("avg_token_len"),
+        F.when(has_t, SEM.round6_ratio("__ts_sw", "__ts_nt")).alias("stopword_ratio"),
+        F.when(has_c, SEM.round6_ratio("__ts_np", "__ts_ln")).alias("punct_ratio"),
+        TX.quality_q6_col().alias("quality_score"),
     )
 
 
@@ -141,19 +144,28 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- posting-list blocking cap
       SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 256
     )
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(CAST(count(*) AS DOUBLE)
-                 / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
-    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
-    GROUP BY a.id, b.id
-    HAVING CAST(count(*) AS DOUBLE)
-           / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
-    """,
+    SELECT id_a, id_b, {JR} AS jaccard
+    FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared,
+             CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS BIGINT) AS u
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5
+    )
+    """.replace("{JR}", SEM.round6_ratio_sql("shared", "u")),
     bench=True,
 )
 def doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, k=3, max_df=256)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # exact 6dp emission from the integer pieces (I/U lands on .5e-6
+    # boundaries; see functions/semantics.round6_ratio)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        SEM.round6_ratio("shared", "n_a + n_b - shared").alias("jaccard"),
+    )
 
 
 @member(
@@ -240,15 +252,16 @@ def doc_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ), verified AS (
       SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-               / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
-               AS j
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS shared,
+             CAST(len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS u
       FROM cand c
       JOIN shs0 sa ON sa.doc_id = c.id_a
       JOIN shs0 sb ON sb.doc_id = c.id_b
     )
-    SELECT id_a, id_b, round(j, 6) AS lsh_jaccard FROM verified WHERE j >= 0.5
-    """,
+    SELECT id_a, id_b, {JR} AS lsh_jaccard FROM verified
+    WHERE CAST(shared AS DOUBLE) / u >= 0.5
+    """.replace("{JR}", SEM.round6_ratio_sql("shared", "u")),
 )
 def doc_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_verified_pairs
@@ -256,7 +269,11 @@ def doc_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_verified_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, n_hashes=16, bands=4, k=3
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("lsh_jaccard"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        SEM.round6_ratio("shared", "n_a + n_b - shared").alias("lsh_jaccard"),
+    )
 
 
 @member(
@@ -343,18 +360,18 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE t AS (
       SELECT doc_id, text,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(text) AS len_text
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) AS BIGINT) AS ln
       FROM documents
     ), q AS (
-      SELECT doc_id,
-             round(0.4 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
-             + 0.3 * (1.0 - coalesce(CASE WHEN len(toks) > 0 THEN
-                 CAST(len(list_filter(toks, x -> lower(x) IN
-                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) END, 0.0))
-             + 0.3 * (1.0 - least(coalesce(CASE WHEN len_text > 0
-                 THEN CAST(n_punct AS DOUBLE) / len_text END, 0.0) * 10.0, 1.0)), 6) AS qs
-      FROM t
+      SELECT doc_id, {Q6} AS qs
+      FROM (
+        SELECT doc_id, np, ln,
+               CAST(len(toks) AS BIGINT) AS nt,
+               CAST(len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS sw
+        FROM t
+      )
     ), sh AS (
       SELECT doc_id AS id, sh.shingle AS shingle, n_sh FROM (
         SELECT doc_id,
@@ -395,7 +412,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dc
     WINDOW w AS (PARTITION BY cluster ORDER BY qs DESC, doc_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
+    """.replace("{Q6}", TX.quality_q6_sql("nt", "sw", "np", "ln")),
 )
 def doc_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -403,8 +420,11 @@ def doc_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("qs")
+    # exact 6dp quality as the retention sort key: a float-rounded key
+    # can differ across engines at .5e-6 boundaries and flip which doc
+    # survives — the sort key is equality-critical, not just the value
+    q = docs.select("doc_id", *TX.text_stat_stage_cols(F.col("text"))).select(
+        "doc_id", TX.quality_q6_col().alias("qs")
     )
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=256)
     cl = dup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster")
@@ -480,17 +500,18 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BPE-ish regex'): letter runs / digit runs / single punctuation as "
     "pieces (the GPT-2 pre-tokenizer shape, portable regex subset), "
     "compared with whitespace token counts.",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                x -> x <> '')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                AS BIGINT) AS bpe_pieces,
-           round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                AS DOUBLE) / nullif(len(list_filter(
-                regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0), 6)
-             AS pieces_per_word
-    FROM documents
+    oracle=f"""
+    SELECT doc_id, ws_tokens, bpe_pieces,
+           CASE WHEN ws_tokens > 0 THEN
+             {SEM.round6_ratio_sql('bpe_pieces', 'ws_tokens')} END AS pieces_per_word
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS bpe_pieces
+      FROM documents
+    )
     """,
 )
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,11 +520,11 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
     ).cast("bigint")
-    return d.select(
-        "doc_id",
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_pieces"),
-        F.round(bpe.cast("double") / F.nullif(ws, F.lit(0)), 6).alias("pieces_per_word"),
+    return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_pieces")).select(
+        "*",
+        F.when(
+            F.col("ws_tokens") > 0, SEM.round6_ratio("bpe_pieces", "ws_tokens")
+        ).alias("pieces_per_word"),
     )
 
 
@@ -555,20 +576,17 @@ def _rolling_hash_expr(text):
     WITH t AS (
       SELECT doc_id, lang, text,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(text) AS len_text
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) AS BIGINT) AS ln
       FROM documents
     ), q AS (
-      SELECT doc_id, lang, text,
-             0.4 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)
-             + 0.3 * (1.0 - coalesce(CASE WHEN len(toks) > 0 THEN
-                 CAST(len(list_filter(toks, x -> lower(x) IN
-                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) END, 0.0))
-             + 0.3 * (1.0 - least(coalesce(CASE WHEN len_text > 0
-                 THEN CAST(n_punct AS DOUBLE) / len_text END, 0.0) * 10.0, 1.0)) AS score
+      SELECT doc_id, lang, text, np, ln,
+             CAST(len(toks) AS BIGINT) AS nt,
+             CAST(len(list_filter(toks, x -> lower(x) IN
+               ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS sw
       FROM t
     ), quality AS (
-      SELECT * FROM q WHERE score >= 0.5
+      SELECT * FROM q WHERE {GE_HALF}
     ), exact_keep AS (
       SELECT min(doc_id) AS doc_id FROM quality
       GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
@@ -603,20 +621,23 @@ def _rolling_hash_expr(text):
         SELECT id AS id_b FROM (SELECT id, min(r) AS c FROM reach GROUP BY id) WHERE id <> c
       )
     )
-    SELECT e.doc_id, q.lang, round(q.score, 6) AS quality_score
+    SELECT e.doc_id, q.lang, {Q6} AS quality_score
     FROM exact_keep e
     JOIN quality q ON e.doc_id = q.doc_id
     WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_ids)
-    """,
+    """.replace("{GE_HALF}", TX.quality_ge_half_sql("nt", "sw", "np", "ln"))
+    .replace("{Q6}", TX.quality_q6_sql("q.nt", "q.sw", "q.np", "q.ln")),
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "lang", "text", TX.quality_score(F.col("text")).alias("score")
+    # staged integer counts ride the pipeline; the 0.5 cut and the 6dp
+    # output are decided in exact integer arithmetic (see doc_text_stats)
+    scored = d.select("doc_id", "lang", "text", *TX.text_stat_stage_cols(F.col("text")))
+    quality = scored.filter(
+        F.expr(TX.quality_ge_half_sql("__ts_nt", "__ts_sw", "__ts_np", "__ts_ln"))
     )
-    quality = scored.filter(F.col("score") >= 0.5)
     exact_keep = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
     kept = quality.join(exact_keep, "doc_id")
     pairs = ngram_jaccard_pairs(kept, threshold=0.5, k=3, max_df=256)
@@ -626,7 +647,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = kept.join(drop_ids, "doc_id", "left_anti")
     return survivors.select(
-        "doc_id", "lang", F.round("score", 6).alias("quality_score")
+        "doc_id", "lang", TX.quality_q6_col().alias("quality_score")
     )
 
 
@@ -804,14 +825,19 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE tok <> ''
       GROUP BY doc_id, tok
     )
-    SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS n_tokens,
-           CAST(max(c) AS BIGINT) AS top_token_count,
-           CAST(round(max(c) * 1.0 / sum(c), 6) AS DOUBLE) AS top_token_frac,
-           CAST(round(count(*) * 1.0 / sum(c), 6) AS DOUBLE) AS distinct_frac
-    FROM counts
-    GROUP BY doc_id
-    """,
+    SELECT doc_id, n_tokens, top_token_count,
+           {TOP_FRAC} AS top_token_frac,
+           {ND_FRAC} AS distinct_frac
+    FROM (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_token_count,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM counts
+      GROUP BY doc_id
+    )
+    """.replace("{TOP_FRAC}", SEM.round6_ratio_sql("top_token_count", "n_tokens"))
+    .replace("{ND_FRAC}", SEM.round6_ratio_sql("nd", "n_tokens")),
 )
 def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -820,11 +846,17 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return counts.groupBy("doc_id").agg(
+    agged = counts.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.max("c").cast("bigint").alias("top_token_count"),
-        F.round(F.max("c") / F.sum("c"), 6).cast("double").alias("top_token_frac"),
-        F.round(F.count(F.lit(1)) / F.sum("c"), 6).cast("double").alias("distinct_frac"),
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+    )
+    return agged.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_count",
+        SEM.round6_ratio("top_token_count", "n_tokens").alias("top_token_frac"),
+        SEM.round6_ratio("__nd", "n_tokens").alias("distinct_frac"),
     )
 
 
@@ -1499,25 +1531,22 @@ def doc_features_fused(
     one = docs.select(
         "doc_id",
         "lang",
-        # doc_text_stats
+        # doc_text_stats (staged integer counts; the exact 6dp ratio
+        # outputs are derived in the second projection — same rails
+        # as the member)
         "n_chars",
         n_tok.alias("n_tokens"),
-        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
-        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(TX.quality_score(t), 6).alias("quality_score"),
+        *TX.text_stat_stage_cols(t),
         # doc_lang_id (panel rename lang -> li_lang)
         F.col("lang").alias("li_lang"),
         TX.lang_id(t).alias("pred_lang"),
         # doc_bpe_token_stats
         n_tok.alias("ws_tokens"),
         bpe.alias("bpe_pieces"),
-        F.round(bpe.cast("double") / F.nullif(n_tok, F.lit(0)), 6).alias("pieces_per_word"),
         # doc_repetition_ratio (panel rename n_tokens -> rep_n_tokens)
         F.when(has_tok, rep_n).alias("rep_n_tokens"),
         F.when(has_tok, top_c).alias("top_token_count"),
-        F.when(has_tok, F.round(top_c / rep_n, 6).cast("double")).alias("top_token_frac"),
-        F.when(has_tok, F.round(n_distinct / rep_n, 6).cast("double")).alias("distinct_frac"),
+        F.when(has_tok, n_distinct.cast("bigint")).alias("__rep_nd"),
         # doc_rolling_hash_fingerprint
         _rolling_hash_expr(t).alias("rolling_hash"),
         # doc_simhash
@@ -1533,14 +1562,31 @@ def doc_features_fused(
         *_governance_cols(),
         # doc_quality_classifier (hashed-feature linear model: the
         # weights are a literal array, so the filter is free in-scan);
-        # staged raw logit — derived to the three outputs in the next
-        # projection so the lambda fold runs ONCE per row
-        clf_logit_expr().alias("__clf_logit"),
+        # staged exact integer fold — derived to the three outputs in
+        # the next projection so the lambda fold runs ONCE per row
+        *clf_stage_cols(),
         *(extra_cols or []),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
     )
-    one = one.select("*", *clf_output_cols()).drop("__clf_logit")
+    has_ts = F.col("__ts_nt") > 0
+    one = one.select(
+        "*",
+        *clf_output_cols(),
+        # exact 6dp ratio outputs over the staged integers (same
+        # rails as the members — see doc_text_stats)
+        F.when(has_ts, SEM.round6_ratio("__ts_sl", "__ts_nt")).alias("avg_token_len"),
+        F.when(has_ts, SEM.round6_ratio("__ts_sw", "__ts_nt")).alias("stopword_ratio"),
+        F.when(F.col("__ts_ln") > 0, SEM.round6_ratio("__ts_np", "__ts_ln")).alias(
+            "punct_ratio"
+        ),
+        TX.quality_q6_col().alias("quality_score"),
+        F.when(
+            F.col("ws_tokens") > 0, SEM.round6_ratio("bpe_pieces", "ws_tokens")
+        ).alias("pieces_per_word"),
+        SEM.round6_ratio("top_token_count", "rep_n_tokens").alias("top_token_frac"),
+        SEM.round6_ratio("__rep_nd", "rep_n_tokens").alias("distinct_frac"),
+    ).drop(*CLF_STAGE_NAMES, *TX.TEXT_STAGE_NAMES, "__rep_nd")
     if pre_window is not None:
         one = pre_window(one)
     W_CTX = 2048
@@ -1813,19 +1859,17 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cut AS (
       SELECT CAST(ceil(0.8 * (max(doc_id) + 1)) AS BIGINT) AS cutoff FROM documents
     ), q AS (
-      SELECT doc_id,
-             least(CAST(floor(
-               (0.4 * least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                      x -> x <> '')) AS DOUBLE) / 200.0, 1.0)
-                + 0.3 * (1.0 - coalesce(
-                    CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> ''), x -> lower(x) IN ('{SW}'))) AS DOUBLE)
-                    / nullif(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> '')), 0), 0.0))
-                + 0.3 * (1.0 - least(coalesce(
-                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                    / nullif(length(text), 0), 0.0) * 10.0, 1.0))) * 10) AS INT), 9) AS bucket
-      FROM documents
+      SELECT doc_id, CAST({BUCKET} AS INT) AS bucket
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x <> '')) AS BIGINT) AS nt,
+               CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x <> ''), x -> lower(x) IN ('{SW}'))) AS BIGINT) AS sw,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS np,
+               CAST(length(text) AS BIGINT) AS ln
+        FROM documents
+      )
     ), sides AS (
       SELECT q.bucket,
              sum(CASE WHEN q.doc_id < cutoff THEN 1 ELSE 0 END) AS a_cnt,
@@ -1845,15 +1889,22 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(any_value(n_b) AS BIGINT) AS drift_n_incoming,
            CAST(max_by(bucket, abs(p - q)) AS INT) AS drift_top_bucket
     FROM terms
-    """.replace("{SW}", _SW),
+    """.replace("{SW}", _SW)
+    .replace("{BUCKET}", TX.quality_bucket_sql("nt", "sw", "np", "ln")),
 )
 def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cut = d.agg(F.ceil(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("cutoff"))
-    bucket = F.least(
-        F.floor(TX.quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
+    # decile bucket decided in exact integer arithmetic — a float
+    # floor(score*10) flips the bucket when the exact score IS an edge
+    bucket = F.expr(
+        TX.quality_bucket_sql("__ts_nt", "__ts_sw", "__ts_np", "__ts_ln", div="div")
+    ).cast("int")
+    q = (
+        d.select("doc_id", *TX.text_stat_stage_cols(F.col("text")))
+        .select("doc_id", bucket.alias("bucket"))
+        .crossJoin(F.broadcast(cut))
     )
-    q = d.select("doc_id", bucket.alias("bucket")).crossJoin(F.broadcast(cut))
     sides = q.groupBy("bucket").agg(
         F.sum(F.when(F.col("doc_id") < F.col("cutoff"), 1).otherwise(0)).alias("a_cnt"),
         F.sum(F.when(F.col("doc_id") >= F.col("cutoff"), 1).otherwise(0)).alias("b_cnt"),
@@ -1891,8 +1942,22 @@ _CLF_BIAS = -0.05
 # the LSH hyperplane literals are (plans/similarity.py), so both engines
 # score identically. A real deployment swaps in fastText/logreg weights —
 # the plan is identical: the model is a literal array riding the scan.
-_CLF_W = [((1103515245 * b + 12345) % 2001 - 1000) / 1000.0 for b in range(_CLF_D)]
-_CLF_W_SQL = "[" + ", ".join(repr(x) for x in _CLF_W) + "]::DOUBLE[]"
+#
+# Exactness (SCALE.md rule 5): the weights are n/1000 rationals by
+# construction, so the per-doc fold accumulates the INTEGER numerators
+# (BIGINT — exact, association-order-insensitive) and the float logit
+# is produced by ONE identical expression in both engines:
+#     logit = -0.05 + wsum_int / (1000.0 * n_tok)
+# (1000.0*n_tok is exactly representable; one correctly-rounded IEEE
+# division; one correctly-rounded add — bit-identical Spark vs DuckDB).
+# Folding double weights instead left the two engines 1 ulp apart when
+# their folds associated differently, and because these logits are
+# rationals with denominator 1000*n_tok they can land EXACTLY on a
+# round(x, 6) half-way boundary (e.g. 0.0350625), where 1 ulp flips
+# the 6dp output — 4 of 149 oracle checks failed at sf0.1 until this.
+_CLF_W_INT = [(1103515245 * b + 12345) % 2001 - 1000 for b in range(_CLF_D)]
+_CLF_W = [wi / 1000.0 for wi in _CLF_W_INT]
+_CLF_W_SQL = "[" + ", ".join(str(x) for x in _CLF_W_INT) + "]::BIGINT[]"
 
 
 def _hash_bucket(tok, salt: str, d: int):
@@ -1926,62 +1991,86 @@ def _hash_bucket(tok, salt: str, d: int):
       FROM documents
     ), s AS (
       SELECT doc_id,
-             CASE WHEN len(toks) > 0 THEN
-               {_CLF_BIAS!r} + list_sum(list_transform(toks,
-                 tk -> wv[CAST(('0x' || substr(md5('qb:' || tk), 1, 15))::BIGINT
-                               % {_CLF_D} AS INT) + 1]))
-               / len(toks) END AS logit
+             CAST(list_sum(list_transform(toks,
+               tk -> wv[CAST(('0x' || substr(md5('qb:' || tk), 1, 15))::BIGINT
+                             % {_CLF_D} AS INT) + 1])) AS BIGINT) AS wsum,
+             CAST(len(toks) AS BIGINT) AS n
       FROM t, w
     )
     SELECT doc_id,
-           round(logit, 6) AS clf_logit,
-           round(1.0 / (1.0 + exp(-logit)), 6) AS clf_prob,
-           round(logit, 6) >= 0 AS clf_keep
+           CASE WHEN n > 0 THEN
+             {SEM.round6_ratio_sql('wsum - 50 * n', '1000 * n')} END AS clf_logit,
+           CASE WHEN n > 0 THEN
+             round(1.0 / (1.0 + exp(-({_CLF_BIAS!r}
+               + CAST(wsum AS DOUBLE) / (1000.0 * n)))), 6) END AS clf_prob,
+           CASE WHEN n > 0 THEN
+             {SEM.round6_ratio_sql('wsum - 50 * n', '1000 * n')} >= 0 END AS clf_keep
     FROM s
     """,
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", clf_logit_expr().alias("__clf_logit")).select(
+    return d.select("doc_id", *clf_stage_cols()).select(
         "doc_id", *clf_output_cols()
     )
 
 
-def clf_logit_expr():
-    """The mean-pooled hashed-feature logit over the raw `text` column
-    (NULL when the doc has no tokens) — shared by the member and the
-    fused one-pass forms so they stay definitionally identical. Staged
-    as its OWN projection column before the outputs are derived, so
-    the plan carries ONE fold instead of three. Measured neutral at
-    sf0.01 doc lengths — whole-stage codegen already CSEs a shared
-    fold INPUT across sibling project expressions (unlike an array
-    expression referenced inside a lambda BODY, the per-element
-    re-evaluation class winnowed_spans works around) — but staging
-    makes single evaluation a plan property rather than a codegen one,
-    and CollapseProject keeps the stages apart (non-cheap,
-    multiply-referenced alias)."""
-    warr = F.array(*[F.lit(w) for w in _CLF_W])
+def clf_stage_cols() -> list:
+    """The classifier fold over the raw `text` column, staged as TWO
+    exact integer columns (`__clf_wsum` BIGINT, `__clf_ntok` BIGINT)
+    — shared by the member, the fused one-pass forms, and the
+    streaming quality gate so they stay definitionally identical.
+    Staged as their OWN projection before the outputs are derived, so
+    the plan carries ONE fold instead of three (CollapseProject keeps
+    the stages apart: non-cheap, multiply-referenced alias).
+
+    The fold accumulates the INTEGER weight numerators (the weights
+    are n/1000 rationals by construction), so the sum is exact and
+    association-order-insensitive — see the _CLF_W_INT note for why
+    a double fold broke the oracle hash at sf0.1."""
+    warr = F.array(*[F.lit(w) for w in _CLF_W_INT])
     toks = TX.tokens(F.lower(F.col("text")))
     wsum = F.aggregate(
         toks,
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, t: acc
         + F.element_at(warr, (_hash_bucket(t, "qb", _CLF_D) + 1).cast("int")),
     )
-    return F.when(F.size(toks) > 0, F.lit(_CLF_BIAS) + wsum / F.size(toks))
-
-
-def clf_output_cols(logit_col: str = "__clf_logit") -> list:
-    """The three classifier outputs derived from a staged logit
-    column. `clf_keep` compares the ROUNDED logit so the emitted
-    columns are self-consistent at the decision boundary (a raw logit
-    of -4e-7 must not report clf_logit = -0.0 with clf_keep False)."""
-    logit = F.col(logit_col)
-    rounded = F.round(logit, 6)
     return [
-        rounded.alias("clf_logit"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("clf_prob"),
-        (rounded >= 0).alias("clf_keep"),
+        wsum.alias("__clf_wsum"),
+        F.size(toks).cast("bigint").alias("__clf_ntok"),
+    ]
+
+
+# staged column names to drop after clf_output_cols() is applied
+CLF_STAGE_NAMES = ("__clf_wsum", "__clf_ntok")
+
+
+def clf_output_cols() -> list:
+    """The three classifier outputs derived from the staged exact
+    integers. `clf_logit` is the EXACT half-up 6dp rounding of the
+    rational (wsum - 50n)/(1000n) computed in integer arithmetic
+    (functions/semantics.round6_ratio) — engine round primitives
+    disagree at .5e-6 boundaries these rationals CAN land on exactly.
+    `clf_keep` compares that same rounded value so the emitted columns
+    are self-consistent at the decision boundary (a raw logit of
+    -4e-7 must not report clf_logit = -0.0 with clf_keep False).
+    `clf_prob` squashes the float logit — transcendental, so its
+    boundary exposure is measure-zero (tracked by the round-gate
+    boundary canary, not exactness-pinned)."""
+    n = F.col("__clf_ntok")
+    wsum = F.col("__clf_wsum")
+    has = n > 0
+    logit_f = F.lit(_CLF_BIAS) + wsum.cast("double") / (F.lit(1000.0) * n)
+    rounded = SEM.round6_ratio(
+        "__clf_wsum - 50 * __clf_ntok", "1000 * __clf_ntok"
+    )
+    return [
+        F.when(has, rounded).alias("clf_logit"),
+        F.when(has, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_f)), 6)).alias(
+            "clf_prob"
+        ),
+        F.when(has, rounded >= 0).alias("clf_keep"),
     ]
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import semantics as SEM
 from ..sources import load_table
 from .registry import member, query
 
@@ -438,21 +439,33 @@ def overheat_stage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BY discipline 00120's idx_overheat_snapshot_ranking index "
     "demands (NULLS LAST, illiquid rows folded away, never ranked). "
     "Scale: one groupBy on (user, day), one groupBy on user "
-    "(max_by + percentile), one window over the liquid slice.",
-    oracle="""
+    "(max_by + percentile), one window over the liquid slice. "
+    "Exactness (SCALE.md rule 5): values are 2dp decimals riding a "
+    "double column, so day sums accumulate exact BIGINT cents "
+    "(round(value*100) recovers the true cents), the median of "
+    "integer day sums is exactly a half-integer in BOTH engines' "
+    "interpolation, and the emitted ratio is the exact half-up 6dp "
+    "rounding of the rational (2*latest)/(2*median) in integer "
+    "arithmetic (functions/semantics.round6_ratio) — a double "
+    "latest/median quotient landing on a .5e-6 boundary (0.5093125 "
+    "at sf0.1) flipped the last digit between engine round "
+    "primitives until this.",
+    oracle=f"""
     WITH m AS (
-      SELECT user_id, epoch_us(ts) // 86400000000 AS day, sum(value) AS v
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v_c
       FROM events GROUP BY 1, 2
     ), per_user AS (
       SELECT user_id,
-             quantile_cont(v, 0.5) AS med_v,
-             arg_max(v, day) AS latest_v
+             quantile_cont(v_c, 0.5) AS med_c,
+             arg_max(v_c, day) AS latest_c
       FROM m GROUP BY user_id
     ), scored AS (
       SELECT user_id,
-             round(CASE WHEN med_v > 0 THEN latest_v / med_v END, 6)
-               AS trading_value_ratio,
-             med_v >= 100.0 AS liquidity_ok
+             CASE WHEN med_c > 0 THEN
+               {SEM.round6_ratio_sql('2 * latest_c', 'CAST(2 * med_c AS BIGINT)')}
+             END AS trading_value_ratio,
+             med_c >= 10000.0 AS liquidity_ok
       FROM per_user
     )
     SELECT user_id, trading_value_ratio, liquidity_ok,
@@ -466,17 +479,20 @@ def overheat_stage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def overheat_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
-    m = ev.groupBy("user_id", "day").agg(F.sum("value").alias("v"))
+    m = ev.groupBy("user_id", "day").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v_c")
+    )
     per_user = m.groupBy("user_id").agg(
-        F.expr("percentile(v, 0.5)").alias("med_v"),
-        F.expr("max_by(v, day)").alias("latest_v"),
+        F.expr("percentile(v_c, 0.5)").alias("med_c"),
+        F.expr("max_by(v_c, day)").alias("latest_c"),
     )
     scored = per_user.select(
         "user_id",
-        F.round(
-            F.when(F.col("med_v") > 0, F.col("latest_v") / F.col("med_v")), 6
+        F.when(
+            F.col("med_c") > 0,
+            SEM.round6_ratio("2 * latest_c", "CAST(2 * med_c AS BIGINT)"),
         ).alias("trading_value_ratio"),
-        (F.col("med_v") >= 100.0).alias("liquidity_ok"),
+        (F.col("med_c") >= 10000.0).alias("liquidity_ok"),
     )
     w = Window.partitionBy("liquidity_ok").orderBy(
         F.when(F.col("liquidity_ok"), F.col("trading_value_ratio")).desc_nulls_last()

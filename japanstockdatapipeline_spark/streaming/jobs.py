@@ -431,13 +431,13 @@ def quality_gated_ingest(
     batch-scoped subpartition keeps replays idempotent (a re-run of
     batch N overwrites only its own subpartition) without losing
     cross-batch rows."""
-    from ..plans.llm import clf_logit_expr, clf_output_cols
+    from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
     from .incremental import write_partition_overwrite
 
     scored = (
-        stream.withColumn("__clf_logit", clf_logit_expr())
+        stream.select("*", *clf_stage_cols())
         .select("*", *clf_output_cols())
-        .drop("__clf_logit")
+        .drop(*CLF_STAGE_NAMES)
     )
     stats: list[dict] = []
 

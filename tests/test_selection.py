@@ -169,3 +169,41 @@ def test_winnowing_guarantee_sweep(spark, tmp_path):
         if got[a]["wn_shared"] < 1 or got[b]["wn_shared"] < 1
     ]
     assert not misses, f"winnowing guarantee violated for pairs {misses}"
+
+
+def test_classifier_exact_rounding_at_half_boundary(spark, tmp_path):
+    """Regression for the sf0.1 oracle flips (round-7 verdict): a doc
+    whose exact logit lands EXACTLY on a round(x, 6) half-way boundary
+    (the doc-1693 class: logit*1e6 has fraction .5 — possible because
+    logits are rationals with denominator 1000*n_tok). The emitted
+    clf_logit must be the exact HALF-UP rounding computed in integer
+    arithmetic, not whatever the engine's float round does to a double
+    1 ulp off the boundary."""
+    from fractions import Fraction
+
+    # 32 tokens: 31 copies of A + 1 B, searched so that
+    # (wsum - 50*32) % 4 == 2  =>  logit*1e6 fraction is exactly .5
+    words = [f"bw{i}" for i in range(400)]
+    wint = {w: (1103515245 * _bucket(w, "qb:", _CLF_D) + 12345) % 2001 - 1000 for w in words}
+    pick = None
+    for a in words:
+        for b in words:
+            wsum = 31 * wint[a] + wint[b]
+            if (wsum - 1600) % 4 == 2 and wsum != 1600:
+                pick = (a, b, wsum)
+                break
+        if pick:
+            break
+    assert pick, "no boundary-hitting token pair found"
+    a, b, wsum = pick
+    exact = Fraction(wsum - 1600, 32000)
+    assert (exact * 10**6) % 1 == Fraction(1, 2)  # exactly on the boundary
+    # exact HALF-UP (away from zero) at 6dp
+    num, den = (exact * 10**6).numerator, (exact * 10**6).denominator
+    q = (2 * abs(num) + den) // (2 * den) * (1 if num >= 0 else -1)
+    expected = q / 1e6
+
+    sf_dir = _write_docs(spark, tmp_path, [(1, " ".join([a] * 31 + [b]), "en")])
+    row = doc_quality_classifier(spark, sf_dir).collect()[0]
+    assert row["clf_logit"] == expected
+    assert row["clf_keep"] == (expected >= 0)

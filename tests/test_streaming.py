@@ -435,8 +435,9 @@ def test_quality_gated_ingest_matches_batch_classifier(spark, tmp_path):
     from japanstockdatapipeline_spark.plans.llm import (
         _CLF_D,
         _CLF_W,
-        clf_logit_expr,
+        CLF_STAGE_NAMES,
         clf_output_cols,
+        clf_stage_cols,
     )
     from japanstockdatapipeline_spark.streaming.jobs import quality_gated_ingest
 
@@ -484,9 +485,9 @@ def test_quality_gated_ingest_matches_batch_classifier(spark, tmp_path):
 
     batch = spark.read.parquet(str(src))
     scored = (
-        batch.withColumn("__clf_logit", clf_logit_expr())
+        batch.select("*", *clf_stage_cols())
         .select("*", *clf_output_cols())
-        .drop("__clf_logit")
+        .drop(*CLF_STAGE_NAMES)
     )
     expected_keep = {
         r["doc_id"] for r in scored.collect() if r["clf_prob"] is not None and r["clf_prob"] >= 0.5

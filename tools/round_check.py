@@ -7,17 +7,27 @@ round cannot silently skip a gate.
     python tools/round_check.py 7 --skip-pytest   # when a full run just passed
 
 Gates (each recorded in ROUNDCHECK_r{N}.json):
-  driver   — the driver contract on a VANILLA session (entry() rows,
-             50 queries, 50 oracles; session-dependent bugs only show
-             up without our tuned configs)
-  oracle   — tools/verify_local.py at sf0.01 (every registered query
-             AND every panel member vs its DuckDB oracle)
-  plans    — tools/explain_audit.py (physical-plan shape assertions)
-  pytest   — the unit/property suite
-  stress   — runs tools/stress_report.py (ALWAYS re-executed by the
-             full gate; --skip-stress instead reuses an existing
-             STRESS_r{N}.json the caller vouches is current) and
-             checks the artifact for harness/op errors
+  driver    — the driver contract on a VANILLA session (entry() rows,
+              50 queries, 50 oracles; session-dependent bugs only show
+              up without our tuned configs)
+  oracle    — tools/verify_local.py at sf0.01 (every registered query
+              AND every panel member vs its DuckDB oracle)
+  oracle_sf01 — the SAME full suite at sf0.1 (the bench scale).
+              Round-7 lesson: 7/149 checks passed at sf0.01 but
+              failed at sf0.1 on rounding-boundary rows that only
+              exist in the larger data — a gate that stops at the
+              driver's scale certifies the wrong scale.
+  canary    — tools/boundary_canary.py at sf0.01: every float-rounded
+              6dp output's distance to its nearest .5e-6 half-way
+              boundary; FAILS if any value sits within 1e-9 (a 1-ulp
+              cross-engine divergence would flip its hash) or if any
+              query errors under the probe
+  plans     — tools/explain_audit.py (physical-plan shape assertions)
+  pytest    — the unit/property suite
+  stress    — runs tools/stress_report.py (ALWAYS re-executed by the
+              full gate; --skip-stress instead reuses an existing
+              STRESS_r{N}.json the caller vouches is current) and
+              checks the artifact for harness/op errors
 
 Exit 0 iff every gate passes.
 """
@@ -59,12 +69,22 @@ def gate_driver() -> dict:
     }
 
 
-def gate_oracle(sf_dir: str) -> dict:
-    rc, out = run([sys.executable, "tools/verify_local.py", sf_dir])
+def gate_oracle(sf_dir: str, timeout: int = 3600) -> dict:
+    rc, out = run([sys.executable, "tools/verify_local.py", sf_dir], timeout=timeout)
     m = re.search(r"(\d+) failures", out)
     n_pass = len(re.findall(r"^PASS ", out, re.MULTILINE))
     ok = rc == 0 and m is not None and m.group(1) == "0"
     return {"ok": ok, "passes": n_pass, "detail": m.group(0) if m else out[-300:]}
+
+
+def gate_canary(rnd: int, sf_dir: str) -> dict:
+    rc, out = run([sys.executable, "tools/boundary_canary.py", str(rnd), sf_dir])
+    m = re.search(r'"near_boundary_lt_1e-09": (\d+)', out)
+    ok = rc == 0 and m is not None and m.group(1) == "0"
+    return {
+        "ok": ok,
+        "detail": (f"near-boundary values: {m.group(1)}" if m else out[-300:]),
+    }
 
 
 def gate_plans() -> dict:
@@ -124,11 +144,14 @@ def main() -> int:
     skip_stress = "--skip-stress" in sys.argv
     skip_pytest = "--skip-pytest" in sys.argv
     sf_dir = "/root/testdata/sf0.01"
+    sf_dir_big = "/root/testdata/sf0.1"
 
     gates: dict[str, dict] = {}
     for name, fn in (
         ("driver", gate_driver),
         ("oracle", lambda: gate_oracle(sf_dir)),
+        ("oracle_sf01", lambda: gate_oracle(sf_dir_big, timeout=7200)),
+        ("canary", lambda: gate_canary(rnd, sf_dir)),
         ("plans", gate_plans),
         ("pytest", (lambda: {"ok": True, "detail": "skipped (--skip-pytest)"})
          if skip_pytest else gate_pytest),
