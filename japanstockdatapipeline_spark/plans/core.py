@@ -133,10 +133,13 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.col("rk").cast("int"))
 
 
-@query(
+@member(
     "customers_without_orders",
     doc="J10/J11 anti-join (catch-up missing days / delisting detection, "
-    "catch-up.ts:86-117, equity-master.ts:523-530).",
+    "catch-up.ts:86-117, equity-master.ts:523-530). Demoted from the "
+    "driver registry to a customer_feature_panel member in round 8 to "
+    "free a slot for corpus_prep_fused (the flagship): the anti-join "
+    "coverage stays driver-hashed via the panel full-outer join.",
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c

@@ -338,7 +338,7 @@ def _register_corpus_prep_fused() -> None:
             FROM documents)
     ) x USING (doc_id)
     """
-    member(
+    query(
         "corpus_prep_fused",
         oracle=oracle,
         doc=_register_corpus_prep_fused.__doc__,
@@ -375,6 +375,7 @@ register_panel(
         "embedding_ivf_kmeans_topk",
         "embedding_pq_adc_topk",
         "embedding_pq_rerank_topk",
+        "embedding_ivfpq_topk",
     ),
     renames={
         "embedding_knn_topk": {"neighbor_id": "knn_id", "cos": "knn_cos"},
@@ -383,11 +384,13 @@ register_panel(
         "embedding_ivf_kmeans_topk": {"neighbor_id": "ivfk_id", "cos": "ivfk_cos"},
         "embedding_pq_adc_topk": {"neighbor_id": "pq_id", "cos": "pq_cos"},
         "embedding_pq_rerank_topk": {"neighbor_id": "pqr_id", "cos": "pqr_cos"},
+        "embedding_ivfpq_topk": {"neighbor_id": "ivfpq_id", "cos": "ivfpq_cos"},
     },
     doc="ANN comparison panel (T2/J8 + scale paths): brute-force, LSH, "
-    "label-cell IVF, the PRODUCTION k-means-quantized IVF top-k, and "
-    "the PQ asymmetric-distance top-k (compressed-domain serving), "
-    "and its two-stage true-cosine re-rank "
+    "label-cell IVF, the PRODUCTION k-means-quantized IVF top-k, the "
+    "PQ asymmetric-distance top-k (compressed-domain serving), its "
+    "two-stage true-cosine re-rank, and the FULL composed IVF-PQ "
+    "pipeline (coarse probe -> ADC -> re-rank) "
     "joined on (q_id, rank) — exactly the recall audit table an ANN "
     "rollout reviews (the kmeans column is the pairing SCALE.md "
     "measured at recall 1.0 on the replica corpus).",
@@ -460,6 +463,7 @@ register_panel(
         "orders_status_native_pivot",
         "status_pivot_per_customer",
         "screen_latest_published",
+        "customers_without_orders",
     ),
     renames={
         "orders_status_native_pivot": {"o_custkey": "c_custkey"},

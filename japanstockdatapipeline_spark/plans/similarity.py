@@ -676,3 +676,84 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_rerank_topk(emb, _queries_df(emb), k=5, candidates=20)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """The full IVF-PQ pipeline oracle: the coarse-quantizer CTE is
+    the embedding_kmeans_cells member oracle verbatim; the PQ chain
+    is the shared _PQ_CTES; probing/centroids replay the
+    embedding_ivf_kmeans_topk recipe; ADC runs over probed cells
+    only, then the true-cosine re-rank."""
+    from .registry import member_oracle
+
+    return f"""
+    WITH cells AS ({member_oracle("embedding_kmeans_cells")}),
+    {_PQ_CTES},
+    a AS (SELECT e.vec_id, c.cell, e.v
+          FROM emb e JOIN cells c ON c.vec_id = e.vec_id),
+    ex2 AS (SELECT cell, r.i AS i, v[r.i] AS x
+            FROM a, LATERAL unnest(range(1, 65)) AS r(i)),
+    comp2 AS (SELECT cell, i, avg(x) AS m FROM ex2 GROUP BY cell, i),
+    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid
+              FROM comp2 GROUP BY cell),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.q_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+                          c.cell ASC) AS pr
+        FROM q CROSS JOIN cent2 c)
+      WHERE pr <= 2
+    ),
+    adc AS (
+      SELECT p.q_id, co.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (p.qv[i] - co.recon[i]) * (p.qv[i] - co.recon[i]))), 6) AS adc,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos
+      FROM codes co
+      JOIN a ON a.vec_id = co.vec_id
+      JOIN probes p ON a.cell = p.cell
+      WHERE co.vec_id <> p.q_id
+    ),
+    shortlist AS (
+      SELECT q_id, neighbor_id, cos
+      FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc ASC, neighbor_id ASC) <= 20
+    )
+    SELECT q_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM shortlist)
+    WHERE rank <= 5
+    """
+
+
+def _register_ivfpq_topk() -> None:
+    """The FULL IVF-PQ serving pipeline as one driver-checked member
+    (round-7 verdict #6; operators/kmeans.ivf_pq_rerank_topk): coarse
+    k-means cells (k=8) -> per-vector PQ codes (8x16) -> queries
+    probe their 2 nearest coarse centroids -> ADC over probed cells
+    only -> 20-deep shortlist -> TRUE-cosine re-rank -> top-5. The
+    Jégou pipeline end to end, every stage value-checked against the
+    composed oracle (quantizer CTE = the kmeans member oracle, PQ
+    chain = the shared CTE block). Recall dials: (n_probe,
+    candidates) — STRESS_r08 splits coarse-probe/ADC/re-rank cost."""
+    from ..operators.kmeans import ivf_pq_rerank_topk
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_pq_rerank_topk(
+            emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8
+        )
+
+    fn.__name__ = "embedding_ivfpq_topk"
+    member(
+        "embedding_ivfpq_topk",
+        oracle=_ivfpq_oracle_sql(),
+        doc=_register_ivfpq_topk.__doc__,
+    )(fn)
+
+
+_register_ivfpq_topk()

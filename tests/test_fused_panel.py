@@ -111,7 +111,7 @@ def test_corpus_prep_fused_equals_join_of_members(spark):
     from japanstockdatapipeline_spark.functions.text import fingerprint_md5
     from japanstockdatapipeline_spark.sources import load_table
 
-    fused = all_members()["corpus_prep_fused"].fn(spark, SF_SMOKE)
+    fused = all_queries()["corpus_prep_fused"].fn(spark, SF_SMOKE)
     dfs = [
         _renamed_member_df(spark, SF_SMOKE, m, _DOC_FUSED_RENAMES)
         for m in (*_DOC_FUSED_MEMBERS, "doc_decontamination")
@@ -146,7 +146,7 @@ def test_corpus_prep_fused_plan_shape(spark):
     1-row eval-set collapse (SinglePartition over <=n_partitions
     partial-agg rows, never corpus data), zero equi-joins — the decon
     probe is a broadcast array intersect, not a join."""
-    fused = all_members()["corpus_prep_fused"].fn(spark, SF_SMOKE)
+    fused = all_queries()["corpus_prep_fused"].fn(spark, SF_SMOKE)
     plan = _plan_of(fused)
     n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_ex == 3, f"2 shuffles + 1-row eval collapse expected, saw {n_ex}"

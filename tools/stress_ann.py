@@ -205,6 +205,50 @@ def main() -> None:
     ivf_split(16, 2, "ivf_kmeans_split_k16")
     k_sqrt = int(math.isqrt(n))
     ivf_split(k_sqrt, max(2, round(k_sqrt / 16)), "ivf_kmeans_split_ksqrt")
+
+    # FULL IVF-PQ pipeline split (round-7 verdict #6): build the
+    # coarse cells + PQ codes + centroids ONCE (persisted), then sweep
+    # the two recall dials — n_probe buys back what the coarse cut
+    # loses, candidates what the compression loses. The operating
+    # point to ship is the cheapest (n_probe, candidates) with
+    # recall >= 0.95.
+    def ivfpq_split(k_coarse: int):
+        from japanstockdatapipeline_spark.operators.kmeans import (
+            ivf_pq_build,
+            ivf_pq_probe,
+        )
+
+        t_b = time.time()
+        index, cents = ivf_pq_build(corpus, k_coarse=k_coarse, m=8, k_cells=16)
+        index = index.persist()
+        cents = cents.persist()
+        index.count()
+        cents.count()
+        build_sec = round(time.time() - t_b, 2)
+        for n_probe, cand_mult in ((2, 4), (2, 8), (4, 4), (4, 8), (8, 8)):
+            t_p = time.time()
+            rec = with_recall(
+                ivf_pq_probe(
+                    index, cents, queries, k=K_NN,
+                    candidates=cand_mult * K_NN, n_probe=n_probe,
+                )
+            )
+            rec.update(
+                {
+                    "op": f"ivfpq_split_k{k_coarse}_p{n_probe}_c{cand_mult * K_NN}",
+                    "k_coarse": k_coarse,
+                    "n_probe": n_probe,
+                    "candidates": cand_mult * K_NN,
+                    "build_sec": build_sec,
+                    "probe_sec": round(time.time() - t_p, 2),
+                }
+            )
+            rec["sec"] = round(build_sec + rec["probe_sec"], 2)
+            print(json.dumps(rec))
+        index.unpersist()
+        cents.unpersist()
+
+    ivfpq_split(16)
     # n_planes must scale with log2(corpus): the 4-plane default is
     # sized for the 200-vector registered query (16 buckets); at 20k
     # vectors it degrades to ~1250 docs/bucket and minutes of
