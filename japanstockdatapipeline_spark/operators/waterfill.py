@@ -119,6 +119,13 @@ def budget_fill(
     capacities = per-source token counts, budget = target corpus
     tokens; the allocation is how many tokens to sample per source
     and `alloc/capacity` the per-source sampling rate.
+
+    With empty `group_cols` the windows run unpartitioned — safe
+    ONLY because every caller feeds a bounded constituent axis
+    (sources/nations after aggregation, never fact grain); the
+    explain-audit global window sweep (tools/explain_audit.py
+    BOUNDED_AXIS_GLOBAL_WINDOWS) pins that claim per registered
+    query, so an unbounded caller fails the gate.
     """
     grp_cols = list(group_cols or [])
     worder = (

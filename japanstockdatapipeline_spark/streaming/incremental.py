@@ -125,6 +125,14 @@ def catch_up_plan(
     which scheduled arbitrarily old — or future — calendar days and
     let the same `max_catch_up` ancient slots crowd out the real
     recent backlog on every run.)
+
+    TIMEZONE: the default is the DRIVER-LOCAL wall-clock date
+    (dt.date.today()), which can sit one day off the data calendar
+    when the driver timezone differs (a UTC driver planning a JST
+    calendar flips at 09:00 JST, not midnight). Production jobs
+    should inject `today=` explicitly from the data calendar's clock
+    — the tests do — and treat the default as an interactive
+    convenience.
     """
     cal = calendar_days.select(F.col(calendar_days.columns[0]).alias("d"))
     done = completed_days.select(F.col(completed_days.columns[0]).alias("d"))
@@ -535,9 +543,15 @@ def compact_partitions(
         if not fs.rename(src_p, trash_p):
             raise IOError(f"compaction swap failed moving {src} aside")
         if not fs.rename(tmp_p, src_p):
-            # restore the original rather than leaving the partition gone
-            fs.rename(trash_p, src_p)
-            raise IOError(f"compaction swap failed for {src}; original restored")
+            # restore the original rather than leaving the partition gone;
+            # if the restore itself fails, say where the only copy sits
+            # instead of claiming a restore that didn't happen
+            if fs.rename(trash_p, src_p):
+                raise IOError(f"compaction swap failed for {src}; original restored")
+            raise IOError(
+                f"compaction swap failed for {src} AND the restore rename "
+                f"failed — the only copy of the partition is at {trash}"
+            )
         fs.delete(trash_p, True)
     return plan
 

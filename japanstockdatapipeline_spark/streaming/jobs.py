@@ -439,7 +439,7 @@ def quality_gated_ingest(
         .select("*", *clf_output_cols())
         .drop(*CLF_STAGE_NAMES)
     )
-    stats: list[dict] = []
+    stats: dict[int, dict] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -464,9 +464,16 @@ def quality_gated_ingest(
                 write_partition_overwrite(
                     rej, rejects_dir, [partition_col, "ingest_batch"]
                 )
-            stats.append(
-                {"batch_id": int(batch_id), "kept": n_keep, "rejected": n_rej}
-            )
+            # keyed by batch_id: a micro-batch retried after a
+            # transient sink failure re-enters here with the SAME
+            # batch_id — the parquet writes are idempotent (batch-
+            # scoped dynamic overwrite), so the stats must be too,
+            # not double-count the replayed batch
+            stats[int(batch_id)] = {
+                "batch_id": int(batch_id),
+                "kept": n_keep,
+                "rejected": n_rej,
+            }
         finally:
             batch_df.unpersist()
 
@@ -477,7 +484,7 @@ def quality_gated_ingest(
         .start()
     )
     q.awaitTermination()
-    return stats
+    return [stats[b] for b in sorted(stats)]
 
 
 def enrich_with_master_current(

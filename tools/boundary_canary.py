@@ -82,6 +82,9 @@ def main() -> int:
     import pyspark.sql.functions as SF
 
     spark = get_spark("boundary-canary")
+    # persist()-ing members leave CacheManager entries per sf_dir —
+    # start clean (see tools/verify_local.py)
+    spark.catalog.clearCache()
     targets = {**all_queries(), **all_members()}
     report: dict[str, dict] = {}
     worst = (0.5, None, None)  # (dist, query, column)

@@ -57,6 +57,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark("verify-local")
+    # queries that persist() intermediates (doc_vocab_stats and
+    # friends) leave entries in the session CacheManager; identical
+    # plans share one entry per sf_dir, but a harness looping over
+    # MANY dirs in one session would accumulate — clear up front so
+    # repeated invocations against different dirs start clean
+    spark.catalog.clearCache()
     con = duck_con(sf_dir)
     failures = []
     for name, q in {**all_queries(), **all_members()}.items():
