@@ -16,6 +16,8 @@ __all__ = [
     "round_half_up",
     "round6_ratio",
     "round6_ratio_sql",
+    "round6_q",
+    "round6_q_sql",
     "product_of_list",
     "product_agg",
     "zscore",
@@ -77,6 +79,20 @@ def round6_ratio_sql(
     HUGEINT (DuckDB) before scaling; note the cast wraps the fragment
     AS GIVEN, so a fragment that already overflows int64 internally
     must lead with its own widening cast."""
+    return f"(CAST({round6_q_sql(num_sql, den_sql, div=div, wide=wide)} AS DOUBLE) / 1000000.0)"
+
+
+def round6_q(num_sql: str, den_sql: str, wide: bool = False) -> Column:
+    """The 6dp-scaled integer q = half-up(num*1e6/den) itself (BIGINT)
+    — for chains that keep computing on the rounded value (e.g. the
+    stochastic SMA3-of-rounded-%K), where the next stage's exact
+    arithmetic needs the integer, not the q/1e6 double."""
+    return F.expr(round6_q_sql(num_sql, den_sql, div="div", wide=wide))
+
+
+def round6_q_sql(
+    num_sql: str, den_sql: str, div: str = "//", wide: bool = False
+) -> str:
     if wide:
         t = "DECIMAL(38,0)" if div == "div" else "HUGEINT"
         num_sql = f"CAST({num_sql} AS {t})"
@@ -85,10 +101,7 @@ def round6_ratio_sql(
     d = f"({den_sql})"
     q_pos = f"((2 * {s} + {d}) {div} (2 * {d}))"
     q_neg = f"((2 * (-{s}) + {d}) {div} (2 * {d}))"
-    return (
-        f"(CAST(CASE WHEN {s} >= 0 THEN {q_pos} ELSE -{q_neg} END AS DOUBLE)"
-        f" / 1000000.0)"
-    )
+    return f"(CASE WHEN {s} >= 0 THEN {q_pos} ELSE -{q_neg} END)"
 
 
 def product_of_list(lst: Column) -> Column:

@@ -60,10 +60,14 @@ FUSED_SCHEMA = (
 
 _ROUND6 = (
     "sma5", "bb_up", "bb_dn", "prior_max", "obv", "best_value",
-    "raw_k", "slow_k", "slow_d", "tenkan", "kijun", "senkou_a",
+    "tenkan", "kijun", "senkou_a",
     "atr_14", "macd", "macd_signal", "macd_hist", "ema_12", "rsi_14",
     "last_click_value",
 )
+# emitted ALREADY-exact (integer-arithmetic 6dp rounding inside the
+# operator, matching event_stochastic's q-chain — see that member's
+# exactness note); only NaN->NULL applies, never a float re-round
+_EXACT6 = ("raw_k", "slow_k", "slow_d")
 
 
 def _trail(v: np.ndarray, w: int, fn) -> np.ndarray:
@@ -167,18 +171,36 @@ def _group_frame(g: pd.DataFrame) -> pd.DataFrame:
     out["best_value"] = cmax
     out["best_event_id"] = pd.Series(cand).groupby(seg).cummax().to_numpy()
 
-    # event_stochastic: 14-row HH/LL raw %K, two SMA3 passes where the
-    # 3-row window holds 3 defined values (W14)
-    hh = _trail(v, 14, lambda s: s.max(axis=1))
-    ll = _trail(v, 14, lambda s: s.min(axis=1))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        raw_k = np.where(~np.isnan(hh) & (hh != ll), 100.0 * (v - ll) / (hh - ll), np.nan)
-    # SMA3 passes as explicit frame-order sums (NaN anywhere in the
-    # 3-row frame -> NaN == the members' count(col) OVER w3 = 3 gate);
-    # pandas rolling().mean() accumulates differently -> 1-ulp drift
-    slow_k = (_shift(raw_k, 2) + _shift(raw_k, 1) + raw_k) / 3.0
-    slow_d = (_shift(slow_k, 2) + _shift(slow_k, 1) + slow_k) / 3.0
-    out["raw_k"], out["slow_k"], out["slow_d"] = raw_k, slow_k, slow_d
+    # event_stochastic: the member's exact integer q-chain (see
+    # event_stochastic's exactness note): raw %K = half-up 6dp of the
+    # cent rational 100*(v_c-ll)/(hh-ll) as an int64 q; each SMA3 pass
+    # averages the ROUNDED previous stage ((q1+q2+q3)/3e6, re-rounded
+    # as (2*sq+3)//6 — all int64, bit-identical to the Spark/SQL rails;
+    # NaN lanes mark the count-gates)
+    v_c = np.rint(v * 100.0).astype(np.int64)
+    hh = _trail(v_c.astype(float), 14, lambda s: s.max(axis=1))
+    ll = _trail(v_c.astype(float), 14, lambda s: s.min(axis=1))
+    defined = ~np.isnan(hh) & (hh != ll)
+    rawq = np.full(n, np.nan)
+    if defined.any():
+        dv = v_c[defined] - ll[defined].astype(np.int64)
+        dd = hh[defined].astype(np.int64) - ll[defined].astype(np.int64)
+        num = 100 * dv * 1000000
+        rawq[defined] = (2 * num + dd) // (2 * dd)  # q in [0, 1e8]: float-exact
+
+    def _sma3_q(q: np.ndarray) -> np.ndarray:
+        sq = _shift(q, 2) + _shift(q, 1) + q  # sums of exact ints: order-free
+        out_q = np.full(len(q), np.nan)
+        m = ~np.isnan(sq)
+        if m.any():
+            out_q[m] = (2 * sq[m].astype(np.int64) + 3) // 6
+        return out_q
+
+    skq = _sma3_q(rawq)
+    sdq = _sma3_q(skq)
+    out["raw_k"] = rawq / 1e6
+    out["slow_k"] = skq / 1e6
+    out["slow_d"] = sdq / 1e6
 
     # event_golden_cross: sign of SMA5-SMA20, flips + age (W18)
     sma20 = _trail_mean(v, 20)
@@ -251,6 +273,9 @@ def fused_event_indicators(events: DataFrame) -> DataFrame:
     for c in raw.columns:
         if c in _ROUND6:
             cols.append(F.round(F.when(~F.isnan(c), F.col(c)), 6).alias(c))
+        elif c in _EXACT6:
+            # already exact 6dp from the integer q-chain: NaN->NULL only
+            cols.append(F.when(~F.isnan(c), F.col(c)).alias(c))
         else:
             cols.append(F.col(c))
     return raw.select(*cols)
@@ -302,11 +327,6 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     best = F.max(
         F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
     ).over(run)
-    hh, ll = F.max("value").over(w14), F.min("value").over(w14)
-    raw_k = F.when(
-        (F.count(F.lit(1)).over(w14) == 14) & (hh != ll),
-        100.0 * (F.col("value") - ll) / (hh - ll),
-    )
     sma20 = gated(w20, 20, F.avg("value"))
 
     def midline(frame, n):
@@ -327,6 +347,8 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
         F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
     ).over(w_asof)
 
+    from ..functions import semantics as SEM
+
     d = (
         ev.withColumn("sma5", mid5)
         .withColumn("__sd5", sd5)
@@ -336,16 +358,41 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
         .withColumn("obv", F.sum("__signed").over(run))
         .withColumn("best_value", best["v"])
         .withColumn("best_event_id", best["id"])
-        .withColumn("raw_k", raw_k)
+        .withColumn("__v_c", F.round(F.col("value") * 100).cast("bigint"))
         .withColumn("__sma20", sma20)
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("tenkan", midline(w9, 9))
         .withColumn("kijun", midline(w26, 26))
         .withColumn("__asof_click", last_click)
     )
-    d = d.withColumn("slow_k", F.when(F.count("raw_k").over(w3) == 3, F.avg("raw_k").over(w3)))
+    # stochastic: the member's exact integer q-chain (see
+    # event_stochastic's exactness note)
+    d = (
+        d.withColumn("__hh", F.max("__v_c").over(w14))
+        .withColumn("__ll", F.min("__v_c").over(w14))
+        .withColumn(
+            "__rawq",
+            F.when(
+                (F.count(F.lit(1)).over(w14) == 14)
+                & (F.col("__hh") != F.col("__ll")),
+                SEM.round6_q("100 * (__v_c - __ll)", "__hh - __ll"),
+            ),
+        )
+        .withColumn("raw_k", F.col("__rawq").cast("double") / 1000000.0)
+    )
     d = d.withColumn(
-        "slow_d", F.when(F.count("slow_k").over(w3) == 3, F.avg("slow_k").over(w3))
+        "__sq", F.when(F.count("__rawq").over(w3) == 3, F.sum("__rawq").over(w3))
+    )
+    d = d.withColumn(
+        "__skq", F.when(F.col("__sq").isNotNull(), SEM.round6_q("__sq", "3000000"))
+    )
+    d = d.withColumn("slow_k", F.col("__skq").cast("double") / 1000000.0)
+    d = d.withColumn(
+        "__sq2", F.when(F.count("__skq").over(w3) == 3, F.sum("__skq").over(w3))
+    )
+    d = d.withColumn(
+        "slow_d",
+        F.when(F.col("__sq2").isNotNull(), SEM.round6_ratio("__sq2", "3000000")),
     )
     state = F.when(
         F.col("sma5").isNull() | F.col("__sma20").isNull(), F.lit(None).cast("int")
@@ -373,7 +420,10 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     d = d.withColumn("last_click_value", F.when(is_purchase, F.col("__asof_click")))
     d = d.withColumn("bb_up", F.col("sma5") + 2 * F.col("__sd5"))
     d = d.withColumn("bb_dn", F.col("sma5") - 2 * F.col("__sd5"))
-    d = d.drop("__sd5", "__signed", "__sma20", "__rn", "__change_rn", "__asof_click")
+    d = d.drop(
+        "__sd5", "__signed", "__sma20", "__rn", "__change_rn", "__asof_click",
+        "__v_c", "__hh", "__ll", "__rawq", "__sq", "__skq", "__sq2",
+    )
 
     # recursive family appended pandas-side; partitioning from the
     # window Exchange is preserved, so this adds NO shuffle
@@ -414,6 +464,7 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
             cols.append(F.round(F.col(c), 6).alias(c))
         else:
             cols.append(F.round(F.col(c), 6).alias(c))
+    cols += [F.col(c) for c in _EXACT6]  # exact 6dp from the q-chain
     cols += [
         F.col("value_out").alias("value"),
         F.when(F.col("prior_max").isNull(), F.lit(None).cast("boolean"))

@@ -72,6 +72,10 @@ def image_stats(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                    # exact integer sum rides along so callers emitting
+                    # a 6dp mean can round it in integer arithmetic
+                    # (functions/semantics.round6_ratio)
+                    "sum_byte": pdf["payload"].map(lambda b: sum(b or b"")),
                     "mean_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[0]),
                     "max_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[1]),
                     "sha256": pdf["payload"].map(
@@ -84,7 +88,7 @@ def image_stats(media: DataFrame) -> DataFrame:
             yield out
 
     schema = (
-        "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, "
+        "doc_id bigint, n_bytes bigint, sum_byte bigint, mean_byte double, max_byte int, "
         "sha256 string, width int, height int"
     )
     return media.mapInPandas(batches, schema=schema)

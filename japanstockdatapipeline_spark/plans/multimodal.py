@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import semantics as _SEM
 from ..functions.japanese import era_date_to_iso, iso_to_era_date
 from ..operators.multimodal import attach_fake_payload, frame_sample_plan, image_stats
 from ..sources import load_table
@@ -30,10 +31,7 @@ from .registry import member, query
     )
     SELECT doc_id,
            CAST(nb AS BIGINT) AS n_bytes,
-           round(CASE WHEN nb = 0 THEN 0.0
-                 ELSE list_avg(list_transform(range(1, nb + 1),
-                        i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT))) END,
-                 6) AS mean_byte,
+           CASE WHEN nb = 0 THEN 0.0 ELSE {MEAN} END AS mean_byte,
            CAST(coalesce(list_max(list_transform(range(1, nb + 1),
                         i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT))), 0)
                 AS INT) AS max_byte,
@@ -41,16 +39,29 @@ from .registry import member, query
            CAST(length(text) % 640 + 16 AS INT) AS width,
            CAST(length(text) % 480 + 16 AS INT) AS height
     FROM b
-    """,
+    """.replace(
+        "{MEAN}",
+        _SEM.round6_ratio_sql(
+            "list_sum(list_transform(range(1, nb + 1),"
+            " i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT)))",
+            "nb",
+        ),
+    ),
 )
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_payload(docs)
     out = image_stats(media)
+    # exact 6dp mean from the integer byte sum (sum/len is a rational
+    # that lands on .5e-6 boundaries — 4 rows at sf0.01; SCALE.md rule
+    # 5 extended); zero-byte payloads keep the 0.0 convention
+    mean = F.when(
+        F.col("n_bytes") > 0, _SEM.round6_ratio("sum_byte", "n_bytes")
+    ).otherwise(F.lit(0.0))
     return out.select(
         "doc_id",
         "n_bytes",
-        F.round("mean_byte", 6).alias("mean_byte"),
+        mean.alias("mean_byte"),
         "max_byte",
         "sha256",
         "width",

@@ -753,6 +753,9 @@ def _register_ivfpq_topk() -> None:
         "embedding_ivfpq_topk",
         oracle=_ivfpq_oracle_sql(),
         doc=_register_ivfpq_topk.__doc__,
+        # bench headline: the composed serving pipeline is the ANN
+        # flagship — regression-track it round over round
+        bench=True,
     )(fn)
 
 

@@ -23,50 +23,94 @@ def _ev(spark, sf_dir):
 @member(
     "event_stochastic",
     doc="W14 stochastic slow %K/%D (technical.ts:216-237): rolling "
-    "14-row HH/LL, NULL when HH==LL, then two SMA3 smoothing passes.",
+    "14-row HH/LL, NULL when HH==LL, then two SMA3 smoothing passes. "
+    "Exactness (SCALE.md rule 5 extended): raw %K is a rational of "
+    "exact price cents — 100*(v-ll)/(hh-ll) lands exactly on "
+    "round(x, 6) half-way boundaries (the sf0.01 canary found one) — "
+    "so the whole chain runs in integer arithmetic: raw %K rounds to "
+    "its 6dp-scaled integer q via round6_q, and each SMA3 pass "
+    "averages the ROUNDED previous stage (sum of three q ints / 3e6, "
+    "re-rounded exactly). Averaging the rounded intermediates (<= "
+    "5e-7 shift per stage) is the price of bounded denominators — "
+    "the raw rational of a depth-2 average has a product-of-products "
+    "denominator no 128-bit integer holds.",
     oracle="""
-    WITH k AS (
-      SELECT event_id, user_id, ts, value,
-             CASE WHEN count(*) OVER w14 = 14
-                   AND max(value) OVER w14 <> min(value) OVER w14
-                  THEN 100.0 * (value - min(value) OVER w14)
-                       / (max(value) OVER w14 - min(value) OVER w14) END AS raw_k
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS v_c
       FROM events
+    ), k AS (
+      SELECT event_id, user_id, ts, v_c,
+             max(v_c) OVER w14 AS hh, min(v_c) OVER w14 AS ll,
+             count(*) OVER w14 AS n14
+      FROM base
       WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    ), d AS (
-      SELECT *, CASE WHEN count(raw_k) OVER w3 = 3 THEN avg(raw_k) OVER w3 END AS slow_k
+    ), rq AS (
+      SELECT *, CASE WHEN n14 = 14 AND hh <> ll THEN {RAWQ} END AS rawq
       FROM k
+    ), sk0 AS (
+      SELECT *, CASE WHEN count(rawq) OVER w3 = 3 THEN sum(rawq) OVER w3 END AS sq
+      FROM rq
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ), sk AS (
+      SELECT *, CASE WHEN sq IS NOT NULL THEN {SKQ} END AS skq
+      FROM sk0
+    ), sd0 AS (
+      SELECT *, CASE WHEN count(skq) OVER w3 = 3 THEN sum(skq) OVER w3 END AS sq2
+      FROM sk
       WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_id, user_id, round(raw_k, 6) AS raw_k, round(slow_k, 6) AS slow_k,
-           round(CASE WHEN count(slow_k) OVER w3 = 3 THEN avg(slow_k) OVER w3 END, 6) AS slow_d
-    FROM d
-    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-    """,
+    SELECT event_id, user_id,
+           CAST(rawq AS DOUBLE) / 1000000.0 AS raw_k,
+           CAST(skq AS DOUBLE) / 1000000.0 AS slow_k,
+           CASE WHEN sq2 IS NOT NULL THEN {SDV} END AS slow_d
+    FROM sd0
+    """.replace("{RAWQ}", SEM.round6_q_sql("100 * (v_c - ll)", "hh - ll"))
+    .replace("{SKQ}", SEM.round6_q_sql("sq", "3000000"))
+    .replace("{SDV}", SEM.round6_ratio_sql("sq2", "3000000")),
 )
 def event_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w14 = w.rowsBetween(-13, 0)
     w3 = w.rowsBetween(-2, 0)
-    hh, ll = F.max("value").over(w14), F.min("value").over(w14)
-    raw_k = F.when(
-        (F.count(F.lit(1)).over(w14) == 14) & (hh != ll),
-        100.0 * (F.col("value") - ll) / (hh - ll),
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("bigint").alias("__v_c"),
     )
-    d = ev.withColumn("raw_k", raw_k)
-    slow_k = F.when(F.count("raw_k").over(w3) == 3, F.avg("raw_k").over(w3))
-    d = d.withColumn("slow_k", slow_k)
-    slow_d = F.when(F.count("slow_k").over(w3) == 3, F.avg("slow_k").over(w3))
+    staged = base.select(
+        "*",
+        F.max("__v_c").over(w14).alias("__hh"),
+        F.min("__v_c").over(w14).alias("__ll"),
+        F.count(F.lit(1)).over(w14).alias("__n14"),
+    )
+    rawq = F.when(
+        (F.col("__n14") == 14) & (F.col("__hh") != F.col("__ll")),
+        SEM.round6_q("100 * (__v_c - __ll)", "__hh - __ll"),
+    )
+    d = staged.withColumn("__rawq", rawq)
+    d = d.withColumn(
+        "__sq", F.when(F.count("__rawq").over(w3) == 3, F.sum("__rawq").over(w3))
+    )
+    d = d.withColumn(
+        "__skq", F.when(F.col("__sq").isNotNull(), SEM.round6_q("__sq", "3000000"))
+    )
+    d = d.withColumn(
+        "__sq2", F.when(F.count("__skq").over(w3) == 3, F.sum("__skq").over(w3))
+    )
     return d.select(
         "event_id",
         "user_id",
-        F.round("raw_k", 6).alias("raw_k"),
-        F.round("slow_k", 6).alias("slow_k"),
-        F.round(slow_d, 6).alias("slow_d"),
+        (F.col("__rawq").cast("double") / 1000000.0).alias("raw_k"),
+        (F.col("__skq").cast("double") / 1000000.0).alias("slow_k"),
+        F.when(
+            F.col("__sq2").isNotNull(), SEM.round6_ratio("__sq2", "3000000")
+        ).alias("slow_d"),
     )
 
 
@@ -300,51 +344,88 @@ def pct_above_sma_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT epoch_us(ts) // 86400000000 AS day, user_id,
-             sum(value) AS value_sum,
+             sum(CAST(round(value * 100) AS BIGINT)) AS value_c,
              CAST(count(*) AS BIGINT) AS n_events,
-             max(CASE WHEN event_type = 'purchase' THEN value END) AS max_purchase
+             max(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS max_purchase_c
       FROM events GROUP BY 1, 2
     ), p AS (
-      SELECT day, user_id, value_sum, n_events, max_purchase,
-             percent_rank() OVER (PARTITION BY day ORDER BY value_sum) AS p1,
-             percent_rank() OVER (PARTITION BY day ORDER BY n_events) AS p2,
-             CASE WHEN max_purchase IS NOT NULL THEN
-               percent_rank() OVER (PARTITION BY day, (max_purchase IS NULL)
-                                    ORDER BY max_purchase) END AS p3
+      SELECT day, user_id, max_purchase_c,
+             rank() OVER (PARTITION BY day ORDER BY value_c) - 1 AS a1,
+             rank() OVER (PARTITION BY day ORDER BY n_events) - 1 AS a2,
+             CASE WHEN max_purchase_c IS NOT NULL THEN
+               rank() OVER (PARTITION BY day, (max_purchase_c IS NULL)
+                            ORDER BY max_purchase_c) - 1 END AS a3,
+             count(*) OVER (PARTITION BY day) - 1 AS n1,
+             CASE WHEN max_purchase_c IS NOT NULL THEN
+               count(*) OVER (PARTITION BY day, (max_purchase_c IS NULL)) - 1 END AS m1
       FROM m
     )
     SELECT day, user_id,
-           round((0.4 * p1 + 0.4 * p2 + coalesce(0.2 * p3, 0.0))
-                 / (0.8 + CASE WHEN p3 IS NOT NULL THEN 0.2 ELSE 0.0 END), 6) AS heat_score
+           CASE WHEN max_purchase_c IS NULL THEN {SCORE2}
+                ELSE {SCORE3} END AS heat_score
     FROM p
-    """,
+    """.replace("{SCORE2}", SEM.round6_ratio_sql("a1 + a2", "2 * greatest(n1, 1)"))
+    .replace(
+        "{SCORE3}",
+        SEM.round6_ratio_sql(
+            "2 * (a1 + a2) * greatest(m1, 1) + a3 * greatest(n1, 1)",
+            "5 * greatest(n1, 1) * greatest(m1, 1)",
+            wide=True,
+        ),
+    ),
 )
 def overheat_heat_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness (SCALE.md rule 5 extended): percent_rank values are
+    rationals a/(n-1), so the weighted null-renormalized combination
+    (0.4 p1 + 0.4 p2 + 0.2 p3)/(0.8 + 0.2[p3]) is the rational
+    (a1+a2)/(2n') or (2(a1+a2)m' + a3 n')/(5 n' m') — it landed
+    exactly on round(x, 6) boundaries on 55 of 4006 rows at sf0.01
+    (the canary's biggest finding), so it is rounded in integer
+    arithmetic. Ranks order by EXACT cent sums (value_c), not float
+    sums, so the ordering itself cannot drift across engines."""
     ev = _ev(spark, sf_dir).withColumn("day", F.expr(f"ts_us DIV {US_PER_DAY}"))
     m = ev.groupBy("day", "user_id").agg(
-        F.sum("value").alias("value_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
-            "max_purchase"
-        ),
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            )
+        ).alias("max_purchase_c"),
     )
     wd = Window.partitionBy("day")
-    p1 = F.percent_rank().over(wd.orderBy("value_sum"))
-    p2 = F.percent_rank().over(wd.orderBy("n_events"))
-    # rank non-null purchases only: partition nulls into their own bucket
-    w3 = Window.partitionBy("day", F.col("max_purchase").isNull()).orderBy("max_purchase")
-    p3 = F.when(F.col("max_purchase").isNotNull(), F.percent_rank().over(w3))
-    scored = m.select(
+    # NOTE: the count windows must stay UNORDERED — an orderBy would
+    # shrink the default frame to a running count (range-to-current)
+    w3p = Window.partitionBy("day", F.col("max_purchase_c").isNull())
+    w3 = w3p.orderBy("max_purchase_c")
+    has3 = F.col("max_purchase_c").isNotNull()
+    staged = m.select(
         "day",
         "user_id",
-        p1.alias("p1"),
-        p2.alias("p2"),
-        p3.alias("p3"),
+        "max_purchase_c",
+        # ranks cast to BIGINT: Spark rank() is INT32 and the round6
+        # scaling (a1+a2)*1e6 overflows 2^31 past ~1000 rows per day
+        (F.rank().over(wd.orderBy("value_c")) - 1).cast("bigint").alias("a1"),
+        (F.rank().over(wd.orderBy("n_events")) - 1).cast("bigint").alias("a2"),
+        F.when(has3, (F.rank().over(w3) - 1).cast("bigint")).alias("a3"),
+        (F.count(F.lit(1)).over(wd) - 1).alias("n1"),
+        F.when(has3, F.count(F.lit(1)).over(w3p) - 1).alias("m1"),
     )
-    score = (0.4 * F.col("p1") + 0.4 * F.col("p2") + F.coalesce(0.2 * F.col("p3"), F.lit(0.0))) / (
-        0.8 + F.when(F.col("p3").isNotNull(), 0.2).otherwise(0.0)
+    score2 = SEM.round6_ratio("a1 + a2", "2 * greatest(n1, 1)")
+    score3 = SEM.round6_ratio(
+        "2 * (a1 + a2) * greatest(m1, 1) + a3 * greatest(n1, 1)",
+        "5 * greatest(n1, 1) * greatest(m1, 1)",
+        wide=True,
     )
-    return scored.select("day", "user_id", F.round(score, 6).alias("heat_score"))
+    return staged.select(
+        "day",
+        "user_id",
+        F.when(F.col("max_purchase_c").isNull(), score2)
+        .otherwise(score3)
+        .alias("heat_score"),
+    )
 
 
 def _next_stage_sql(h: str, prev: str) -> str:

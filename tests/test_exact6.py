@@ -1,0 +1,98 @@
+"""Exact 6dp rounding rails (SCALE.md rule 5 extended, round 8).
+
+Pins the integer-arithmetic rounding helpers against Fraction ground
+truth, and the stochastic %K boundary case the sf0.01 canary caught
+(a raw %K rational landing EXACTLY on a round(x, 6) half-way
+boundary, where engine float-round primitives disagree).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.functions.semantics import (
+    round6_q_sql,
+    round6_ratio_sql,
+)
+
+
+def _half_up6(fr: Fraction) -> float:
+    scaled = fr * 10**6
+    num, den = scaled.numerator, scaled.denominator
+    q = (2 * abs(num) + den) // (2 * den) * (1 if num >= 0 else -1)
+    return q / 1e6
+
+
+def test_round6_ratio_matches_fraction_ground_truth(spark):
+    """Random-ish rationals (fixed seed), including exact .5e-6
+    boundary hits, negatives, and wide operands: the SQL form equals
+    exact HALF-UP rounding of the rational, in BOTH engines."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    cases = [(rng.randint(-10**6, 10**6), rng.randint(1, 10**4)) for _ in range(60)]
+    # engineered exact-boundary hits: num/den * 1e6 ends in .5
+    cases += [(1, 512), (3, 512), (1122, 32000), (-1, 512), (5, 2_000_000)]
+    for num, den in cases:
+        want = _half_up6(Fraction(num, den))
+        # BIGINT casts mirror the call sites (staged integer columns);
+        # a bare int literal is INT32 in Spark and *1e6 would overflow
+        ns, ds = f"CAST({num} AS BIGINT)", f"CAST({den} AS BIGINT)"
+        got_spark = spark.sql(
+            f"SELECT {round6_ratio_sql(ns, ds, div='div')} AS v"
+        ).first()["v"]
+        got_duck = duckdb.sql(
+            f"SELECT {round6_ratio_sql(ns, ds)} AS v"
+        ).fetchone()[0]
+        assert got_spark == want, (num, den, got_spark, want)
+        assert got_duck == want, (num, den, got_duck, want)
+    # wide path (DECIMAL(38,0)/HUGEINT): a product-scale numerator
+    num, den = 95**13, 100**13
+    want = _half_up6(Fraction(num, den))
+    got_spark = spark.sql(
+        f"SELECT {round6_ratio_sql(str(num), str(den), div='div', wide=True)} AS v"
+    ).first()["v"]
+    got_duck = duckdb.sql(
+        f"SELECT {round6_ratio_sql(str(num), str(den), wide=True)} AS v"
+    ).fetchone()[0]
+    assert got_spark == want and got_duck == want
+
+
+def test_stochastic_raw_k_exact_at_half_boundary(spark):
+    """raw %K = 100*(v-ll)/(hh-ll) over exact cents: with hh-ll = 512
+    cents and v-ll = 1 cent, the exact value 100/512 = 0.1953125
+    lands exactly on the 6dp half-way boundary -> must emit the exact
+    half-up 0.195313 (a float round of the nearest double is engine-
+    dependent here). Also locks the SMA3-of-rounded chain: slow_k of
+    three equal raw %K values equals that raw value."""
+    from japanstockdatapipeline_spark.plans.technical import event_stochastic
+
+    # one user, 16 events: the 105.12 high sits at row 2 so it stays
+    # inside the trailing 14-row window for rows 13..15; the last
+    # three rows sit at 100.01 -> raw_k exactly 100/512 on each
+    rows = []
+    for i in range(13):
+        v = 105.12 if i == 2 else 100.00
+        rows.append((i, 1, i * 1_000_000, "click", v))
+    for i in range(13, 16):
+        rows.append((i, 1, i * 1_000_000, "click", 100.01))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us").write.parquet(
+            f"{d}/events.parquet"
+        )
+        out = {r["event_id"]: r for r in event_stochastic(spark, d).collect()}
+    expected = _half_up6(Fraction(100, 512))
+    assert out[13]["raw_k"] == expected
+    assert out[14]["raw_k"] == expected
+    assert out[15]["raw_k"] == expected
+    # hh stays 105.12 through row 13 (14-row window incl. row 0)
+    assert out[15]["slow_k"] == expected  # SMA3 of three equal rounded values

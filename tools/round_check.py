@@ -73,8 +73,14 @@ def gate_oracle(sf_dir: str, timeout: int = 3600) -> dict:
     rc, out = run([sys.executable, "tools/verify_local.py", sf_dir], timeout=timeout)
     m = re.search(r"(\d+) failures", out)
     n_pass = len(re.findall(r"^PASS ", out, re.MULTILINE))
+    # name the failing queries in the artifact — a bare count forces a
+    # full re-run just to find out WHAT failed (round-8 lesson)
+    failed = re.findall(r"^FAIL  (\S+):", out, re.MULTILINE)
     ok = rc == 0 and m is not None and m.group(1) == "0"
-    return {"ok": ok, "passes": n_pass, "detail": m.group(0) if m else out[-300:]}
+    detail = m.group(0) if m else out[-300:]
+    if failed:
+        detail += f" [{', '.join(sorted(set(failed))[:12])}]"
+    return {"ok": ok, "passes": n_pass, "detail": detail}
 
 
 def gate_canary(rnd: int, sf_dir: str) -> dict:
