@@ -177,13 +177,26 @@ def _group_frame(g: pd.DataFrame) -> pd.DataFrame:
     # averages the ROUNDED previous stage ((q1+q2+q3)/3e6, re-rounded
     # as (2*sq+3)//6 — all int64, bit-identical to the Spark/SQL rails;
     # NaN lanes mark the count-gates)
-    v_c = np.rint(v * 100.0).astype(np.int64)
-    hh = _trail(v_c.astype(float), 14, lambda s: s.max(axis=1))
-    ll = _trail(v_c.astype(float), 14, lambda s: s.min(axis=1))
+    # cents via HALF-AWAY-FROM-ZERO, the rule the other two rails use
+    # (the members' F.round(value*100) is Spark HALF_UP, the oracle's
+    # DuckDB round() is half away from zero): np.rint is half-EVEN
+    # (12.5 cents -> 12 vs 13 on the other rails), and .astype(int64)
+    # on a NaN lane manufactures INT64_MIN garbage instead of an
+    # undefined lane. |v|*100 + 0.5 is exact for cent magnitudes
+    # << 2^51, so floor IS the exact half-up decision; NaN propagates
+    # through where/floor and keeps the lane — and every 14-row window
+    # that sees it — undefined, the conservative NULL.
+    v_c = np.where(
+        np.isnan(v), np.nan, np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+    )
+    hh = _trail(v_c, 14, lambda s: s.max(axis=1))
+    ll = _trail(v_c, 14, lambda s: s.min(axis=1))
     defined = ~np.isnan(hh) & (hh != ll)
     rawq = np.full(n, np.nan)
     if defined.any():
-        dv = v_c[defined] - ll[defined].astype(np.int64)
+        # defined implies the whole 14-row window (current row included)
+        # was NaN-free, so these casts are exact int-valued floats
+        dv = v_c[defined].astype(np.int64) - ll[defined].astype(np.int64)
         dd = hh[defined].astype(np.int64) - ll[defined].astype(np.int64)
         num = 100 * dv * 1000000
         rawq[defined] = (2 * num + dd) // (2 * dd)  # q in [0, 1e8]: float-exact

@@ -61,28 +61,35 @@ def image_stats(media: DataFrame) -> DataFrame:
     Output schema: doc_id, n_bytes, mean_byte, max_byte, sha256, width, height.
     """
 
-    def fake_decode(buf: bytes) -> tuple[float, int]:
+    def fake_decode(buf: bytes) -> tuple[int, int]:
+        # ONE decode call per payload, returning (byte sum, byte max);
+        # swap this body for a real codec to go live. The mean derives
+        # as sum/len outside the decode so the hot loop never runs
+        # twice per row (len(bytes) is O(1)).
         if not buf:
-            return 0.0, 0
-        return sum(buf) / len(buf), max(buf)
+            return 0, 0
+        return sum(buf), max(buf)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            bufs = [b or b"" for b in pdf["payload"]]
+            decoded = [fake_decode(b) for b in bufs]
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": [len(b) for b in bufs],
                     # exact integer sum rides along so callers emitting
                     # a 6dp mean can round it in integer arithmetic
                     # (functions/semantics.round6_ratio)
-                    "sum_byte": pdf["payload"].map(lambda b: sum(b or b"")),
-                    "mean_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[0]),
-                    "max_byte": pdf["payload"].map(lambda b: fake_decode(b or b"")[1]),
-                    "sha256": pdf["payload"].map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "sum_byte": [s for s, _ in decoded],
+                    "mean_byte": [
+                        s / len(b) if b else 0.0
+                        for (s, _), b in zip(decoded, bufs)
+                    ],
+                    "max_byte": [m for _, m in decoded],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in bufs],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
                 }
             )
             yield out

@@ -71,6 +71,81 @@ def test_fused_plan_has_one_exchange(spark):
     assert n_panel >= 11, f"join-of-members panel shuffles per member, saw {n_panel}"
 
 
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts_us bigint, "
+        "event_type string, value double",
+    )
+
+
+def test_fused_half_cent_boundary_matches_jvm(spark):
+    """Regression: values landing EXACTLY on .5 cents (eighth-dollar
+    prices: 10.125 * 100 = 1012.5, exact in binary) must round
+    half-away-from-zero in the pandas cent conversion, matching the
+    JVM form's F.round(value*100) (HALF_UP) and the DuckDB oracle.
+    np.rint (half-even) rounded 1012.5 -> 1012 while the other two
+    rails produced 1013 — a silent cross-rail divergence on any feed
+    with eighth-priced rows."""
+    from japanstockdatapipeline_spark.operators.fused_panel import (
+        fused_event_indicators,
+        fused_event_indicators_jvm,
+    )
+
+    # eighths with an odd integer part below the half cent: k + 0.125
+    # and k + 0.625 give cents of the form ...2.5 / ...7.5 where
+    # half-even and half-up genuinely disagree
+    rows = [
+        (1, i, 1_000 + i, "view", 10.0 + (i % 8) * 0.125 + i * 0.625)
+        for i in range(24)
+    ]
+    ev = _mk_events(spark, rows)
+    fused = fused_event_indicators(ev)
+    jvm = fused_event_indicators_jvm(ev)
+    assert sorted(fused.columns) == sorted(jvm.columns)
+    frows = [tuple(r) for r in fused.collect()]
+    jrows = [tuple(r) for r in jvm.collect()]
+    assert len(frows) == len(jrows) == len(rows)
+    assert _normalize(frows, fused.columns) == _normalize(jrows, jvm.columns)
+
+
+def test_fused_null_value_stays_null_not_garbage(spark):
+    """Regression: a NULL value lane must stay an UNDEFINED stochastic
+    lane. The old int64 cast turned NaN into INT64_MIN, which then
+    became ll for the next 13 windows and emitted arbitrary non-NULL
+    raw_k/slow_k/slow_d values. Contract now: every 14-row window
+    touching the NULL is NULL (conservative), windows past it recover,
+    and any defined value is a genuine percentage in [0, 100]."""
+    from japanstockdatapipeline_spark.operators.fused_panel import (
+        fused_event_indicators,
+    )
+
+    rows = [
+        (1, i, 1_000 + i, "view", None if i == 5 else 50.0 + 3.0 * i)
+        for i in range(26)
+    ]
+    ev = _mk_events(spark, rows)
+    got = {
+        r["event_id"]: r
+        for r in fused_event_indicators(ev).collect()
+    }
+    assert len(got) == 26
+    for i in range(26):
+        r = got[i]
+        for c in ("raw_k", "slow_k", "slow_d"):
+            v = r[c]
+            assert v is None or 0.0 <= v <= 100.0, f"garbage {c}={v} at row {i}"
+        # rows 0-12: window not yet full; rows 5..18: window touches the
+        # NULL lane -> undefined
+        if i < 19:
+            assert r["raw_k"] is None, f"row {i} should be undefined"
+    # the series is strictly increasing, so every clean full window is
+    # defined: rows 19+ (windows 6..19 onward) must have recovered
+    for i in range(19, 26):
+        assert got[i]["raw_k"] is not None, f"row {i} should have recovered"
+        assert got[i]["raw_k"] == 100.0  # current row is the window max
+
+
 def test_fused_doc_features_equals_join_of_members(spark):
     """The one-pass document-feature form equals the full-outer join
     of its expression-only members (same columns, same values)."""
