@@ -444,15 +444,18 @@ def pq_adc_topk(
     Scale notes: `queries` is a (q_id, q_vec) frame like every
     sibling top-k operator (small by construction) and broadcasts;
     the corpus side is one
-    compressed-domain scan — in production the per-query m*k_cells
-    distance lookup table (the LUT trick) and IVF cell probing both
-    drop in without changing these semantics; this operator registers
-    the exhaustive-over-codes form so the oracle can replay it
-    exactly.
+    compressed-domain scan — the ranking consumes ONLY the
+    reconstructions, and the TRUE cosine is joined back from the raw
+    vectors for the <= queries*k surviving rows (broadcast), so
+    full-precision math never rides the corpus scan. In production
+    the per-query m*k_cells distance lookup table (the LUT trick) and
+    IVF cell probing both drop in without changing these semantics;
+    this operator registers the exhaustive-over-codes form so the
+    oracle can replay it exactly.
     """
     coded = _pq_reconstruct(
         vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
-    ).select(F.col(id_col).alias("neighbor_id"), "__v", "__recon")
+    ).select(F.col(id_col).alias("neighbor_id"), "__recon")
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         as_double_array(F.col(q_vec_col)).alias("__qv"),
@@ -463,16 +466,23 @@ def pq_adc_topk(
         .select(
             "q_id",
             "neighbor_id",
+            "__qv",
             F.round(_l2sq(F.col("__qv"), F.col("__recon")), 6).alias("__adc"),
-            F.round(cosine_similarity(F.col("__qv"), F.col("__v")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc()
     )
+    cut = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    nv = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("__nv"),
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        nv.join(F.broadcast(cut), "neighbor_id")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__nv")), 6)
+        )
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )
 
@@ -540,6 +550,7 @@ def ivf_pq_rerank_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     dim: int = 64,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """The FULL IVF-PQ serving pipeline end to end (Jégou et al.,
     TPAMI 2011 — the FAISS IVFPQ shape, direct-coding variant without
@@ -552,11 +563,18 @@ def ivf_pq_rerank_topk(
       3. probing: each query scans only its `n_probe` nearest coarse
          centroids (centroids = member means via the same
          _centroids_of helper ivf_topk uses, so build and probe share
-         one centroid definition)
+         one centroid definition; ranking cosine ROUNDED to 6dp with
+         ascending-cell tie-break — the module's argmax convention —
+         so near-tie probe picks cannot drift with the engines'
+         avg() accumulation order)
       4. ADC: asymmetric L2(query, reconstruction) over probed cells
          only -> `candidates`-deep shortlist (6dp-rounded distance,
-         ascending-neighbor tie-break)
-      5. re-rank: TRUE cosine on the shortlist -> top-k
+         ascending-neighbor tie-break) — the index carries ONLY
+         (cell, reconstruction), never the raw vectors
+      5. re-rank: TRUE cosine on the shortlist ONLY — the raw vectors
+         are joined back for the <= queries*candidates shortlist rows
+         (broadcast), so full-precision math never touches the probed
+         corpus slice
 
     The recall dials are (n_probe, candidates): n_probe buys back
     what the coarse cut loses, candidates what the compression loses
@@ -565,13 +583,24 @@ def ivf_pq_rerank_topk(
     codebooks are one tiny row each, and the only corpus-sized
     shuffles are the quantizer/codebook re-aggs; the ADC scan touches
     ~n_probe/k_coarse of the codes, never the corpus product.
+
+    `persisted_out`: the coarse assignment is persist()ed (it feeds
+    both the inverted lists and the probe centroids — unpersisted,
+    each action would run the Lloyd subtree twice, and the two
+    executions' float avg() orders could even disagree). Pass a list
+    to receive the cached handle for explicit unpersist() in sweep
+    loops (the semdedup idiom); identical plans share one cache
+    entry, so repeated calls per corpus do not accumulate.
     """
     corpus, cents = ivf_pq_build(
         vecs, k_coarse=k_coarse, m=m, k_cells=k_cells, iters=iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
+        persisted_out=persisted_out,
     )
     return ivf_pq_probe(
-        corpus, cents, queries, k=k, candidates=candidates, n_probe=n_probe,
+        corpus, cents, queries, vecs,
+        k=k, candidates=candidates, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
         q_id_col=q_id_col, q_vec_col=q_vec_col,
     )
 
@@ -586,19 +615,39 @@ def ivf_pq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD half of ivf_pq_rerank_topk: (index, coarse centroids).
-    An ANN index amortizes its build over many query batches — persist
-    both frames and reuse them across ivf_pq_probe calls (the
-    stress harness measures the split)."""
-    cells = kmeans_cells(
-        vecs, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cell")
+
+    The index carries (neighbor_id, cell, __recon) — the compressed
+    representation only, never the raw vectors (the probe joins raw
+    vectors back for its <= queries*candidates shortlist rows, so
+    carrying them here would double the index footprint for rows the
+    re-rank never touches). The coarse assignment is persist()ed: it
+    feeds BOTH the inverted lists and the probe centroids, and
+    unpersisted each action would execute the Lloyd subtree twice —
+    double cost, and the two executions' avg() float accumulation
+    orders could disagree, leaving the probe centroids inconsistent
+    with the inverted lists. `persisted_out` receives the cached
+    handle for explicit unpersist() in sweep loops (the semdedup
+    idiom); persist() is lazy and identical plans share one cache
+    entry per corpus.
+
+    An ANN index amortizes its build over many query batches —
+    persist both returned frames too and reuse them across
+    ivf_pq_probe calls (the stress harness measures the split)."""
+    cells = (
+        kmeans_cells(vecs, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "cell")
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(cells)
     coded = _pq_reconstruct(
         vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
     corpus = coded.join(cells, id_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell", "__v", "__recon"
+        F.col(id_col).alias("neighbor_id"), "cell", "__recon"
     )
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cv"))
     cents = _centroids_of(
@@ -611,16 +660,26 @@ def ivf_pq_probe(
     corpus: DataFrame,
     cents: DataFrame,
     queries: DataFrame,
+    vecs: DataFrame,
     k: int = 5,
     candidates: int = 20,
     n_probe: int = 2,
     *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """The PROBE half of ivf_pq_rerank_topk over a (possibly
     persisted) build: coarse probe -> ADC over probed cells ->
-    shortlist -> true-cosine re-rank."""
+    shortlist -> true-cosine re-rank. `vecs` is the raw-vector table
+    the shortlist joins back to for the re-rank: full-precision math
+    runs for <= queries*candidates rows ONLY, never the probed corpus
+    slice — the compressed index stays the only corpus-sized input.
+    The probe ranking cosine is ROUNDED to 6dp (ascending-cell
+    tie-break, the module's argmax convention): centroids are float
+    avg() aggregates whose accumulation order the engines don't fix,
+    so unrounded near-ties could probe different cells per engine."""
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         as_double_array(F.col(q_vec_col)).alias("__qv"),
@@ -630,7 +689,10 @@ def ivf_pq_probe(
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("__ccos", cosine_similarity(F.col("__qv"), F.col("__centroid")))
+        .withColumn(
+            "__ccos",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__centroid")), 6),
+        )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= n_probe)
         .select("q_id", "__qv", "cell")
@@ -641,8 +703,8 @@ def ivf_pq_probe(
     adc = cand.select(
         "q_id",
         "neighbor_id",
+        "__qv",
         F.round(_l2sq(F.col("__qv"), F.col("__recon")), 6).alias("__adc"),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__v")), 6).alias("cos"),
     )
     w_short = Window.partitionBy("q_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc()
@@ -650,11 +712,18 @@ def ivf_pq_probe(
     shortlist = adc.withColumn("__sr", F.row_number().over(w_short)).filter(
         F.col("__sr") <= candidates
     )
+    nv = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("__nv"),
+    )
+    rerank = nv.join(F.broadcast(shortlist), "neighbor_id").withColumn(
+        "cos", F.round(cosine_similarity(F.col("__qv"), F.col("__nv")), 6)
+    )
     w_final = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        shortlist.withColumn("rank", F.row_number().over(w_final))
+        rerank.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )

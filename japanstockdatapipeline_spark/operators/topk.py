@@ -235,7 +235,14 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("__ccos", cosine_similarity(F.col("__qv"), F.col("__centroid")))
+        # probe ranking cosine ROUNDED to 6dp (ascending-cell
+        # tie-break): centroids are float avg() aggregates whose
+        # accumulation order the engines don't fix, so an unrounded
+        # near-tie could probe different cells per engine
+        .withColumn(
+            "__ccos",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__centroid")), 6),
+        )
         .withColumn("__prank", F.row_number().over(probe_w))
         .filter(F.col("__prank") <= n_probe)
         .select(q_id_col, "__qv", "__cell")

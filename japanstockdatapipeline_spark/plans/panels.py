@@ -314,8 +314,10 @@ def _register_corpus_prep_fused() -> None:
     same FULL-JOIN-of-members SQL extended with doc_decontamination
     and the fingerprint window; plus the join-of-members equivalence
     test (tests/test_fused_panel.py) and explain-audit shape rules.
-    Registered as a member (the driver registry is capped at 50);
-    bench=True tracks it as a headline row."""
+    Registered as a driver-hashed query() since round 8 (it took the
+    slot of customers_without_orders, whose coverage is redundant
+    with its panel row — see that member's doc); bench=True tracks it
+    as a headline row."""
     from ..sources import load_table
     from .llm import corpus_prep_fused
 

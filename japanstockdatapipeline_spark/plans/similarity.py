@@ -88,7 +88,7 @@ _IVF_ORACLE_SQL = """
       SELECT q_id, qv, label FROM (
         SELECT q.q_id, q.qv, c.label,
                row_number() OVER (PARTITION BY q.q_id
-                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
+                 ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
                           c.label ASC) AS pr
         FROM q CROSS JOIN cent c)
       WHERE pr <= 2
@@ -223,6 +223,37 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coarse_probe_ctes(src: str, n_probe: int = 2) -> str:
+    """Shared coarse-quantizer probe CTE block (a, ex2, comp2, cent2,
+    q, probes) over a `cells` CTE and a `src` CTE exposing
+    (vec_id, v): per-cell mean centroids, the mod-50 query carve-out,
+    and the n_probe nearest-centroid pick. The probe-ranking cosine
+    is ROUNDED to 6dp with ascending-cell tie-break, mirroring the
+    Spark probes (operators/topk.ivf_topk, operators/kmeans.
+    ivf_pq_probe): centroids are float avg() aggregates whose
+    accumulation order the engines don't fix, so an unrounded
+    near-tie could probe different cells per engine. ONE definition
+    so the two composed oracles (_ivf_kmeans_oracle_sql,
+    _ivfpq_oracle_sql) cannot drift."""
+    return f"""a AS (SELECT e.vec_id, c.cell, e.v
+          FROM {src} e JOIN cells c ON c.vec_id = e.vec_id),
+    ex2 AS (SELECT cell, r.i AS i, v[r.i] AS x
+            FROM a, LATERAL unnest(range(1, 65)) AS r(i)),
+    comp2 AS (SELECT cell, i, avg(x) AS m FROM ex2 GROUP BY cell, i),
+    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid
+              FROM comp2 GROUP BY cell),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM {src} WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT q.q_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                          c.cell ASC) AS pr
+        FROM q CROSS JOIN cent2 c)
+      WHERE pr <= {n_probe}
+    )"""
+
+
 def _ivf_kmeans_oracle_sql() -> str:
     """IVF probe logic over the GEOMETRIC k-means cells instead of the
     label column: the quantizer CTE is the embedding_kmeans_cells
@@ -233,23 +264,7 @@ def _ivf_kmeans_oracle_sql() -> str:
     return f"""
     WITH cells AS ({member_oracle("embedding_kmeans_cells")}),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    a AS (SELECT e.vec_id, c.cell, e.v
-          FROM e JOIN cells c ON c.vec_id = e.vec_id),
-    ex2 AS (SELECT cell, r.i AS i, v[r.i] AS x
-            FROM a, LATERAL unnest(range(1, 65)) AS r(i)),
-    comp2 AS (SELECT cell, i, avg(x) AS m FROM ex2 GROUP BY cell, i),
-    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid
-              FROM comp2 GROUP BY cell),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-    probes AS (
-      SELECT q_id, qv, cell FROM (
-        SELECT q.q_id, q.qv, c.cell,
-               row_number() OVER (PARTITION BY q.q_id
-                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
-                          c.cell ASC) AS pr
-        FROM q CROSS JOIN cent2 c)
-      WHERE pr <= 2
-    ),
+    {_coarse_probe_ctes("e")},
     scored AS (
       SELECT p.q_id, a.vec_id AS neighbor_id,
              list_cosine_similarity(a.v, p.qv) AS cos
@@ -681,31 +696,16 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_oracle_sql() -> str:
     """The full IVF-PQ pipeline oracle: the coarse-quantizer CTE is
     the embedding_kmeans_cells member oracle verbatim; the PQ chain
-    is the shared _PQ_CTES; probing/centroids replay the
-    embedding_ivf_kmeans_topk recipe; ADC runs over probed cells
+    is the shared _PQ_CTES; probing/centroids are the shared
+    _coarse_probe_ctes block (literally the same SQL
+    embedding_ivf_kmeans_topk composes); ADC runs over probed cells
     only, then the true-cosine re-rank."""
     from .registry import member_oracle
 
     return f"""
     WITH cells AS ({member_oracle("embedding_kmeans_cells")}),
     {_PQ_CTES},
-    a AS (SELECT e.vec_id, c.cell, e.v
-          FROM emb e JOIN cells c ON c.vec_id = e.vec_id),
-    ex2 AS (SELECT cell, r.i AS i, v[r.i] AS x
-            FROM a, LATERAL unnest(range(1, 65)) AS r(i)),
-    comp2 AS (SELECT cell, i, avg(x) AS m FROM ex2 GROUP BY cell, i),
-    cent2 AS (SELECT cell, list(m ORDER BY i) AS centroid
-              FROM comp2 GROUP BY cell),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
-    probes AS (
-      SELECT q_id, qv, cell FROM (
-        SELECT q.q_id, q.qv, c.cell,
-               row_number() OVER (PARTITION BY q.q_id
-                 ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC,
-                          c.cell ASC) AS pr
-        FROM q CROSS JOIN cent2 c)
-      WHERE pr <= 2
-    ),
+    {_coarse_probe_ctes("emb")},
     adc AS (
       SELECT p.q_id, co.vec_id AS neighbor_id,
              round(list_sum(list_transform(range(1, 65),

@@ -219,7 +219,10 @@ def main() -> None:
         )
 
         t_b = time.time()
-        index, cents = ivf_pq_build(corpus, k_coarse=k_coarse, m=8, k_cells=16)
+        handles: list = []
+        index, cents = ivf_pq_build(
+            corpus, k_coarse=k_coarse, m=8, k_cells=16, persisted_out=handles
+        )
         index = index.persist()
         cents = cents.persist()
         index.count()
@@ -229,7 +232,7 @@ def main() -> None:
             t_p = time.time()
             rec = with_recall(
                 ivf_pq_probe(
-                    index, cents, queries, k=K_NN,
+                    index, cents, queries, corpus, k=K_NN,
                     candidates=cand_mult * K_NN, n_probe=n_probe,
                 )
             )
@@ -247,6 +250,8 @@ def main() -> None:
             print(json.dumps(rec))
         index.unpersist()
         cents.unpersist()
+        for h in handles:
+            h.unpersist()
 
     ivfpq_split(16)
     # n_planes must scale with log2(corpus): the 4-plane default is
