@@ -18,6 +18,8 @@ __all__ = [
     "round6_ratio_sql",
     "round6_q",
     "round6_q_sql",
+    "round6_pow100_ratio",
+    "round6_pow100_ratio_sql",
     "product_of_list",
     "product_agg",
     "zscore",
@@ -102,6 +104,47 @@ def round6_q_sql(
     q_pos = f"((2 * {s} + {d}) {div} (2 * {d}))"
     q_neg = f"((2 * (-{s}) + {d}) {div} (2 * {d}))"
     return f"(CASE WHEN {s} >= 0 THEN {q_pos} ELSE -{q_neg} END)"
+
+
+def round6_pow100_ratio(num_sql: str, n_sql: str) -> Column:
+    """Spark form of round6_pow100_ratio_sql (div='div')."""
+    return F.expr(round6_pow100_ratio_sql(num_sql, n_sql, div="div"))
+
+
+def round6_pow100_ratio_sql(num_sql: str, n_sql: str, div: str = "//") -> str:
+    """EXACT half-up 6dp of num / 100^n (num a NON-NEGATIVE integer
+    fragment, n a small non-negative count) — the product-aggregate
+    form of round6_ratio, used where num is a fold of hundred-scaled
+    factors (products of 2dp (1-discount) terms).
+
+    Why not round6_ratio(num, 100^n, wide=True): that form computes
+    num*1e6 first, and both engines cap exact integers near 1e38
+    (DECIMAL(38,0) / HUGEINT), so the *1e6 burns 6 digits of headroom
+    and a 17-factor product already overflows (found at sf0.1: the
+    fold hits 4.5e33, *1e6 = 4.5e39 > 1e38). Since 1e6 = 100^3,
+    reduce the exponent instead of widening the numerator:
+
+        n <= 3: q = num * 100^(3-n)          (exact -- a <=6dp
+                                              rational needs no rounding)
+        n >  3: q = (2*num + m) div (2*m),    m = 100^(n-3), half-up
+
+    Width bound: 2*num must stay under ~1e38, i.e. num < 5e37 --
+    18 full-value factors (the bound the product members document).
+    Past it both engines fail LOUDLY (decimal/hugeint overflow),
+    never silently wrong. 100^k is built as '1' || repeat('00', k)
+    because double pow() is inexact past 1e15; repeat with a
+    negative count is '' in both engines, so the unused CASE branch
+    stays well-typed."""
+    t = "DECIMAL(38,0)" if div == "div" else "HUGEINT"
+    num = f"CAST(({num_sql}) AS {t})"
+    n = f"({n_sql})"
+    m_small = f"CAST('1' || repeat('00', 3 - {n}) AS {t})"
+    m_big = f"CAST('1' || repeat('00', {n} - 3) AS {t})"
+    q = (
+        f"(CASE WHEN {n} <= 3 THEN {num} * {m_small} "
+        f"ELSE (2 * {num} + {m_big}) {div} (2 * {m_big}) END)"
+    )
+    return f"(CAST({q} AS DOUBLE) / 1000000.0)"
 
 
 def product_of_list(lst: Column) -> Column:

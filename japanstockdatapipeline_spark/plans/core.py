@@ -209,10 +209,7 @@ def acctbal_nation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey
     )
     """.replace(
-        "{RATIO}",
-        _SEM.round6_ratio_sql(
-            "iprod", "CAST('1' || repeat('00', n_lines) AS HUGEINT)", wide=True
-        ),
+        "{RATIO}", _SEM.round6_pow100_ratio_sql("iprod", "n_lines")
     ),
 )
 def order_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,12 +219,13 @@ def order_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folded in DECIMAL(38,0) (a double product loses bits past 7
     # lines AND associates differently across engines). This is the
     # reference's "numeric_product, not exp(sum(ln))" rule (00093:24-37)
-    # taken to its integer conclusion. The 6dp output is then rounded
-    # in wide integer arithmetic against the exact power 100^n built
-    # as '1' || repeat('00', n) — pow() in double is inexact past 1e15
-    # and the rational prod/100^n lands exactly on .5e-6 boundaries,
-    # where engine float rounds disagree. Bound: n_lines <= 18 per
-    # order keeps 100^n inside DECIMAL(38)/HUGEINT (testdata max 13).
+    # taken to its integer conclusion. The 6dp output rounds via
+    # round6_pow100_ratio (exponent-reduced exact integer arithmetic —
+    # the rational prod/100^n lands exactly on .5e-6 boundaries where
+    # engine float rounds disagree, and the naive num*1e6 widening
+    # overflowed the 1e38 ceiling at 17 lines, found at sf0.1).
+    # Bound: n_lines <= 18 per order (testdata max 17 at sf0.1);
+    # past it both engines fail loudly, never silently wrong.
     scaled = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
     agged = li.groupBy("l_orderkey").agg(
         F.aggregate(
@@ -239,9 +237,7 @@ def order_discount_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agged.select(
         "l_orderkey",
-        _SEM.round6_ratio(
-            "__prod", "CAST('1' || repeat('00', n_lines) AS DECIMAL(38,0))", wide=True
-        ).alias("disc_factor"),
+        _SEM.round6_pow100_ratio("__prod", "n_lines").alias("disc_factor"),
         "n_lines",
     )
 
@@ -398,10 +394,7 @@ def order_date_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     """.replace(
-        "{RATIO}",
-        _SEM.round6_ratio_sql(
-            "sprod", "CAST('1' || repeat('00', scnt) AS HUGEINT)", wide=True
-        ),
+        "{RATIO}", _SEM.round6_pow100_ratio_sql("sprod", "scnt")
     ),
 )
 def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,9 +403,10 @@ def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a full tiebreak so the frame is deterministic, and compute the
     # product over exact scaled integers in DECIMAL(38,0) so it is
     # order-insensitive and exact at any frame length up to 18 factors
-    # (a double product loses bits past 7); the 6dp output rounds in
-    # wide integer arithmetic against the string-built exact 100^n
-    # (see order_discount_product).
+    # (a double product loses bits past 7); the 6dp output rounds via
+    # round6_pow100_ratio (exponent-reduced exact integer arithmetic;
+    # the naive num*1e6 widening overflows 1e38 one factor past the
+    # sf0.1 maximum — see order_discount_product).
     w_desc = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_linenumber").desc(),
         F.col("l_discount").desc(),
@@ -435,9 +429,7 @@ def lineitem_suffix_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "l_orderkey",
         "l_linenumber",
-        _SEM.round6_ratio(
-            "__sprod", "CAST('1' || repeat('00', __scnt) AS DECIMAL(38,0))", wide=True
-        ).alias("suffix_factor"),
+        _SEM.round6_pow100_ratio("__sprod", "__scnt").alias("suffix_factor"),
     )
 
 

@@ -96,3 +96,35 @@ def test_stochastic_raw_k_exact_at_half_boundary(spark):
     assert out[15]["raw_k"] == expected
     # hh stays 105.12 through row 13 (14-row window incl. row 0)
     assert out[15]["slow_k"] == expected  # SMA3 of three equal rounded values
+
+
+def test_round6_pow100_ratio_matches_fraction_ground_truth(spark):
+    """The product-aggregate rounding form (num / 100^n): exact
+    half-up at every factor count up to the documented 18-factor
+    bound — INCLUDING n=17, where the old num*1e6 widening overflowed
+    the engines' ~1e38 integer ceiling (found at sf0.1: a 17-line
+    order crashed order_discount_product with Decimal(38,0)
+    overflow) — plus exact .5e-6 boundary hits and the n<=3 exact
+    branch."""
+    import duckdb
+
+    from japanstockdatapipeline_spark.functions.semantics import (
+        round6_pow100_ratio_sql,
+    )
+
+    cases = []
+    # full-value and near-full-value products at every n up to the bound
+    for n in range(0, 19):
+        for base in (100, 97, 95):
+            cases.append((base**n, n))
+    # engineered boundary hits: prod/100^n * 1e6 ends in exactly .5
+    # (e.g. 125/100^4 = 1.25e-6 -> q boundary 1.5 -> half-up 2)
+    cases += [(125, 4), (375, 4), (5 * 100**5 // 10, 5)]
+    for num, n in cases:
+        want = _half_up6(Fraction(num, 100**n))
+        sql_s = round6_pow100_ratio_sql(str(num), str(n), div="div")
+        sql_d = round6_pow100_ratio_sql(str(num), str(n))
+        got_spark = spark.sql(f"SELECT {sql_s} AS v").first()["v"]
+        got_duck = duckdb.sql(f"SELECT {sql_d} AS v").fetchone()[0]
+        assert got_spark == want, (num, n, got_spark, want)
+        assert got_duck == want, (num, n, got_duck, want)
