@@ -319,3 +319,96 @@ def brute_force_topk_matmul(
     ).filter(F.col("neighbor_id") != F.col(q_id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    q_label_col: str = "q_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k corpus vectors MOST cosine-similar whose label DIFFERS from
+    the query's — the near-miss negatives a contrastive/embedding
+    trainer samples (north-star: training-data prep over an embedding
+    column).
+
+    Same BLAS shape as brute_force_topk_matmul: queries (small by
+    construction) collected to a matrix, corpus streamed through
+    mapInPandas, one matmul per Arrow batch — but same-label pairs are
+    masked to -inf BEFORE the per-batch top-k, so the per-query global
+    top-k over the allowed (different-label) set is still ⊆ the union
+    of per-batch top-k. Self-pairs share the query's label and are
+    masked with the rest; NULL-label rows on EITHER side are excluded
+    (a NULL label can't be asserted different, matching SQL <>
+    semantics — a NULL-label query yields no rows).
+
+    Output: (q_id, neighbor_id, cos, rank), tie-break (cos desc, id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    for df_, col_ in ((corpus, id_col), (queries, q_id_col)):
+        dt = df_.schema[col_].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"hard_negative_topk_matmul needs an integral id column; "
+                f"{col_!r} is {dt}"
+            )
+
+    qrows = [
+        r
+        for r in queries.select(q_id_col, q_vec_col, q_label_col).collect()
+        if r[2] is not None
+    ]
+    if not qrows:
+        return (
+            corpus.sparkSession.range(0)
+            .select(
+                F.col("id").alias(q_id_col),
+                F.col("id").alias("neighbor_id"),
+                F.lit(0.0).alias("cos"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    q_labels = np.array([int(r[2]) for r in qrows], dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def batches(it):
+        for pdf in it:
+            lab = pdf[label_col]
+            keep = lab.notna().to_numpy()
+            if not keep.any():
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep]
+            labels = lab.to_numpy(dtype="float64")[keep].astype(np.int64)
+            C = np.array([list(v) for v in pdf[vec_col][keep]], dtype=np.float64)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = (C / norms) @ Qn.T  # (batch, q)
+            cos[labels[:, None] == q_labels[None, :]] = -np.inf
+            top = min(k, len(ids))
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            flat_cos = np.take_along_axis(cos, idx, axis=0).T.ravel()
+            out = pd.DataFrame(
+                {
+                    q_id_col: np.repeat(q_ids, top),
+                    "neighbor_id": ids[idx].T.ravel(),
+                    "cos": flat_cos,
+                }
+            )
+            yield out[np.isfinite(flat_cos)]
+
+    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        batches, schema=f"{q_id_col} bigint, neighbor_id bigint, cos double"
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

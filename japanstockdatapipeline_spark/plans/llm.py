@@ -529,6 +529,51 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @member(
+    "doc_bpe_pair_counts",
+    doc="Tokenizer-training statistic (the counting half of one BPE "
+    "merge step, Sennrich 2016): corpus-wide counts of ADJACENT "
+    "pre-token pairs — the table whose argmax is the next merge rule. "
+    "Adjacent pairs come from zipping each doc's piece array with its "
+    "own 1-shifted slice (no posexplode self-join); the global count "
+    "is a map-side-combined groupBy on the pair, and the top-100 cut "
+    "is orderBy+limit (TakeOrderedAndProject — distributed top-k, no "
+    "single-partition window over the pair vocabulary).",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT t[r.i] AS left_piece, t[r.i + 1] AS right_piece
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    )
+    SELECT left_piece, right_piece, CAST(count(*) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_piece, right_piece
+    ORDER BY pair_count DESC, left_piece ASC, right_piece ASC
+    LIMIT 100
+    """,
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("left_piece"), b.alias("right_piece")),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left_piece").alias("left_piece"), F.col("p.right_piece").alias("right_piece"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("left_piece").asc(), F.col("right_piece").asc())
+        .limit(100)
+    )
+
+
+@member(
     "doc_rolling_hash_fingerprint",
     doc="Rolling polynomial hash document fingerprint (north-star "
     "'document fingerprinting (rolling hash)'): Rabin-Karp-style fold "

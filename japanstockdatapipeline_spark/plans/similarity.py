@@ -16,6 +16,7 @@ from ..functions.vectors import as_double_array, cosine_similarity
 from ..operators.topk import (
     brute_force_topk,
     brute_force_topk_matmul,
+    hard_negative_topk_matmul,
     lsh_bucketed_topk,
     lsh_near_dup_pairs,
     lsh_planes,
@@ -154,6 +155,44 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # planes=4, tables=8: ~0.76 recall at ~half-corpus candidate cost (sf0.01)
     out = lsh_bucketed_topk(emb, _queries_df(emb), k=5, dim=EMB_DIM)
+    return out.select(
+        "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
+    )
+
+
+@member(
+    "embedding_hard_negatives",
+    doc="Hard-negative mining for contrastive training (north-star: "
+    "training-data prep over the embedding column): per query, the k "
+    "most cosine-similar vectors whose LABEL DIFFERS — the near-miss "
+    "negatives an embedding trainer samples. BLAS matmul scan with the "
+    "same-label mask applied before the per-batch top-k; broadcast-size "
+    "query set, no corpus join.",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v, q.qv) AS cos
+      FROM e CROSS JOIN q
+      WHERE e.label <> q.q_label
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negative_topk_matmul(emb, q, k=5)
     return out.select(
         "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
     )

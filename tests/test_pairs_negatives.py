@@ -1,0 +1,133 @@
+"""Unit vectors for the round-8 training-data members: BPE adjacent-
+pair counting (tokenizer-training step) and hard-negative mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from japanstockdatapipeline_spark.operators.topk import (
+    brute_force_topk,
+    hard_negative_topk_matmul,
+)
+from japanstockdatapipeline_spark.plans.llm import doc_bpe_pair_counts
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+def test_bpe_pair_counts_hand_vector(spark, tmp_path):
+    """'ab cd ab' pre-tokenizes to [ab, cd, ab] -> pairs (ab,cd),(cd,ab);
+    punctuation splits into its own piece; counts sum across docs."""
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "ab cd ab"),
+            (2, "ab cd!"),
+            (3, "x"),  # single piece: no pair
+            (4, ""),  # no pieces at all
+            (5, None),  # NULL text drops out entirely
+        ],
+    )
+    got = {
+        (r["left_piece"], r["right_piece"]): r["pair_count"]
+        for r in doc_bpe_pair_counts(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("ab", "cd"): 2,  # docs 1 and 2
+        ("cd", "ab"): 1,  # doc 1
+        ("cd", "!"): 1,  # doc 2: punctuation is its own piece
+    }
+
+
+def test_bpe_pair_counts_deterministic_top_cut(spark, tmp_path):
+    """The top-100 cut orders by (count desc, left, right) — ties at the
+    boundary resolve by pair text, so repeated runs agree."""
+    def word(prefix, i):
+        return f"{prefix}{chr(97 + i // 26)}{chr(97 + i % 26)}"
+
+    rows = [(i, f"{word('t', i)} {word('u', i)}") for i in range(150)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = doc_bpe_pair_counts(spark, sf_dir).collect()
+    assert len(out) == 100
+    assert all(r["pair_count"] == 1 for r in out)
+    lefts = [r["left_piece"] for r in out]
+    assert lefts == sorted(lefts)
+    assert lefts[0] == word("t", 0) and lefts[-1] == word("t", 99)
+
+
+def _vec_rows(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """Neighbors share no label with the query; the top hit is the most
+    cosine-similar different-label vector; NULL labels drop out."""
+    emb = _vec_rows(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.1], 1),  # most similar but SAME label -> excluded
+            (2, [0.9, 0.2], 2),
+            (3, [0.5, 0.8], 2),
+            (4, [1.0, 0.01], None),  # NULL label: never a negative
+        ],
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    got = hard_negative_topk_matmul(emb, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3]
+    assert got[0]["rank"] == 1 and got[0]["cos"] > got[1]["cos"]
+
+
+def test_hard_negatives_null_label_query_yields_no_rows(spark):
+    emb = _vec_rows(spark, [(0, [1.0, 0.0], None), (1, [0.9, 0.1], 2)])
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negative_topk_matmul(emb, q, k=3)
+    # q_id=0 has a NULL label (no rows — <> can't hold); q_id=1's only
+    # different-label candidate is vec 0, which has a NULL label (dropped)
+    assert out.count() == 0
+
+
+def test_hard_negatives_matches_expression_path_with_label_filter(spark, sf_dir):
+    """The masked-matmul fast path returns the same ranks as composing
+    the pure-expression brute_force_topk with an explicit label join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    fast = hard_negative_topk_matmul(emb, q, k=5)
+
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    qlab = q.select("q_id", "q_label")
+    slow = (
+        brute_force_topk(emb, q.select("q_id", "q_vec"), k=emb.count(), exclude_self=False)
+        .join(labels, "neighbor_id")
+        .join(qlab, "q_id")
+        .filter(F.col("label") != F.col("q_label"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    slow = (
+        slow.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank")
+    )
+    a = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in fast.collect()}
+    b = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in slow.collect()}
+    assert a == b

@@ -224,6 +224,16 @@ CHECKS = {
         ("TakeOrderedAndProject", True, "top-20 is TakeOrdered, not a global sort"),
         ("CartesianProduct|BroadcastNestedLoopJoin|BroadcastExchange", True, "1-row corpus-total broadcast (winsorize shape)"),
     ],
+    "doc_bpe_pair_counts": [
+        ("Join", False, "adjacent pairs come from zipping a doc's own shifted slice: no self-join"),
+        ("TakeOrderedAndProject", True, "top-100 is TakeOrdered, not a global sort"),
+        ("Window", False, "no single-partition window over the pair vocabulary"),
+    ],
+    "embedding_hard_negatives": [
+        ("CartesianProduct|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False,
+         "masked matmul scan: queries ride inside the Arrow batch fn, never a join"),
+        ("Window", True, "per-query re-rank window over the bounded per-batch candidates"),
+    ],
 }
 
 
