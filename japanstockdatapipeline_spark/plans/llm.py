@@ -2119,6 +2119,80 @@ def clf_output_cols() -> list:
     ]
 
 
+# threshold grid for the selection curve, in exact milli-logit units
+_CURVE_THR_MILLI = list(range(-50, 51, 10))
+
+
+@member(
+    "doc_selection_curve",
+    doc="Classifier operating-point pricing: the (threshold -> kept "
+    "docs, kept token mass) curve a team reads to PICK the quality "
+    "cut before burning a 100 TB pass — one row per candidate "
+    "threshold. The kept test is EXACT integer arithmetic end to end "
+    "(logit >= thr/1000 <=> wsum - 50n >= thr_milli*n — no float, no "
+    "rounding boundary anywhere in the decision); one corpus scan "
+    "cross-joined with the 11-row broadcast threshold grid, partial "
+    "aggregation ships 11 rows per partition.",
+    oracle=f"""
+    WITH w(wv) AS (SELECT {_CLF_W_SQL}),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(toks,
+               tk -> wv[CAST(('0x' || substr(md5('qb:' || tk), 1, 15))::BIGINT
+                             % {_CLF_D} AS INT) + 1])) AS BIGINT) AS wsum,
+             CAST(len(toks) AS BIGINT) AS n
+      FROM t, w
+    ), thr(thr_milli) AS (
+      SELECT CAST(unnest(range(-50, 51, 10)) AS INT)
+    ), agg AS (
+      SELECT thr_milli,
+             CAST(count(*) FILTER (WHERE n > 0 AND wsum - 50 * n >= thr_milli * n)
+                  AS BIGINT) AS kept_docs,
+             CAST(coalesce(sum(n) FILTER (
+                  WHERE n > 0 AND wsum - 50 * n >= thr_milli * n), 0)
+                  AS BIGINT) AS kept_tokens,
+             CAST(count(*) AS BIGINT) AS total_docs
+      FROM s CROSS JOIN thr
+      GROUP BY thr_milli
+    )
+    SELECT thr_milli, thr_milli / 1000.0 AS threshold,
+           kept_docs, kept_tokens, total_docs,
+           {SEM.round6_ratio_sql('kept_docs', 'total_docs')} AS kept_doc_share
+    FROM agg
+    """,
+)
+def doc_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(*clf_stage_cols())
+    thr = spark.createDataFrame(
+        [(m,) for m in _CURVE_THR_MILLI], "thr_milli int"
+    )
+    n, wsum, tm = F.col("__clf_ntok"), F.col("__clf_wsum"), F.col("thr_milli")
+    kept = (n > 0) & (wsum - 50 * n >= tm.cast("bigint") * n)
+    return (
+        staged.crossJoin(F.broadcast(thr))
+        .groupBy("thr_milli")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+            F.coalesce(F.sum(F.when(kept, n)), F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.count(F.lit(1)).alias("total_docs"),
+        )
+        .select(
+            "thr_milli",
+            (tm / F.lit(1000.0)).alias("threshold"),
+            "kept_docs",
+            "kept_tokens",
+            "total_docs",
+            SEM.round6_ratio("kept_docs", "total_docs").alias("kept_doc_share"),
+        )
+    )
+
+
 _DSIR_D = 512
 
 

@@ -131,3 +131,25 @@ def test_hard_negatives_matches_expression_path_with_label_filter(spark, sf_dir)
     a = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in fast.collect()}
     b = {(r["q_id"], r["rank"]): r["neighbor_id"] for r in slow.collect()}
     assert a == b
+
+
+def test_selection_curve_monotone_and_exact(spark, tmp_path):
+    """Kept mass is monotone non-increasing in the threshold; the
+    decision is exact integer arithmetic (a doc whose logit lands
+    EXACTLY on a grid threshold is kept at that threshold)."""
+    from japanstockdatapipeline_spark.plans.llm import doc_selection_curve
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "delta epsilon", "en"), (3, "  ", "en")],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(doc_selection_curve(spark, sf_dir).collect(), key=lambda r: r["thr_milli"])
+    assert [r["thr_milli"] for r in rows] == list(range(-50, 51, 10))
+    assert all(r["total_docs"] == 3 for r in rows)
+    kept = [r["kept_docs"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    toks = [r["kept_tokens"] for r in rows]
+    assert toks == sorted(toks, reverse=True)
+    # the whitespace-only doc is never kept at any threshold
+    assert max(kept) <= 2

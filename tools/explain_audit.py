@@ -229,6 +229,13 @@ CHECKS = {
         ("TakeOrderedAndProject", True, "top-100 is TakeOrdered, not a global sort"),
         ("Window", False, "no single-partition window over the pair vocabulary"),
     ],
+    "doc_selection_curve": [
+        ("BroadcastNestedLoopJoin|BroadcastExchange", True,
+         "11-row threshold grid broadcast against the staged scan"),
+        ("SortMergeJoin|ShuffledHashJoin|CartesianProduct", False,
+         "never a shuffled join/product: the grid is bounded by construction"),
+        ("Window", False, "pure conditional aggregation, no window"),
+    ],
     "embedding_hard_negatives": [
         ("CartesianProduct|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False,
          "masked matmul scan: queries ride inside the Arrow batch fn, never a join"),
