@@ -114,6 +114,22 @@ def main() -> None:
             "recall_vs_exact": round(len(got & exact_set) / max(len(exact_set), 1), 3),
         }
 
+    # hard-negative mining (round-8): same BLAS scan with the
+    # same-label mask — the wall should track brute force (one extra
+    # int64 compare per cell), priced here so the contrastive-prep
+    # path has its own number
+    def hard_neg():
+        from japanstockdatapipeline_spark.operators.topk import hard_negative_topk_matmul
+
+        ql = corpus.where(F.col("vec_id") % 1000 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        return {"rows": hard_negative_topk_matmul(corpus, ql, K_NN).count()}
+
+    timed("hard_negative_topk_matmul", hard_neg)
+
     timed(
         "lsh_bucketed_topk",
         lambda: with_recall(lsh_bucketed_topk(corpus, queries, K_NN, dim=DIM)),
