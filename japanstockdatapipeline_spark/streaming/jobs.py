@@ -29,6 +29,7 @@ __all__ = [
     "score_histogram",
     "drift_gated_ingest",
     "quality_gated_ingest",
+    "corpus_prep_stream",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -479,6 +480,95 @@ def quality_gated_ingest(
 
     q = (
         scored.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return [stats[b] for b in sorted(stats)]
+
+
+def corpus_prep_stream(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    *,
+    rejects_dir: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> list[dict]:
+    """The STREAMING twin of the batch flagship `corpus_prep_fused`:
+    continuous corpus intake with exact dedup + quality gate + PII
+    redaction in one micro-batch pipeline.
+
+      1. exact-dup fingerprint (md5, the doc_exact_dedup signal) +
+         classifier columns + PII redaction ride the stream as pure
+         expressions — zero extra shuffle, zero Python;
+      2. `dropDuplicatesWithinWatermark` on the fingerprint removes
+         exact re-submissions within the watermark horizon (state
+         bounded by the horizon — the streaming form of the batch
+         keep-one-per-fp groupBy; WHICH duplicate survives follows
+         arrival order, matching streaming semantics, where the batch
+         form keeps min id);
+      3. each micro-batch routes `clf_keep` rows (with `text`
+         replaced by the redacted form) to the target and the rest —
+         including no-token docs (NULL keep) — to the rejects dir.
+
+    Writes are batch-scoped dynamic partition overwrites
+    (ingest_batch=N), so a replayed micro-batch overwrites only its
+    own subpartition and the job stays idempotent; per-batch stats
+    are keyed by batch_id for the same reason. Returns the ordered
+    per-batch {written, rejected} stats."""
+    from ..plans.governance import PII_EMAIL, PII_IP, PII_PHONE
+    from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
+    from ..functions.text import fingerprint_md5
+    from .incremental import write_partition_overwrite
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    prepped = (
+        stream.withColumn("fp", fingerprint_md5(F.col("text")))
+        .select("*", *clf_stage_cols())
+        .select("*", *clf_output_cols())
+        .drop(*CLF_STAGE_NAMES)
+        .withColumn("text", redacted)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    stats: dict[int, dict] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            keep_pred = F.coalesce(F.col("clf_keep"), F.lit(False))
+            keep = batch_df.filter(keep_pred).withColumn(
+                "ingest_batch", F.lit(int(batch_id))
+            )
+            rej = batch_df.filter(~keep_pred).withColumn(
+                "ingest_batch", F.lit(int(batch_id))
+            )
+            n_keep, n_rej = keep.count(), rej.count()
+            if n_keep:
+                write_partition_overwrite(keep, target_dir, ["ingest_batch"])
+            if n_rej and rejects_dir is not None:
+                write_partition_overwrite(rej, rejects_dir, ["ingest_batch"])
+            stats[int(batch_id)] = {
+                "batch_id": int(batch_id),
+                "written": n_keep,
+                "rejected": n_rej,
+            }
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        prepped.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink)
         .start()

@@ -500,3 +500,71 @@ def test_quality_gated_ingest_matches_batch_classifier(spark, tmp_path):
     assert 3 in got_rej  # whitespace-only doc: NULL prob -> rejected
     assert len(stats) == 2
     assert sum(s["kept"] + s["rejected"] for s in stats) == 5
+
+
+def test_corpus_prep_stream_dedups_gates_and_redacts(spark, tmp_path):
+    """The streaming corpus-prep twin of corpus_prep_fused: exact
+    re-submissions within the watermark are dropped (across
+    micro-batches), the keep/reject split matches the batch
+    classifier on the deduped set, and written text is PII-redacted."""
+    import datetime as dt
+    import hashlib
+
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.plans.llm import _CLF_D, _CLF_W
+    from japanstockdatapipeline_spark.streaming.jobs import corpus_prep_stream
+
+    def w_of(tok):
+        b = int(hashlib.md5(f"qb:{tok}".encode()).hexdigest()[:15], 16) % _CLF_D
+        return _CLF_W[b]
+
+    words = [f"w{i}" for i in range(200)]
+    pos = " ".join([w for w in words if w_of(w) > 0.3][:3])
+    neg = " ".join([w for w in words if w_of(w) < -0.3][:3])
+
+    t0 = dt.datetime(2024, 1, 2, 9, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [pos, pos, neg, f"mail me {pos} at bob@example.com"],
+            "ts": [t0] * 4,  # doc 2 is an exact dup of doc 1 (same batch)
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [5, 6],
+            "text": [pos, "   "],  # doc 5 re-submits doc 1 across batches
+            "ts": [t0 + dt.timedelta(minutes=5)] * 2,
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target, rejects = str(tmp_path / "gold"), str(tmp_path / "rejects")
+    stats = corpus_prep_stream(
+        stream, target, str(tmp_path / "cp"), rejects_dir=rejects
+    )
+
+    kept = spark.read.parquet(target).collect()
+    rej = spark.read.parquet(rejects).collect()
+    kept_fp = [r["fp"] for r in kept]
+    all_fp = kept_fp + [r["fp"] for r in rej]
+    # one survivor per distinct fingerprint, within AND across batches
+    assert len(all_fp) == len(set(all_fp)) == 4
+    # quality split: the pos doc kept, the neg + whitespace docs rejected,
+    # and the email doc (pos words + extra tokens) scored on its own text
+    assert any(r["doc_id"] in (1, 2, 5) for r in kept)
+    assert {r["doc_id"] for r in rej} >= {3, 6}
+    # PII redaction applied to the WRITTEN text only where it matched
+    email_rows = [r for r in kept + rej if r["doc_id"] == 4]
+    if email_rows:
+        assert "<EMAIL>" in email_rows[0]["text"]
+        assert "bob@example.com" not in email_rows[0]["text"]
+    # per-batch stats are keyed by batch and account for every survivor
+    assert sum(s["written"] + s["rejected"] for s in stats) == 4
