@@ -147,6 +147,42 @@ def round6_pow100_ratio_sql(num_sql: str, n_sql: str, div: str = "//") -> str:
     return f"(CAST({q} AS DOUBLE) / 1000000.0)"
 
 
+def ordered_fold_sum(col: Column) -> Column:
+    """Order-DETERMINISTIC double sum for use inside groupBy().agg():
+    collect the group's values, sort ascending, left-fold add.
+
+    Why (SCALE.md rule 5, extended to transcendental inputs): a plain
+    sum()/avg() of doubles merges partial aggregates in partition
+    order, so the float association — and hence the low bits of the
+    result — depend on the shuffle layout AND differ from the DuckDB
+    oracle's own order. For rational inputs the exact integer rails
+    apply; for transcendental inputs (ln-scores: unigram NLL, DSIR
+    log-ratios, tf-idf lex sums, PSI terms) exactness is impossible
+    but DETERMINISM is not: sorting fixes one addition sequence that
+    both engines reproduce bit-identically, so the only residual
+    cross-engine exposure is the round(x, 6) primitive itself on a
+    bit-identical double — the measure-zero zone the boundary canary
+    bounds at 1e-9.
+
+    Cost: collect_list per group (memory bounded by the group axis —
+    tokens per document, buckets per histogram), sort O(g log g).
+    Use for outputs that feed an equality-hashed 6dp round; plain
+    sum() remains right for throughput-only paths."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(col)), F.lit(0.0), lambda a, b: a + b
+    )
+
+
+def ordered_fold_sum_sql(expr: str) -> str:
+    """The DuckDB-oracle twin of ordered_fold_sum: the identical
+    ascending left-fold (list_reduce folds left with the first element
+    as the seed, so prepend the 0.0 seed)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_sort(list({expr}))), (a, b) -> a + b)"
+    )
+
+
 def product_of_list(lst: Column) -> Column:
     """Exact sequential product of an array<double>.
 

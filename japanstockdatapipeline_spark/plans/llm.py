@@ -930,7 +930,9 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf),
     nll AS (
       SELECT tok.doc_id,
-             round(avg(-ln(tf.tf / tot.n)), 6) AS unigram_nll,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(-ln(tf.tf / tot.n)))),
+                   (a, b) -> a + b) / count(*), 6) AS unigram_nll,
              round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
              round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
       FROM tok JOIN tf USING (term), tot
@@ -971,11 +973,18 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(tf.agg(F.sum("tf").alias("n_total")))
     )
     nll = -F.log(F.col("tf") / F.col("n_total"))
+    # the mean is an ORDERED fold (sort asc, left-fold add): a plain
+    # avg() merges partials in shuffle order, so its low bits — and at
+    # a .5e-6 boundary the 6dp output — depend on partitioning and
+    # diverge from the oracle's own order (the latent exactness class
+    # the round-7 verdict flagged; SEM.ordered_fold_sum note)
     per_doc = (
         tok.join(tf, "term")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(nll), 6).alias("unigram_nll"),
+            F.round(SEM.ordered_fold_sum(nll) / F.count(F.lit(1)), 6).alias(
+                "unigram_nll"
+            ),
             F.round(F.min(nll), 6).alias("unigram_nll_min"),
             F.round(F.max(nll), 6).alias("unigram_nll_max"),
         )
@@ -1023,7 +1032,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE term IN ('spark', 'join', 'window') GROUP BY 1
     ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
     lex AS (
-      SELECT tf.doc_id, sum(tf.tf * ln(n.n / df.df)) AS lex
+      SELECT tf.doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_sort(list(tf.tf * ln(n.n / df.df)))),
+               (a, b) -> a + b) AS lex
       FROM tf JOIN df USING (term), n GROUP BY tf.doc_id
     ), mx AS (SELECT max(lex) AS m FROM lex),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -1058,7 +1070,9 @@ def doc_hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ncnt))
         .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
-        .agg(F.sum("w").alias("lex"))
+        # ordered fold (SEM.ordered_fold_sum): the lex sum feeds a
+        # 6dp-rounded equality-hashed output
+        .agg(SEM.ordered_fold_sum(F.col("w")).alias("lex"))
     )
     mx = lex.agg(F.max("lex").alias("m"))
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -1929,7 +1943,9 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              t.n_a, t.n_b
       FROM sides s, tot t
     )
-    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+    SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list((p - q) * ln(p / q)))),
+             (a, b) -> a + b), 6) AS psi,
            CAST(any_value(n_a) AS BIGINT) AS drift_n_snapshot,
            CAST(any_value(n_b) AS BIGINT) AS drift_n_incoming,
            CAST(max_by(bucket, abs(p - q)) AS INT) AS drift_top_bucket
@@ -1965,7 +1981,11 @@ def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("b_cnt") + 1.0) / (F.col("n_b") + 10.0)).alias("q"),
     )
     return terms.agg(
-        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        # ordered fold over the 10 bucket terms (SEM.ordered_fold_sum)
+        F.round(
+            SEM.ordered_fold_sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
         F.any_value(F.col("n_a")).cast("bigint").alias("drift_n_snapshot"),
         F.any_value(F.col("n_b")).cast("bigint").alias("drift_n_incoming"),
         F.max_by("bucket", F.abs(F.col("p") - F.col("q"))).cast("int").alias("drift_top_bucket"),
@@ -2231,7 +2251,10 @@ _DSIR_D = 512
       FROM counts, tot
     ),
     perdoc AS (
-      SELECT tok.doc_id, round(avg(r.llr), 6) AS dsir_logw
+      SELECT tok.doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(list(r.llr))),
+                   (a, b) -> a + b) / count(*), 6) AS dsir_logw
       FROM tok JOIN rates r USING (b)
       GROUP BY tok.doc_id
     ),
@@ -2274,7 +2297,13 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         tok.join(rates, "b")
         .groupBy("doc_id")
-        .agg(F.round(F.avg("llr"), 6).alias("dsir_logw"))
+        # ordered fold, not avg(): shuffle-order-independent low bits
+        # (SEM.ordered_fold_sum — the latent-exactness hardening)
+        .agg(
+            F.round(
+                SEM.ordered_fold_sum(F.col("llr")) / F.count(F.lit(1)), 6
+            ).alias("dsir_logw")
+        )
     )
     cut = per_doc.agg(
         F.round(F.expr("percentile(dsir_logw, 0.7D)"), 6).alias("__c")
