@@ -128,3 +128,42 @@ def test_round6_pow100_ratio_matches_fraction_ground_truth(spark):
         got_duck = duckdb.sql(f"SELECT {sql_d} AS v").fetchone()[0]
         assert got_spark == want, (num, n, got_spark, want)
         assert got_duck == want, (num, n, got_duck, want)
+
+
+def test_ordered_fold_sum_is_partition_layout_invariant(spark):
+    """The ordered fold yields bit-identical sums under different
+    partition layouts (a plain sum() does not guarantee this), and
+    matches DuckDB's identical list_sort + seeded list_reduce."""
+    import duckdb
+
+    from japanstockdatapipeline_spark.functions.semantics import (
+        ordered_fold_sum,
+        ordered_fold_sum_sql,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 6) for _ in range(2000)]
+    rows = [(i % 7, v) for i, v in enumerate(vals)]
+
+    sums = {}
+    for nparts in (1, 4, 32):
+        df = spark.createDataFrame(rows, "k int, x double").repartition(nparts)
+        got = {
+            r["k"]: r["s"]
+            for r in df.groupBy("k").agg(ordered_fold_sum(F.col("x")).alias("s")).collect()
+        }
+        sums[nparts] = got
+    assert sums[1] == sums[4] == sums[32]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {
+        k: s
+        for k, s in con.execute(
+            f"SELECT k, {ordered_fold_sum_sql('x')} AS s FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert oracle == sums[1]
