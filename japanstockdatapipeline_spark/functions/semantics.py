@@ -176,10 +176,14 @@ def ordered_fold_sum(col: Column) -> Column:
 def ordered_fold_sum_sql(expr: str) -> str:
     """The DuckDB-oracle twin of ordered_fold_sum: the identical
     ascending left-fold (list_reduce folds left with the first element
-    as the seed, so prepend the 0.0 seed)."""
+    as the seed, so prepend the 0.0 seed). NULL semantics pinned to
+    Spark's collect_list: NULL inputs are SKIPPED (DuckDB list() keeps
+    them — filter them out) and an empty/all-NULL group folds to 0.0
+    (coalesce the NULL aggregate-over-nothing to [])."""
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_sort(list({expr}))), (a, b) -> a + b)"
+        f"list_sort(coalesce(list({expr}) FILTER (WHERE ({expr}) IS NOT NULL), "
+        f"[]))), (a, b) -> a + b)"
     )
 
 

@@ -931,7 +931,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll AS (
       SELECT tok.doc_id,
              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(list(-ln(tf.tf / tot.n)))),
+                     list_sort(coalesce(list(-ln(tf.tf / tot.n)) FILTER (WHERE (-ln(tf.tf / tot.n)) IS NOT NULL), []))),
                    (a, b) -> a + b) / count(*), 6) AS unigram_nll,
              round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
              round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
@@ -1034,7 +1034,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex AS (
       SELECT tf.doc_id,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_sort(list(tf.tf * ln(n.n / df.df)))),
+                 list_sort(coalesce(list(tf.tf * ln(n.n / df.df)) FILTER (WHERE (tf.tf * ln(n.n / df.df)) IS NOT NULL), []))),
                (a, b) -> a + b) AS lex
       FROM tf JOIN df USING (term), n GROUP BY tf.doc_id
     ), mx AS (SELECT max(lex) AS m FROM lex),
@@ -1944,7 +1944,7 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sides s, tot t
     )
     SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_sort(list((p - q) * ln(p / q)))),
+               list_sort(coalesce(list((p - q) * ln(p / q)) FILTER (WHERE ((p - q) * ln(p / q)) IS NOT NULL), []))),
              (a, b) -> a + b), 6) AS psi,
            CAST(any_value(n_a) AS BIGINT) AS drift_n_snapshot,
            CAST(any_value(n_b) AS BIGINT) AS drift_n_incoming,
@@ -2253,7 +2253,7 @@ _DSIR_D = 512
     perdoc AS (
       SELECT tok.doc_id,
              round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(list(r.llr))),
+                     list_sort(coalesce(list(r.llr) FILTER (WHERE (r.llr) IS NOT NULL), []))),
                    (a, b) -> a + b) / count(*), 6) AS dsir_logw
       FROM tok JOIN rates r USING (b)
       GROUP BY tok.doc_id

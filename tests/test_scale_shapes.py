@@ -125,6 +125,9 @@ def test_partition_pruning_on_gold_tables(spark, sf_dir, tmp_path):
 #   contains both.
 PLAN_TIME_JOB_ALLOWLIST = {
     "embedding_knn_topk",
+    # round 8: the hard-negative miner shares the knn BLAS shape —
+    # the bounded query matrix (with labels) is collected at build
+    "embedding_hard_negatives",
     "ann_topk_panel",
     "doc_dup_clusters",
     "corpus_prep_pipeline",
