@@ -250,108 +250,33 @@ def click_span_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type_corr",
     doc="A8 Pearson correlation / tracking error (basket-valuation.ts:"
     "623-651): corr(value, props.k) and stddev_samp(diff)*sqrt(252) per "
-    "type. Order-DETERMINISTIC moments (the ordered-fold discipline, "
-    "SEM.ordered_fold_sum note): the (v, k) pairs are collected and "
-    "sorted per group, every moment is a left fold over that one fixed "
-    "sequence, and the two-pass centered form (means first, then "
-    "centered squares) keeps the arithmetic numerically stable — the "
-    "engines' builtin corr/stddev merge partials in shuffle order AND "
-    "use different update algorithms, so their low bits never agree "
-    "by construction.",
+    "type. Uses the engines' streaming constant-memory aggregates ON "
+    "PURPOSE: event_type cardinality is tiny, so a collect-and-fold "
+    "determinization would pull corpus-scale groups into single tasks "
+    "(the ordered-fold discipline applies only to BOUNDED group axes "
+    "-- SCALE.md rule-5 note); the residual cross-engine low-bit "
+    "exposure of these merge-order/algorithm-dependent moments is "
+    "measured by the boundary canary every round.",
     oracle="""
-    WITH g AS (
-      SELECT event_type,
-             list_sort(coalesce(list({'v': value, 'k': kv})
-               FILTER (WHERE value IS NOT NULL AND kv IS NOT NULL), [])) AS arr,
-             count(*) AS n_rows
-      FROM (SELECT event_type, value,
-                   CAST(json_extract(props, '$.k') AS DOUBLE) AS kv
-            FROM events)
-      GROUP BY event_type
-    ), m AS (
-      SELECT event_type, n_rows, arr, CAST(len(arr) AS DOUBLE) AS n,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> p.v)), (a, b) -> a + b) AS sx,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> p.k)), (a, b) -> a + b) AS sy,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> p.v - p.k)), (a, b) -> a + b) AS sd
-      FROM g
-    ), c AS (
-      SELECT event_type, n_rows, n,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> (p.v - sx / n) * (p.k - sy / n))),
-               (a, b) -> a + b) AS cxy,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> (p.v - sx / n) * (p.v - sx / n))),
-               (a, b) -> a + b) AS cxx,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> (p.k - sy / n) * (p.k - sy / n))),
-               (a, b) -> a + b) AS cyy,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(arr, p -> ((p.v - p.k) - sd / n)
-                                      * ((p.v - p.k) - sd / n))),
-               (a, b) -> a + b) AS cdd
-      FROM m
-    )
     SELECT event_type,
-           CASE WHEN n >= 2 AND cxx > 0 AND cyy > 0 THEN
-             round(cxy / sqrt(cxx * cyy), 6) END AS corr_vk,
-           CASE WHEN n >= 2 THEN
-             round(sqrt(cdd / (n - 1)) * sqrt(252.0), 6) END AS tracking_error,
-           n_rows AS n
-    FROM c
+           round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+           round(stddev_samp(value - CAST(json_extract(props, '$.k') AS DOUBLE))
+                 * sqrt(252.0), 6) AS tracking_error,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
     """,
 )
 def event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    kv = F.get_json_object("props", "$.k").cast("double")
-    pair = F.when(
-        F.col("value").isNotNull() & kv.isNotNull(),
-        F.struct(F.col("value").alias("v"), kv.alias("k")),
-    )
-    g = ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(pair)).alias("arr"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-    def fold(a):
-        return F.aggregate(a, F.lit(0.0), lambda x, y: x + y)
-
-    arr = F.col("arr")
-    n = F.size(arr).cast("double")
-    m = g.select(
-        "event_type",
-        "n_rows",
-        "arr",
-        n.alias("n"),
-        fold(F.transform(arr, lambda p: p["v"])).alias("sx"),
-        fold(F.transform(arr, lambda p: p["k"])).alias("sy"),
-        fold(F.transform(arr, lambda p: p["v"] - p["k"])).alias("sd"),
-    )
-    mx, my, md = (F.col(c) / F.col("n") for c in ("sx", "sy", "sd"))
-    c = m.select(
-        "event_type",
-        "n_rows",
-        "n",
-        fold(F.transform(arr, lambda p: (p["v"] - mx) * (p["k"] - my))).alias("cxy"),
-        fold(F.transform(arr, lambda p: (p["v"] - mx) * (p["v"] - mx))).alias("cxx"),
-        fold(F.transform(arr, lambda p: (p["k"] - my) * (p["k"] - my))).alias("cyy"),
-        fold(
-            F.transform(arr, lambda p: ((p["v"] - p["k"]) - md) * ((p["v"] - p["k"]) - md))
-        ).alias("cdd"),
-    )
-    return c.select(
-        "event_type",
-        F.when(
-            (F.col("n") >= 2) & (F.col("cxx") > 0) & (F.col("cyy") > 0),
-            F.round(F.col("cxy") / F.sqrt(F.col("cxx") * F.col("cyy")), 6),
-        ).alias("corr_vk"),
-        F.when(
-            F.col("n") >= 2,
-            F.round(F.sqrt(F.col("cdd") / (F.col("n") - 1)) * F.sqrt(F.lit(252.0)), 6),
-        ).alias("tracking_error"),
-        F.col("n_rows").alias("n"),
+    k = F.get_json_object("props", "$.k").cast("double")
+    ev2 = ev.withColumn("__k", k)
+    return ev2.groupBy("event_type").agg(
+        F.round(F.corr("value", "__k"), 6).alias("corr_vk"),
+        F.round(F.stddev_samp(F.col("value") - F.col("__k")) * F.sqrt(F.lit(252.0)), 6).alias(
+            "tracking_error"
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -362,8 +287,11 @@ def event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extension — SURVEY §2.9 note): per user, a >30-minute gap opens "
     "a new session; emit per-session bounds, event count, value sum. "
     "Batch form via lag+cumsum; the streaming form is "
-    "F.session_window in streaming/jobs.py.",
-    oracle="""
+    "F.session_window in streaming/jobs.py. value_sum folds in value "
+    "order (SEM.ordered_fold_sum — per-session axis, bounded by the "
+    "gap rule) and stays NULL for an all-NULL session, matching the "
+    "plain sum() it replaced.",
+    oracle=f"""
     WITH g AS (
       SELECT user_id, event_id, epoch_us(ts) AS tu, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -378,9 +306,8 @@ def event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            min(tu) AS session_start_us, max(tu) AS session_end_us,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_sort(coalesce(list(value) FILTER (WHERE (value) IS NOT NULL), []))),
-                 (a, b) -> a + b), 6) AS value_sum
+           CASE WHEN count(value) > 0 THEN
+             round({SEM.ordered_fold_sum_sql('value')}, 6) END AS value_sum
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -398,8 +325,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         # ordered fold (SEM.ordered_fold_sum): shuffle-order-
-        # independent low bits on the equality-hashed 6dp sum
-        F.round(SEM.ordered_fold_sum(F.col("value")), 6).alias("value_sum"),
+        # independent low bits on the equality-hashed 6dp sum;
+        # all-NULL sessions stay NULL like the plain sum() before it
+        F.when(
+            F.count("value") > 0, F.round(SEM.ordered_fold_sum(F.col("value")), 6)
+        ).alias("value_sum"),
     )
 
 

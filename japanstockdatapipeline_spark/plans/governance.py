@@ -71,18 +71,27 @@ _PII_AUG_SQL = (
 )
 
 
+def redact_text(col) -> "F.Column":
+    """The one redaction chain every rail shares (the batch member,
+    the fused forms, and streaming corpus_prep_stream): email ->
+    phone -> IP, IN THAT ORDER — phone/IP digit runs can overlap an
+    email's local part, so applying email first keeps the class
+    counts and the redacted text consistent across paths."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IP, "<IP>",
+    )
+
+
 def pii_redaction_cols() -> list:
     """The PII member's output expressions (reused by the fused doc
     features): per-class match counts + the redacted text's md5 +
     characters removed."""
     aug = _pii_augmented()
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"),
-            PII_PHONE, "<PHONE>",
-        ),
-        PII_IP, "<IP>",
-    )
+    redacted = redact_text(aug)
     count = lambda pat: F.size(  # noqa: E731
         F.regexp_extract_all(aug, F.lit(pat), F.lit(0))
     ).cast("int")

@@ -918,7 +918,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-total normalizer is a 1-row aggregate over the PERSISTED "
     "vocab table, broadcast back on (the winsorize stats-pass shape) "
     "— no single-partition window on any axis, no plan-time actions.",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, lower(t.tok) AS term FROM documents,
       LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -930,9 +930,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf),
     nll AS (
       SELECT tok.doc_id,
-             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(coalesce(list(-ln(tf.tf / tot.n)) FILTER (WHERE (-ln(tf.tf / tot.n)) IS NOT NULL), []))),
-                   (a, b) -> a + b) / count(*), 6) AS unigram_nll,
+             round({SEM.ordered_fold_sum_sql('-ln(tf.tf / tot.n)')} / count(*), 6) AS unigram_nll,
              round(min(-ln(tf.tf / tot.n)), 6) AS unigram_nll_min,
              round(max(-ln(tf.tf / tot.n)), 6) AS unigram_nll_max
       FROM tok JOIN tf USING (term), tot
@@ -1019,7 +1017,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and a broadcast 1-row max for normalization; dense side joins "
     "documents to their embedding row and broadcasts the single "
     "query vector; no cross join anywhere.",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, lower(t.tok) AS term FROM documents,
       LATERAL unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1033,9 +1031,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
     lex AS (
       SELECT tf.doc_id,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_sort(coalesce(list(tf.tf * ln(n.n / df.df)) FILTER (WHERE (tf.tf * ln(n.n / df.df)) IS NOT NULL), []))),
-               (a, b) -> a + b) AS lex
+             {SEM.ordered_fold_sum_sql('tf.tf * ln(n.n / df.df)')} AS lex
       FROM tf JOIN df USING (term), n GROUP BY tf.doc_id
     ), mx AS (SELECT max(lex) AS m FROM lex),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -1943,15 +1939,14 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              t.n_a, t.n_b
       FROM sides s, tot t
     )
-    SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_sort(coalesce(list((p - q) * ln(p / q)) FILTER (WHERE ((p - q) * ln(p / q)) IS NOT NULL), []))),
-             (a, b) -> a + b), 6) AS psi,
+    SELECT round({FOLD_PSI}, 6) AS psi,
            CAST(any_value(n_a) AS BIGINT) AS drift_n_snapshot,
            CAST(any_value(n_b) AS BIGINT) AS drift_n_incoming,
            CAST(max_by(bucket, abs(p - q)) AS INT) AS drift_top_bucket
     FROM terms
     """.replace("{SW}", _SW)
-    .replace("{BUCKET}", TX.quality_bucket_sql("nt", "sw", "np", "ln")),
+    .replace("{BUCKET}", TX.quality_bucket_sql("nt", "sw", "np", "ln"))
+    .replace("{FOLD_PSI}", SEM.ordered_fold_sum_sql("(p - q) * ln(p / q)")),
 )
 def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -2148,11 +2143,15 @@ _CURVE_THR_MILLI = list(range(-50, 51, 10))
     doc="Classifier operating-point pricing: the (threshold -> kept "
     "docs, kept token mass) curve a team reads to PICK the quality "
     "cut before burning a 100 TB pass — one row per candidate "
-    "threshold. The kept test is EXACT integer arithmetic end to end "
-    "(logit >= thr/1000 <=> wsum - 50n >= thr_milli*n — no float, no "
-    "rounding boundary anywhere in the decision); one corpus scan "
-    "cross-joined with the 11-row broadcast threshold grid, partial "
-    "aggregation ships 11 rows per partition.",
+    "threshold. The kept test compares the SAME 6dp-ROUNDED logit the "
+    "gate cuts on (clf_keep = rounded logit >= 0), as its q-scaled "
+    "integer: q = half-up((wsum - 50n)*1e6 / (1000n)) >= thr_milli*1000 "
+    "— exact integer arithmetic end to end, AND the thr=0 row equals "
+    "exactly what clf_keep / the streaming gates pass (a raw-logit "
+    "test disagrees on docs whose logit rounds ONTO the cut, e.g. "
+    "-4.9e-7 -> 0.0 -> kept). One corpus scan cross-joined with the "
+    "11-row broadcast threshold grid, partial aggregation ships 11 "
+    "rows per partition.",
     oracle=f"""
     WITH w(wv) AS (SELECT {_CLF_W_SQL}),
     t AS (
@@ -2167,17 +2166,22 @@ _CURVE_THR_MILLI = list(range(-50, 51, 10))
                              % {_CLF_D} AS INT) + 1])) AS BIGINT) AS wsum,
              CAST(len(toks) AS BIGINT) AS n
       FROM t, w
+    ), sq AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0 THEN
+               {SEM.round6_q_sql('wsum - 50 * n', '1000 * n')} END AS q
+      FROM s
     ), thr(thr_milli) AS (
       SELECT CAST(unnest(range(-50, 51, 10)) AS INT)
     ), agg AS (
       SELECT thr_milli,
-             CAST(count(*) FILTER (WHERE n > 0 AND wsum - 50 * n >= thr_milli * n)
+             CAST(count(*) FILTER (WHERE q >= thr_milli * 1000)
                   AS BIGINT) AS kept_docs,
              CAST(coalesce(sum(n) FILTER (
-                  WHERE n > 0 AND wsum - 50 * n >= thr_milli * n), 0)
+                  WHERE q >= thr_milli * 1000), 0)
                   AS BIGINT) AS kept_tokens,
              CAST(count(*) AS BIGINT) AS total_docs
-      FROM s CROSS JOIN thr
+      FROM sq CROSS JOIN thr
       GROUP BY thr_milli
     )
     SELECT thr_milli, thr_milli / 1000.0 AS threshold,
@@ -2192,8 +2196,14 @@ def doc_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = spark.createDataFrame(
         [(m,) for m in _CURVE_THR_MILLI], "thr_milli int"
     )
-    n, wsum, tm = F.col("__clf_ntok"), F.col("__clf_wsum"), F.col("thr_milli")
-    kept = (n > 0) & (wsum - 50 * n >= tm.cast("bigint") * n)
+    n, tm = F.col("__clf_ntok"), F.col("thr_milli")
+    # the gate's OWN quantity: the q-scaled rounded logit (clf_keep is
+    # q >= 0), so every curve row prices exactly what the gate passes
+    q = F.when(
+        n > 0, SEM.round6_q("__clf_wsum - 50 * __clf_ntok", "1000 * __clf_ntok")
+    )
+    staged = staged.withColumn("__q", q)
+    kept = F.col("__q") >= tm.cast("bigint") * 1000
     return (
         staged.crossJoin(F.broadcast(thr))
         .groupBy("thr_milli")
@@ -2252,9 +2262,7 @@ _DSIR_D = 512
     ),
     perdoc AS (
       SELECT tok.doc_id,
-             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(coalesce(list(r.llr) FILTER (WHERE (r.llr) IS NOT NULL), []))),
-                   (a, b) -> a + b) / count(*), 6) AS dsir_logw
+             round({SEM.ordered_fold_sum_sql('r.llr')} / count(*), 6) AS dsir_logw
       FROM tok JOIN rates r USING (b)
       GROUP BY tok.doc_id
     ),

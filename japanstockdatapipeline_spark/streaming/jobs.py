@@ -519,20 +519,13 @@ def corpus_prep_stream(
     own subpartition and the job stays idempotent; per-batch stats
     are keyed by batch_id for the same reason. Returns the ordered
     per-batch {written, rejected} stats."""
-    from ..plans.governance import PII_EMAIL, PII_IP, PII_PHONE
+    from ..plans.governance import redact_text
     from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
     from ..functions.text import fingerprint_md5
     from .incremental import write_partition_overwrite
 
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_PHONE,
-            "<PHONE>",
-        ),
-        PII_IP,
-        "<IP>",
-    )
+    # the SAME chain the batch member applies (one home: governance)
+    redacted = redact_text(F.col("text"))
     prepped = (
         stream.withColumn("fp", fingerprint_md5(F.col("text")))
         .select("*", *clf_stage_cols())
