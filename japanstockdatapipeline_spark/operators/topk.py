@@ -295,7 +295,12 @@ def brute_force_topk_matmul(
     qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm queries get the same norm=1 guard as the corpus side:
+    # cosine 0.0 to everything (deterministic rank by neighbor_id)
+    # instead of a NaN row that each engine orders differently
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
 
     def batches(it):
         for pdf in it:
@@ -354,11 +359,19 @@ def hard_negative_topk_matmul(
     import numpy as np
     import pandas as pd
 
-    for df_, col_ in ((corpus, id_col), (queries, q_id_col)):
+    # labels get the same loud upfront dtype check as the ids: they are
+    # compared as int64 inside the BLAS batch, and an int64 that
+    # round-tripped through float64 silently corrupts above 2^53
+    for df_, col_ in (
+        (corpus, id_col),
+        (queries, q_id_col),
+        (corpus, label_col),
+        (queries, q_label_col),
+    ):
         dt = df_.schema[col_].dataType.simpleString()
         if dt not in ("bigint", "int", "smallint", "tinyint"):
             raise ValueError(
-                f"hard_negative_topk_matmul needs an integral id column; "
+                f"hard_negative_topk_matmul needs integral id/label columns; "
                 f"{col_!r} is {dt}"
             )
 
@@ -380,7 +393,12 @@ def hard_negative_topk_matmul(
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     q_labels = np.array([int(r[2]) for r in qrows], dtype=np.int64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # same zero-norm guard as brute_force_topk_matmul: a zero-norm
+    # query scores cosine 0.0 everywhere instead of NaN rows that
+    # np.isfinite would silently drop (divergent vs the SQL oracle)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
 
     def batches(it):
         for pdf in it:
@@ -389,7 +407,10 @@ def hard_negative_topk_matmul(
             if not keep.any():
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)[keep]
-            labels = lab.to_numpy(dtype="float64")[keep].astype(np.int64)
+            # nullable-int Arrow batches arrive as object/Int64 series;
+            # extract via the nullable-Int64 path (no float64
+            # intermediate — labels above 2^53 must compare exactly)
+            labels = lab[keep].astype("Int64").to_numpy(dtype=np.int64)
             C = np.array([list(v) for v in pdf[vec_col][keep]], dtype=np.float64)
             norms = np.linalg.norm(C, axis=1, keepdims=True)
             norms[norms == 0] = 1.0

@@ -166,6 +166,29 @@ def write_partition_overwrite(
     )
 
 
+def clear_batch_partitions(
+    spark: SparkSession, root: str, batch_id: int, *, nested: bool = False
+) -> None:
+    """Remove a prior attempt's `ingest_batch=N` partition dirs before a
+    replayed micro-batch writes (or skips an empty write): dynamic
+    partition overwrite only replaces partitions PRESENT in the new
+    data, so a replay that now produces zero rows — or fewer
+    partition_col values in the `nested` layout — would otherwise
+    leave the previous attempt's rows live under the same batch id.
+    `nested=True` globs `root/*/ingest_batch=N` for the
+    (partition_col, ingest_batch) layout. No-op when nothing exists
+    (first attempt, or root not yet created)."""
+    pattern = (
+        f"{root}/*/ingest_batch={int(batch_id)}"
+        if nested
+        else f"{root}/ingest_batch={int(batch_id)}"
+    )
+    fs, _ = _hadoop_fs(spark, root)
+    glob_p = spark._jvm.org.apache.hadoop.fs.Path(pattern)  # noqa: SLF001
+    for st in fs.globStatus(glob_p) or []:
+        fs.delete(st.getPath(), True)
+
+
 def write_with_audit(
     df: DataFrame,
     path: str,

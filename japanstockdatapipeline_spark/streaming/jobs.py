@@ -433,7 +433,7 @@ def quality_gated_ingest(
     batch N overwrites only its own subpartition) without losing
     cross-batch rows."""
     from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
-    from .incremental import write_partition_overwrite
+    from .incremental import clear_batch_partitions, write_partition_overwrite
 
     scored = (
         stream.select("*", *clf_stage_cols())
@@ -457,6 +457,18 @@ def quality_gated_ingest(
             )
             n_keep = keep.count()
             n_rej = rej.count()
+            # clear this batch's prior subpartitions FIRST: dynamic
+            # overwrite only replaces partitions present in the new
+            # data, so a replay that now yields zero rows (or fewer
+            # partition_col values) would otherwise leave the earlier
+            # attempt's ingest_batch=N rows live (r8 ADVICE)
+            clear_batch_partitions(
+                batch_df.sparkSession, target_dir, batch_id, nested=True
+            )
+            if rejects_dir is not None:
+                clear_batch_partitions(
+                    batch_df.sparkSession, rejects_dir, batch_id, nested=True
+                )
             if n_keep:
                 write_partition_overwrite(
                     keep, target_dir, [partition_col, "ingest_batch"]
@@ -510,19 +522,23 @@ def corpus_prep_stream(
          keep-one-per-fp groupBy; WHICH duplicate survives follows
          arrival order, matching streaming semantics, where the batch
          form keeps min id);
-      3. each micro-batch routes `clf_keep` rows (with `text`
-         replaced by the redacted form) to the target and the rest —
-         including no-token docs (NULL keep) — to the rejects dir.
+      3. each micro-batch routes `clf_keep` rows to the target and
+         the rest — including no-token docs (NULL keep) — to the
+         rejects dir. ALL persisted rows (target AND rejects) carry
+         the redacted `text` — rejects are kept for review, so PII
+         must not survive there either; `fp` and the classifier
+         columns are computed on the ORIGINAL text before redaction.
 
     Writes are batch-scoped dynamic partition overwrites
-    (ingest_batch=N), so a replayed micro-batch overwrites only its
-    own subpartition and the job stays idempotent; per-batch stats
-    are keyed by batch_id for the same reason. Returns the ordered
-    per-batch {written, rejected} stats."""
+    (ingest_batch=N) preceded by a clear of that batch's prior
+    subpartitions, so a replayed micro-batch replaces exactly its own
+    slice even when the replay now produces zero keep (or reject)
+    rows; per-batch stats are keyed by batch_id for the same reason.
+    Returns the ordered per-batch {written, rejected} stats."""
     from ..plans.governance import redact_text
     from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
     from ..functions.text import fingerprint_md5
-    from .incremental import write_partition_overwrite
+    from .incremental import clear_batch_partitions, write_partition_overwrite
 
     # the SAME chain the batch member applies (one home: governance)
     redacted = redact_text(F.col("text"))
@@ -548,6 +564,13 @@ def corpus_prep_stream(
                 "ingest_batch", F.lit(int(batch_id))
             )
             n_keep, n_rej = keep.count(), rej.count()
+            # clear-before-write keeps the replay contract exact even
+            # when a replayed batch now produces zero keep (or reject)
+            # rows — an empty frame has no partitions, so dynamic
+            # overwrite alone would leave the prior attempt live
+            clear_batch_partitions(batch_df.sparkSession, target_dir, batch_id)
+            if rejects_dir is not None:
+                clear_batch_partitions(batch_df.sparkSession, rejects_dir, batch_id)
             if n_keep:
                 write_partition_overwrite(keep, target_dir, ["ingest_batch"])
             if n_rej and rejects_dir is not None:

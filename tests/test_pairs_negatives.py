@@ -153,3 +153,55 @@ def test_selection_curve_monotone_and_exact(spark, tmp_path):
     assert toks == sorted(toks, reverse=True)
     # the whitespace-only doc is never kept at any threshold
     assert max(kept) <= 2
+
+
+def test_hard_negatives_zero_norm_query_is_deterministic(spark):
+    """A zero-norm query gets the same norm=1 guard as the corpus side:
+    cosine 0.0 to every candidate (ranked by neighbor_id), never NaN
+    rows that np.isfinite would silently drop (r8 ADVICE)."""
+    emb = _vec_rows(
+        spark,
+        [(0, [0.0, 0.0], 1), (1, [0.9, 0.1], 2), (2, [0.1, 0.9], 2)],
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    got = hard_negative_topk_matmul(emb, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2]
+    assert all(r["cos"] == 0.0 for r in got)
+
+
+def test_hard_negatives_rejects_non_integral_labels(spark):
+    """Labels are compared as int64 inside the BLAS batch — non-integral
+    label columns fail loudly upfront, like the id columns."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [0.9, 0.1], "b")],
+        ["vec_id", "embedding", "label"],
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    with pytest.raises(ValueError, match="integral id/label"):
+        hard_negative_topk_matmul(emb, q, k=1)
+
+
+def test_brute_force_matmul_zero_norm_query(spark):
+    """Same guard on the exact path: zero-norm query ranks all corpus
+    vectors at cosine 0.0 deterministically by id."""
+    from japanstockdatapipeline_spark.operators.topk import brute_force_topk_matmul
+
+    emb = _vec_rows(
+        spark, [(0, [0.0, 0.0], 1), (1, [0.9, 0.1], 2), (2, [0.1, 0.9], 2)]
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = brute_force_topk_matmul(emb, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2]
+    assert all(r["cos"] == 0.0 for r in got)

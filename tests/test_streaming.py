@@ -568,3 +568,38 @@ def test_corpus_prep_stream_dedups_gates_and_redacts(spark, tmp_path):
         assert "bob@example.com" not in email_rows[0]["text"]
     # per-batch stats are keyed by batch and account for every survivor
     assert sum(s["written"] + s["rejected"] for s in stats) == 4
+
+
+def test_clear_batch_partitions_flat_and_nested(spark, tmp_path):
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the new data, so a replayed micro-batch that now yields zero rows
+    must clear its own ingest_batch=N slice explicitly (r8 ADVICE).
+    clear_batch_partitions removes exactly that batch's dirs — flat
+    (ingest_batch=N) and nested (pcol=*/ingest_batch=N) — and no-ops
+    when nothing exists."""
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        clear_batch_partitions,
+        write_partition_overwrite,
+    )
+
+    flat = str(tmp_path / "flat")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], ["x", "ingest_batch"]
+    )
+    write_partition_overwrite(df, flat, ["ingest_batch"])
+    clear_batch_partitions(spark, flat, 0)
+    left = spark.read.parquet(flat)
+    assert left.count() == 1 and left.collect()[0]["ingest_batch"] == 1
+
+    nested = str(tmp_path / "nested")
+    df2 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "a", 1)], ["x", "p", "ingest_batch"]
+    )
+    write_partition_overwrite(df2, nested, ["p", "ingest_batch"])
+    clear_batch_partitions(spark, nested, 0, nested=True)
+    left2 = spark.read.parquet(nested)
+    assert left2.count() == 1 and left2.collect()[0]["ingest_batch"] == 1
+
+    # no-op on a missing batch and on a missing root
+    clear_batch_partitions(spark, flat, 99)
+    clear_batch_partitions(spark, str(tmp_path / "nowhere"), 0)
