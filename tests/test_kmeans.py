@@ -268,3 +268,77 @@ def test_pq_rerank_recall_dominates_raw_adc(spark):
     for ranked in by_q.values():
         cs = [c for _, c in sorted(ranked)]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_ivfadc_residual_reconstruction_beats_direct(spark):
+    """Residual coding (IVFADC) must reconstruct a clustered corpus at
+    least as well as direct coding at the SAME (m, k_cells) budget:
+    with tight clusters, the coarse centroid explains most of each
+    vector, so residuals concentrate near zero and the codebooks spend
+    capacity on within-cell detail. We compare the mean L2 between
+    each raw vector and its indexed reconstruction."""
+    from japanstockdatapipeline_spark.operators.kmeans import ivf_pq_build
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 64))
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(40):
+            v = centers[ci] + 0.1 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def mean_err(residual):
+        handles = []
+        index, _ = ivf_pq_build(
+            vecs, k_coarse=4, m=8, k_cells=16, residual=residual,
+            persisted_out=handles,
+        )
+        raw = vecs.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        err = (
+            index.join(raw, "neighbor_id")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "__recon", lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("e2")
+            )
+            .agg(F.avg("e2"))
+            .collect()[0][0]
+        )
+        for h in handles:
+            h.unpersist()
+        return err
+
+    direct, resid = mean_err(False), mean_err(True)
+    assert resid <= direct * 0.5, (resid, direct)
+
+
+def test_ivfadc_rerank_matches_brute_on_probed_cells(spark, clustered):
+    """With residual coding and all cells probed, a deep-enough
+    shortlist makes the serving pipeline exact: top-5 equals brute
+    force on the clustered fixture."""
+    from japanstockdatapipeline_spark.operators.kmeans import ivf_pq_rerank_topk
+
+    queries = clustered.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_pq_rerank_topk(
+            clustered, queries, k=5, candidates=90, n_probe=3, k_coarse=3,
+            m=8, k_cells=16, dim=8, residual=True,
+        ).collect()
+    }
+    assert got == exact

@@ -222,13 +222,15 @@ def main() -> None:
     k_sqrt = int(math.isqrt(n))
     ivf_split(k_sqrt, max(2, round(k_sqrt / 16)), "ivf_kmeans_split_ksqrt")
 
-    # FULL IVF-PQ pipeline split (round-7 verdict #6): build the
-    # coarse cells + PQ codes + centroids ONCE (persisted), then sweep
-    # the two recall dials — n_probe buys back what the coarse cut
-    # loses, candidates what the compression loses. The operating
-    # point to ship is the cheapest (n_probe, candidates) with
-    # recall >= 0.95.
-    def ivfpq_split(k_coarse: int):
+    # FULL IVF-PQ pipeline split (round-7 verdict #6; residual coding
+    # round 9): build the coarse cells + PQ codes + centroids ONCE
+    # (persisted), then sweep the recall dials — n_probe buys back
+    # what the coarse cut loses, candidates what the compression
+    # loses, residual coding attacks the compression loss itself.
+    # The operating point to ship is the cheapest config with
+    # recall >= 0.95: measured IVFADC (residual) p2/c80 at recall 1.0
+    # vs direct coding saturating at 0.935 until c320 (SCALE.md).
+    def ivfpq_split(k_coarse: int, residual: bool, grid):
         from japanstockdatapipeline_spark.operators.kmeans import (
             ivf_pq_build,
             ivf_pq_probe,
@@ -237,14 +239,16 @@ def main() -> None:
         t_b = time.time()
         handles: list = []
         index, cents = ivf_pq_build(
-            corpus, k_coarse=k_coarse, m=8, k_cells=16, persisted_out=handles
+            corpus, k_coarse=k_coarse, m=8, k_cells=16,
+            residual=residual, persisted_out=handles,
         )
         index = index.persist()
         cents = cents.persist()
         index.count()
         cents.count()
         build_sec = round(time.time() - t_b, 2)
-        for n_probe, cand_mult in ((2, 4), (2, 8), (4, 4), (4, 8), (8, 8)):
+        tag = "ivfadc" if residual else "ivfpq"
+        for n_probe, cand_mult in grid:
             t_p = time.time()
             rec = with_recall(
                 ivf_pq_probe(
@@ -254,8 +258,9 @@ def main() -> None:
             )
             rec.update(
                 {
-                    "op": f"ivfpq_split_k{k_coarse}_p{n_probe}_c{cand_mult * K_NN}",
+                    "op": f"{tag}_split_k{k_coarse}_p{n_probe}_c{cand_mult * K_NN}",
                     "k_coarse": k_coarse,
+                    "residual": residual,
                     "n_probe": n_probe,
                     "candidates": cand_mult * K_NN,
                     "build_sec": build_sec,
@@ -269,7 +274,11 @@ def main() -> None:
         for h in handles:
             h.unpersist()
 
-    ivfpq_split(16)
+    # direct coding: the r8 grid + the c320 point where it finally
+    # reaches recall 1.0; residual coding: the shipped default dial
+    # (p2/c80) plus its cheaper/deeper neighbors
+    ivfpq_split(16, False, ((2, 4), (2, 8), (4, 8), (4, 32)))
+    ivfpq_split(16, True, ((2, 4), (2, 8), (4, 8)))
     # n_planes must scale with log2(corpus): the 4-plane default is
     # sized for the 200-vector registered query (16 buckets); at 20k
     # vectors it degrades to ~1250 docs/bucket and minutes of
