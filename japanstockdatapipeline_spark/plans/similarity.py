@@ -804,9 +804,10 @@ def _register_ivfpq_topk() -> None:
         "embedding_ivfpq_topk",
         oracle=_ivfpq_oracle_sql(),
         doc=_register_ivfpq_topk.__doc__,
-        # bench headline: the composed serving pipeline is the ANN
-        # flagship — regression-track it round over round
-        bench=True,
+        # NOT bench-flagged since round 9: the combined row re-trains
+        # the index inside the query and reported mostly build wall as
+        # if it were serving cost — bench.py now carries the honest
+        # split (embedding_ivfadc_build amortized / _probe per batch)
     )(fn)
 
 

@@ -13,6 +13,13 @@ import time
 CALIBRATION_N = 20_000_000
 CALIBRATION_RUNS = 5
 
+# the PINNED normalization anchor: round-7's measured calibration on
+# the reference rig (BENCH_r07). Normalized walls are
+# wall * CALIBRATION_REF / calibration_this_run, so round-over-round
+# deltas self-adjust for rig drift (r8's raw walls moved +37% on a
+# +41% calibration move — every raw comparison needed prose to read).
+CALIBRATION_REF = 0.152
+
 
 def calibrate(spark) -> float:
     times = []
