@@ -573,6 +573,164 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the merge-APPLY half (round 9): how many merge rules the registered
+# member learns and applies — bounded and compile-time fixed so the
+# oracle replays the identical schedule (the kmeans unrolled-iteration
+# discipline, but data-driven per rank via the broadcast merge table)
+BPE_APPLY_MERGES = 16
+_BPE_SEP = "\x1e"  # record separator: stripped from text upfront
+
+
+def _bpe_sep_sql() -> str:
+    return "chr(30)"
+
+
+def bpe_apply_merges_expr(toks, merges_col):
+    """Apply a rank-ordered merge table to one doc's pre-token array —
+    the APPLY half of a BPE tokenizer (Sennrich, Haddow, Birch, ACL
+    2016: 'apply the learned operations in the order they were
+    learned'). One leftmost-greedy, non-overlapping pass per merge
+    rank, implemented as a LITERAL string replace over the
+    double-separator encoding:
+
+        ␞␞tok1␞␞tok2␞␞...␞␞   with   ␞l␞␞r␞ -> ␞lr␞
+
+    each boundary carries TWO separator chars, a match consumes one
+    from each side and the replacement restores them — so back-to-back
+    merge sites ('a a a a' under (a,a)) chain correctly while
+    overlapping sites ('a a a') merge leftmost-only, exactly the BPE
+    greedy rule. Both engines' literal replace() scans left-to-right
+    non-overlapping, so the pass semantics are engine-identical with
+    NO regex (no metachar escaping problem for punctuation pieces).
+    The fold over the merge table is one F.aggregate whose accumulator
+    is the encoded string — O(len) per pass, merge table broadcast,
+    nothing corpus-sized beyond the scan."""
+    sep = F.lit(_BPE_SEP)
+    sep2 = F.lit(_BPE_SEP * 2)
+    enc = F.concat(sep2, F.array_join(toks, _BPE_SEP * 2), sep2)
+    return F.aggregate(
+        merges_col,
+        enc,
+        lambda s, m: F.replace(
+            s,
+            F.concat(sep, m["l"], sep2, m["r"], sep),
+            F.concat(sep, m["l"], m["r"], sep),
+        ),
+    )
+
+
+def _bpe_merge_row(base: DataFrame, toks_col: str, k: int) -> DataFrame:
+    """The rank-ordered merge table as ONE broadcastable row: top-k
+    adjacent pairs by (count DESC, l ASC, r ASC) — the same statistic
+    doc_bpe_pair_counts registers, cut by orderBy+limit (distributed
+    top-k) and collapsed via array_sort(collect_list(struct(-count,
+    l, r))) so element order IS rank order."""
+    n = F.size(toks_col)
+    prs = F.zip_with(
+        F.slice(toks_col, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_col, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        base.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+        .limit(k)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "l", "r"))
+            ).alias("__merges")
+        )
+    )
+
+
+def _bpe_apply_oracle_sql(k: int) -> str:
+    """Recursive-CTE replay of the merge-apply schedule: the merges CTE
+    is the counting member's statistic cut to k; step i of the
+    recursion applies rank-i via the identical double-separator
+    literal replace; the anchor/exit depth is count(merges) so a
+    corpus with < k distinct pairs terminates identically."""
+    sep = _bpe_sep_sql()
+    sep2 = f"{sep} || {sep}"
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             regexp_extract_all(replace(coalesce(text, ''), {sep}, ''),
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+      FROM documents
+    ), prs AS (
+      SELECT t[r.i] AS l, t[r.i + 1] AS r
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ), merges AS (
+      SELECT l, r, row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk
+      FROM (SELECT l, r, count(*) AS cnt FROM prs GROUP BY l, r
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT {k})
+    ), n_m AS (SELECT count(*) AS n FROM merges),
+    rec AS (
+      SELECT doc_id, len(t) AS n_before,
+             {sep2} || coalesce(array_to_string(t, {sep2}), '') || {sep2} AS s,
+             0 AS step
+      FROM toks
+      UNION ALL
+      SELECT rec.doc_id, rec.n_before,
+             replace(rec.s,
+                     {sep} || m.l || {sep2} || m.r || {sep},
+                     {sep} || m.l || m.r || {sep}),
+             rec.step + 1
+      FROM rec JOIN merges m ON m.rk = rec.step + 1
+    )
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS bpe_pieces_before,
+           CAST(len(list_filter(str_split(s, {sep2}), x -> x <> ''))
+                AS BIGINT) AS bpe_pieces_after,
+           md5(s) AS bpe_fp
+    FROM rec WHERE step = (SELECT n FROM n_m)
+    """
+
+
+@member(
+    "doc_bpe_apply",
+    doc="The merge-APPLY half of BPE (Sennrich 2016 — completing "
+    "doc_bpe_pair_counts, which is the counting half): the top-"
+    f"{BPE_APPLY_MERGES} adjacent-pair merges (rank = count DESC, "
+    "pair ASC — the same statistic the counting member registers) are "
+    "applied to every document in rank order, one leftmost-greedy "
+    "non-overlapping pass per rank, via bpe_apply_merges_expr's "
+    "double-separator literal-replace encoding (no regex, no UDF). "
+    "Output: per-doc piece counts before/after and the md5 of the "
+    "final encoded token stream. Scale shape: the merge table is a "
+    "distributed top-k collapsed to ONE broadcast row; application is "
+    "a scan-speed expression fold — zero joins, zero windows; the "
+    "oracle replays the schedule as a recursive CTE with the "
+    "identical literal replaces.",
+    oracle=_bpe_apply_oracle_sql(BPE_APPLY_MERGES),
+)
+def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_SEP), F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+        F.lit(0),
+    )
+    base = d.select("doc_id", toks.alias("__t"))
+    merges = _bpe_merge_row(base, "__t", BPE_APPLY_MERGES)
+    applied = base.crossJoin(F.broadcast(merges)).select(
+        "doc_id",
+        F.size("__t").cast("bigint").alias("bpe_pieces_before"),
+        bpe_apply_merges_expr(F.col("__t"), F.col("__merges")).alias("__s"),
+    )
+    sep2 = _BPE_SEP * 2
+    return applied.select(
+        "doc_id",
+        "bpe_pieces_before",
+        F.size(
+            F.filter(F.split("__s", sep2), lambda x: x != F.lit(""))
+        ).cast("bigint").alias("bpe_pieces_after"),
+        F.md5(F.col("__s")).alias("bpe_fp"),
+    )
+
+
 @member(
     "doc_rolling_hash_fingerprint",
     doc="Rolling polynomial hash document fingerprint (north-star "

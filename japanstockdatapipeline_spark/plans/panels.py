@@ -231,6 +231,7 @@ register_panel(
         "doc_quality_classifier",
         "doc_dsir_weight",
         "doc_winnowed_spans",
+        "doc_bpe_apply",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

@@ -205,3 +205,39 @@ def test_brute_force_matmul_zero_norm_query(spark):
     got = brute_force_topk_matmul(emb, q, k=2).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in got] == [1, 2]
     assert all(r["cos"] == 0.0 for r in got)
+
+
+def test_bpe_apply_hand_vector(spark, tmp_path):
+    """Pins the merge-apply semantics end to end on a corpus where the
+    learned table and its application are checkable by hand:
+    'a a a a b' + 'ab cd ab cd' learn (a,a) rank1, (ab,cd) rank2,
+    (a,b) rank3, (cd,ab) rank4; application is leftmost-greedy
+    non-overlapping per rank ('a a a a' -> [aa, aa], 'a a a' would be
+    [aa, a])."""
+    from japanstockdatapipeline_spark.plans.llm import doc_bpe_apply
+
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a a a a b"), (2, "ab cd ab cd"), (3, "x"), (4, ""), (5, None)],
+    )
+    got = {r["doc_id"]: r for r in doc_bpe_apply(spark, sf_dir).collect()}
+    assert got[1]["bpe_pieces_before"] == 5 and got[1]["bpe_pieces_after"] == 3
+    assert got[2]["bpe_pieces_before"] == 4 and got[2]["bpe_pieces_after"] == 2
+    assert got[3]["bpe_pieces_before"] == 1 and got[3]["bpe_pieces_after"] == 1
+    # empty / NULL text: zero pieces in, zero out
+    assert got[4]["bpe_pieces_after"] == 0 and got[5]["bpe_pieces_after"] == 0
+    # same input text -> same fingerprint class: docs 4 and 5 encode
+    # identically (empty stream)
+    assert got[4]["bpe_fp"] == got[5]["bpe_fp"]
+
+
+def test_bpe_apply_overlap_is_leftmost_greedy(spark, tmp_path):
+    """'c c c' under merge (c,c) yields [cc, c] — the overlapping
+    middle site must NOT merge (one pass, non-overlapping)."""
+    from japanstockdatapipeline_spark.plans.llm import doc_bpe_apply
+
+    sf_dir = _write_docs(spark, tmp_path, [(1, "c c c"), (2, "c c c c c")])
+    got = {r["doc_id"]: r for r in doc_bpe_apply(spark, sf_dir).collect()}
+    assert got[1]["bpe_pieces_after"] == 2  # [cc, c]
+    assert got[2]["bpe_pieces_after"] == 3  # [cc, cc, c]
