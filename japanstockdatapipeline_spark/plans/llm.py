@@ -913,7 +913,9 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_vocab_stats(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
     # the vocab-grain table is PERSISTED so the corpus total (a 1-row
@@ -927,12 +929,17 @@ def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifetime: the entry is held by the session's CacheManager until
     # unpersist()/clearCache() — NOT GC-released — but identical plans
     # share one entry, so repeated calls per sf_dir do not accumulate;
-    # the vocab table is the small side by construction, and a
-    # production job should clearCache()/unpersist when done.
+    # the vocab table is the small side by construction. Pass
+    # `persisted_out` (the semdedup idiom) to receive the cached handle
+    # for explicit unpersist() — a long-lived session sweeping MANY
+    # sf_dirs would otherwise grow the CacheManager by one entry per
+    # directory (r8 verdict #3); the oracle harnesses clearCache().
     by_term = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(by_term)
     tot = by_term.agg(F.sum("tf").cast("double").alias("__n_total"))
     return (
         by_term.crossJoin(F.broadcast(tot))
@@ -1106,7 +1113,9 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nll, cuts
     """,
 )
-def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_unigram_logprob(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
@@ -1125,6 +1134,8 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(tf)
     tf = tf.crossJoin(
         F.broadcast(tf.agg(F.sum("tf").alias("n_total")))
     )
@@ -2430,7 +2441,9 @@ _DSIR_D = 512
     FROM perdoc, cut
     """,
 )
-def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_dsir_weight(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -2452,6 +2465,8 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(counts)
     tot = counts.agg(F.sum("n_raw").alias("nr"), F.sum("n_tgt").alias("nt"))
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "b",

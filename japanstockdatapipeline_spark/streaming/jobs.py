@@ -30,6 +30,7 @@ __all__ = [
     "drift_gated_ingest",
     "quality_gated_ingest",
     "corpus_prep_stream",
+    "corpus_prep_near_dup_stream",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -580,6 +581,227 @@ def corpus_prep_stream(
                 "written": n_keep,
                 "rejected": n_rej,
             }
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        prepped.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return [stats[b] for b in sorted(stats)]
+
+
+def _horizon_micros(spec: str) -> int:
+    """Parse a watermark-style interval ('90 minutes', '1 hour') to
+    microseconds — the same unit the state table's ts comparisons use."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", spec)
+    if not m:
+        raise ValueError(f"unsupported horizon spec {spec!r}")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    return int(m.group(1)) * mult * 1_000_000
+
+
+def corpus_prep_near_dup_stream(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    *,
+    rejects_dir: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+) -> list[dict]:
+    """corpus_prep_stream PLUS a streaming NEAR-dup stage (the half the
+    r8 twin lacked): each micro-batch runs the SAME two-stage
+    MinHash-LSH -> exact-Jaccard-verify pipeline the batch
+    `lsh_verified_pairs` operator ships (identical default dials:
+    32 hashes / 16 bands, r=2 — the measured-dominant point), against
+    a horizon-bounded STATE TABLE of previously kept docs, so
+    near-resubmissions are dropped across micro-batches.
+
+    Per micro-batch (after the exact-dup stage has already dropped
+    fingerprint-identical re-submissions in-stream):
+
+      1. union the batch with the state table (docs kept within the
+         watermark horizon), run `lsh_verified_pairs` on the union —
+         band-bucket equi-join candidates, exact shingle Jaccard >=
+         `threshold` verification, never corpus^2;
+      2. resolve verified pairs transitively (`dup_clusters`); in each
+         cluster, state docs always win (they were kept earlier); among
+         batch docs the min doc_id wins — the batch keep-min-id rule,
+         so a single-batch replay of the batch pipeline's input
+         reproduces its kept set exactly (the parity test pins this);
+      3. survivors route through the clf keep/reject split and the
+         batch-scoped idempotent writes, exactly like
+         corpus_prep_stream; near-dups are dropped (counted in stats
+         as `near_dups`), not persisted;
+      4. the state table is rewritten as (previous state + this
+         batch's survivors) pruned to `watermark` before the max
+         event time seen — state is horizon-bounded like the
+         in-stream exact-dup state.
+
+    Semantics notes (the documented streaming trades):
+      - state holds KEPT docs only, so transitive chains THROUGH a
+        dropped doc are not followed across batches (batch processing
+        of the same data in one pass would follow them); within one
+        micro-batch chains resolve fully.
+      - the state table stores the ORIGINAL text (shingles must be
+        computed on pre-redaction text, like fp/clf): it is an
+        internal, horizon-pruned working set, not a published output.
+      - replay safety: the batch's own doc_ids are removed from the
+        loaded state first, so a batch replayed after a mid-sink
+        failure re-evaluates against the pre-batch state and makes
+        the identical decisions.
+
+    Returns ordered per-batch {written, rejected, near_dups} stats."""
+    from ..operators.dedup import dup_clusters, lsh_verified_pairs
+    from ..plans.governance import redact_text
+    from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
+    from ..functions.text import fingerprint_md5
+    from .incremental import (
+        _hadoop_fs,
+        clear_batch_partitions,
+        write_partition_overwrite,
+    )
+
+    horizon_us = _horizon_micros(watermark)
+    redacted = redact_text(F.col("text"))
+    prepped = (
+        stream.withColumn("fp", fingerprint_md5(F.col("text")))
+        .select("*", *clf_stage_cols())
+        .select("*", *clf_output_cols())
+        .drop(*CLF_STAGE_NAMES)
+        .withColumn("__orig_text", F.col("text"))
+        .withColumn("text", redacted)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    stats: dict[int, dict] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            batch_docs = batch_df.select(
+                F.col("doc_id"),
+                F.col(ts_col),
+                F.col("__orig_text"),
+            )
+            fs, sp = _hadoop_fs(spark, state_dir)
+            if fs.exists(sp):
+                # replay safety: drop this batch's own ids from the
+                # loaded state so a replayed batch re-decides against
+                # the PRE-batch state instead of fighting its own
+                # earlier attempt
+                state = spark.read.parquet(state_dir).join(
+                    batch_docs.select("doc_id"), "doc_id", "left_anti"
+                )
+            else:
+                state = spark.createDataFrame(
+                    [], schema=batch_docs.schema
+                )
+            state = state.persist()
+            u = state.select(
+                "doc_id", "__orig_text", F.lit(True).alias("__is_state")
+            ).unionByName(
+                batch_docs.select(
+                    "doc_id", "__orig_text", F.lit(False).alias("__is_state")
+                )
+            )
+            pairs = lsh_verified_pairs(
+                u,
+                threshold,
+                n_hashes=n_hashes,
+                bands=bands,
+                k=k,
+                id_col="doc_id",
+                text_col="__orig_text",
+            ).select("id_a", "id_b")
+            clusters = dup_clusters(pairs)  # (id, cluster) — paired ids only
+            cl = u.join(clusters, u["doc_id"] == clusters["id"], "left").select(
+                u["doc_id"],
+                "__is_state",
+                F.coalesce("cluster", u["doc_id"]).alias("__cl"),
+            )
+            verdict = cl.groupBy("__cl").agg(
+                F.max(F.col("__is_state")).alias("__has_state"),
+                F.min(F.when(~F.col("__is_state"), F.col("doc_id"))).alias(
+                    "__min_batch"
+                ),
+            )
+            drop_ids = (
+                cl.filter(~F.col("__is_state"))
+                .join(verdict, "__cl")
+                .filter(
+                    F.col("__has_state")
+                    | (F.col("doc_id") != F.col("__min_batch"))
+                )
+                .select("doc_id")
+            )
+            survivors = batch_df.join(drop_ids, "doc_id", "left_anti").persist()
+
+            keep_pred = F.coalesce(F.col("clf_keep"), F.lit(False))
+            out_cols = [c for c in survivors.columns if c != "__orig_text"]
+            keep = (
+                survivors.filter(keep_pred)
+                .select(*out_cols)
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+            )
+            rej = (
+                survivors.filter(~keep_pred)
+                .select(*out_cols)
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+            )
+            n_keep, n_rej = keep.count(), rej.count()
+            n_nd = batch_df.count() - n_keep - n_rej
+            clear_batch_partitions(spark, target_dir, batch_id)
+            if rejects_dir is not None:
+                clear_batch_partitions(spark, rejects_dir, batch_id)
+            if n_keep:
+                write_partition_overwrite(keep, target_dir, ["ingest_batch"])
+            if n_rej and rejects_dir is not None:
+                write_partition_overwrite(rej, rejects_dir, ["ingest_batch"])
+
+            # state := (pre-batch state + this batch's survivors),
+            # horizon-pruned on the max event time seen. Distributed
+            # write to a tmp dir, then an FS-level swap — overwriting
+            # state_dir directly would race the lazy read of the same
+            # path, and collecting state through the driver would not
+            # survive scale (state holds full doc text)
+            new_state = state.unionByName(
+                survivors.select("doc_id", ts_col, "__orig_text")
+            )
+            max_ts = new_state.agg(
+                F.max(F.unix_micros(F.col(ts_col)))
+            ).collect()[0][0]  # ONE scalar — planner-side, not data
+            if max_ts is not None:
+                new_state = new_state.filter(
+                    F.unix_micros(F.col(ts_col)) >= max_ts - horizon_us
+                )
+            tmp_dir = state_dir.rstrip("/") + ".tmp"
+            new_state.write.mode("overwrite").parquet(tmp_dir)
+            _, tp = _hadoop_fs(spark, tmp_dir)
+            if fs.exists(sp):
+                fs.delete(sp, True)
+            fs.rename(tp, sp)
+
+            stats[int(batch_id)] = {
+                "batch_id": int(batch_id),
+                "written": n_keep,
+                "rejected": n_rej,
+                "near_dups": n_nd,
+            }
+            survivors.unpersist()
+            state.unpersist()
         finally:
             batch_df.unpersist()
 

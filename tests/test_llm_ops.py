@@ -140,3 +140,46 @@ def test_minhash_bands_must_divide_hashes(spark):
     docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divide"):
         minhash_lsh_pairs(docs, n_hashes=16, bands=5)
+
+
+def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
+    """The three members that persist() an intermediate (vocab / unigram
+    tf / DSIR buckets) expose the semdedup-style persisted_out hook so
+    a long-lived session sweeping many directories can release each
+    directory's cache entry: after unpersisting the handles, the
+    session's persistent-RDD count returns to its starting value
+    (r8 verdict #3 / ADVICE closure)."""
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.plans.llm import (
+        doc_dsir_weight,
+        doc_unigram_logprob,
+        doc_vocab_stats,
+    )
+
+    dirs = []
+    for d in ("sweep_a", "sweep_b"):
+        p = tmp_path / d
+        p.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["the quick brown fox", "jumps over the lazy dog"],
+                "lang": ["en", "en"],
+            }
+        ).to_parquet(p / "documents.parquet")
+        dirs.append(str(p))
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    for sf_dir in dirs:
+        handles = []
+        doc_vocab_stats(spark, sf_dir, persisted_out=handles).count()
+        doc_unigram_logprob(spark, sf_dir, persisted_out=handles).count()
+        doc_dsir_weight(spark, sf_dir, persisted_out=handles).count()
+        assert len(handles) == 3
+        for h in handles:
+            h.unpersist()
+    assert n_cached() == base

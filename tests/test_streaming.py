@@ -603,3 +603,85 @@ def test_clear_batch_partitions_flat_and_nested(spark, tmp_path):
     # no-op on a missing batch and on a missing root
     clear_batch_partitions(spark, flat, 99)
     clear_batch_partitions(spark, str(tmp_path / "nowhere"), 0)
+
+
+def test_corpus_prep_near_dup_stream_parity_with_batch(spark, tmp_path):
+    """The streaming near-dup stage must reproduce the batch two-stage
+    pipeline's kept set on a replay of the same data: survivors
+    (target + rejects) == all docs minus the lsh_verified_pairs ->
+    dup_clusters -> keep-min-id drops, within AND across micro-batches
+    (arrival order == id order here, matching the batch min-id rule)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.operators.dedup import (
+        dup_clusters,
+        lsh_verified_pairs,
+    )
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        corpus_prep_near_dup_stream,
+    )
+
+    # J(d1,d2)=0.5 (near-dup, not exact); d4 arrives in batch 2 with
+    # J(d1,d4)=0.75 — must drop against the STATE, not the batch
+    rows = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",
+        3: "one two three four five six",
+        4: "alpha beta gamma delta epsilon zeta",
+        5: "seven eight nine ten eleven",
+    }
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [rows[1], rows[2], rows[3]], "ts": [t0] * 3}
+    ).astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": [rows[4], rows[5]],
+            "ts": [t0 + dt.timedelta(minutes=10)] * 2,
+        }
+    ).astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target, rejects = str(tmp_path / "gold"), str(tmp_path / "rej")
+    stats = corpus_prep_near_dup_stream(
+        stream,
+        target,
+        str(tmp_path / "cp"),
+        str(tmp_path / "state"),
+        rejects_dir=rejects,
+    )
+
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    rej_ids = {r["doc_id"] for r in spark.read.parquet(rejects).collect()}
+    survivors = kept_ids | rej_ids
+
+    # batch comparator: identical operators, identical dials
+    docs_df = spark.createDataFrame(
+        [(i, t) for i, t in rows.items()], "doc_id long, text string"
+    )
+    pairs = lsh_verified_pairs(docs_df, 0.5).select("id_a", "id_b")
+    dropped = {
+        r["id"]
+        for r in dup_clusters(pairs).collect()
+        if r["id"] != r["cluster"]
+    }
+    expected = set(rows) - dropped
+    assert survivors == expected
+    # the cross-batch drop really happened against state (doc 4)
+    assert 4 in dropped and 4 not in survivors
+    assert sum(s["near_dups"] for s in stats) == len(dropped)
+    # no unredacted working column leaks into the published outputs
+    assert "__orig_text" not in spark.read.parquet(target).columns
+
+    # the state table is horizon-bounded and holds only survivors
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert {r["doc_id"] for r in state.collect()} <= expected

@@ -59,3 +59,28 @@ def test_stress_ann_build_and_recall_helpers(spark, sf_dir, tmp_path, monkeypatc
     r0 = {r["vec_id"]: r["embedding"] for r in e.where(F.col("vec_id").isin([0, 1_000_000])).collect()}
     assert abs(r0[1_000_000][0] - r0[0][0] - 0.02) < 1e-6
     assert r0[1_000_000][1:] == r0[0][1:]
+
+
+def test_stress_gate_staleness_check():
+    """The reuse path of the stress gate must reject artifacts that
+    (a) predate the commit stamp, or (b) carry a stamp older than a
+    HEAD that touched measured paths; clean stamps at HEAD with no
+    dirty measured files pass."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.round_check import _stale_vs_artifact
+
+    # (a) unstamped artifact -> one synthetic stale entry
+    assert _stale_vs_artifact({}) == ["<artifact has no measured_at.commit stamp>"]
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    stale = _stale_vs_artifact({"measured_at": {"commit": head}})
+    # at HEAD, staleness can only come from dirty measured files — and
+    # every entry must be inside the measured paths
+    from tools.round_check import STRESS_MEASURED_PATHS
+
+    assert all(any(f.startswith(p) for p in STRESS_MEASURED_PATHS) for f in stale)

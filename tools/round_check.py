@@ -111,13 +111,56 @@ def gate_pytest() -> dict:
     }
 
 
+# the code paths the stress harnesses measure: a reused artifact is
+# STALE iff HEAD has touched any of these since the artifact's commit
+STRESS_MEASURED_PATHS = (
+    "japanstockdatapipeline_spark/operators/",
+    "japanstockdatapipeline_spark/functions/",
+    "tools/stress_",
+    "tools/calibration.py",
+)
+
+
+def _stale_vs_artifact(rep: dict) -> list[str]:
+    """Files in the measured paths changed between the artifact's commit
+    and HEAD (plus any currently-dirty ones). Empty list = fresh.
+    An artifact with no commit stamp is treated as one stale file so
+    pre-r9 artifacts can't silently pass the reuse path."""
+    state = rep.get("measured_at") or {}
+    commit = state.get("commit")
+    if not commit:
+        return ["<artifact has no measured_at.commit stamp>"]
+    rc, out = run(["git", "diff", "--name-only", commit, "HEAD"])
+    changed = out.split() if rc == 0 else [f"<git diff failed: {out[-120:]}>"]
+    rc2, out2 = run(["git", "status", "--porcelain"])
+    if rc2 == 0:
+        changed += [line.split()[-1] for line in out2.splitlines() if line.strip()]
+    return sorted(
+        {f for f in changed if any(f.startswith(p) for p in STRESS_MEASURED_PATHS)}
+    )
+
+
 def gate_stress(rnd: int, skip: bool) -> dict:
     path = os.path.join(REPO, f"STRESS_r{rnd:02d}.json")
     ran = False
     if skip:
-        # explicit reuse of an artifact the caller vouches is current
+        # explicit reuse of an artifact the caller vouches is current —
+        # but the gate verifies the vouch: the artifact carries the
+        # commit it measured, and reuse FAILS if HEAD has since touched
+        # any measured path (r8 verdict #6)
         if not os.path.exists(path):
             return {"ok": False, "detail": "--skip-stress but artifact missing"}
+        with open(path) as f:
+            rep_probe = json.load(f)
+        stale = _stale_vs_artifact(rep_probe)
+        if stale:
+            return {
+                "ok": False,
+                "ran_suite": False,
+                "detail": f"reused artifact STALE — measured paths changed since "
+                f"{(rep_probe.get('measured_at') or {}).get('commit', '?')[:12]}: "
+                f"{', '.join(stale[:8])}",
+            }
     else:
         # the full gate MUST execute the stress suite — silently
         # reusing a pre-edit artifact is exactly the skipped-gate
@@ -139,9 +182,10 @@ def gate_stress(rnd: int, skip: bool) -> dict:
         "ok": not errs,
         "ops": n_ops,
         "ran_suite": ran,
+        "commit": (rep.get("measured_at") or {}).get("commit"),
         "detail": (errs or "no op errors")
         if ran
-        else (errs or "no op errors (reused artifact, --skip-stress)"),
+        else (errs or "no op errors (reused artifact verified fresh vs its commit)"),
     }
 
 

@@ -76,12 +76,29 @@ def run_harness(cmd: list[str]) -> dict[str, dict]:
     return ops
 
 
+def git_state() -> dict:
+    """The commit (and dirty-tree flag) the measurement ran at — the
+    round gate uses this to detect a stale artifact (r8 verdict #6:
+    ROUNDCHECK_r08 reused a mid-round artifact with no way to tell
+    whether HEAD had since touched the measured paths)."""
+    def _git(*args):
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, check=False
+        ).stdout.strip()
+
+    return {
+        "commit": _git("rev-parse", "HEAD") or None,
+        "dirty": bool(_git("status", "--porcelain")),
+    }
+
+
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     out_path = f"STRESS_r{rnd:02d}.json"
     report = {
         "round": rnd,
         "configs": {"dedup_k": DEDUP_K, "ann_k": ANN_K, "sf_dir": "/root/testdata/sf0.1"},
+        "measured_at": git_state(),
         "suites": {},
     }
     for suite, cmd in (
