@@ -272,8 +272,13 @@ def fused_event_indicators(events: DataFrame) -> DataFrame:
         pdf = pd.concat(pdfs, ignore_index=True)
         if pdf.empty:
             return
-        for _, g in pdf.groupby("user_id", sort=False):
-            yield _group_frame(g)
+        # ONE Arrow batch out per partition: yielding per group hands
+        # Arrow ~#users tiny batches (measured 2.5x the serialization
+        # wall of one concatenated frame at sf0.1)
+        yield pd.concat(
+            [_group_frame(g) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
 
     src = (
         events.select("user_id", "event_id", "ts_us", "event_type", "value")
@@ -328,28 +333,26 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     def gated(frame, n, agg):
         return F.when(F.count(F.lit(1)).over(frame) == n, agg.over(frame))
 
-    mid5 = gated(w5, 5, F.avg("value"))
-    sd5 = gated(w5, 5, F.stddev_pop("value"))
-    prior = F.max("value").over(prior_f)
-    lag_v = F.lag("value").over(w)
-    signed = (
-        F.when(F.col("value") > lag_v, F.col("value"))
-        .when(F.col("value") < lag_v, -F.col("value"))
-        .otherwise(F.lit(0.0))
-    )
-    best = F.max(
-        F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
-    ).over(run)
-    sma20 = gated(w20, 20, F.avg("value"))
-
     def midline(frame, n):
         return F.when(
             F.count(F.lit(1)).over(frame) == n,
             (F.max("value").over(frame) + F.min("value").over(frame)) / 2,
         )
 
-    # as-of: clicks sort before purchases at the same ts (J6 union-merge
-    # collapsed to a second sort order over the SAME partitioning)
+    from ..functions import semantics as SEM
+
+    # The window chain is built in explicit DEPENDENCY LEVELS, each one
+    # select(): every window expression in a level shares the same
+    # (partitionBy, orderBy), so ExtractWindowExpressions packs a whole
+    # level into ONE WindowExec — the r8 withColumn chain produced 11
+    # sequential Window operators (one per dependency hop) and the
+    # window passes dominated the fused wall (~90% measured at sf0.1);
+    # this shape runs the identical functions over the identical frames
+    # (bit-identical outputs, equivalence-tested) in 4 passes. The
+    # as-of member's different sort order runs FIRST so the plan sorts
+    # asof-order -> main-order once instead of main -> asof -> main.
+
+    # level 0: the as-of forward fill (its own ordering)
     is_left = F.when(F.col("event_type") == "click", 0).otherwise(1)
     w_asof = (
         Window.partitionBy("user_id")
@@ -359,83 +362,101 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     last_click = F.last(
         F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
     ).over(w_asof)
+    d = ev.select("*", last_click.alias("__asof_click"))
 
-    from ..functions import semantics as SEM
+    # level 1: everything that reads only the base row (one WindowExec)
+    lag_v = F.lag("value").over(w)
+    best = F.max(
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
+    ).over(run)
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    d = d.select(
+        "*",
+        gated(w5, 5, F.avg("value")).alias("sma5"),
+        gated(w5, 5, F.stddev_pop("value")).alias("__sd5"),
+        F.col("value").alias("value_out"),
+        F.max("value").over(prior_f).alias("prior_max"),
+        lag_v.alias("__lag_v"),
+        best["v"].alias("best_value"),
+        best["id"].alias("best_event_id"),
+        v_c.alias("__v_c"),
+        gated(w20, 20, F.avg("value")).alias("__sma20"),
+        F.row_number().over(w).alias("__rn"),
+        midline(w9, 9).alias("tenkan"),
+        midline(w26, 26).alias("kijun"),
+        F.max(v_c).over(w14).alias("__hh"),
+        F.min(v_c).over(w14).alias("__ll"),
+        F.count(F.lit(1)).over(w14).alias("__n14"),
+    )
 
-    d = (
-        ev.withColumn("sma5", mid5)
-        .withColumn("__sd5", sd5)
-        .withColumn("value_out", F.col("value"))
-        .withColumn("prior_max", prior)
-        .withColumn("__signed", signed)
-        .withColumn("obv", F.sum("__signed").over(run))
-        .withColumn("best_value", best["v"])
-        .withColumn("best_event_id", best["id"])
-        .withColumn("__v_c", F.round(F.col("value") * 100).cast("bigint"))
-        .withColumn("__sma20", sma20)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("tenkan", midline(w9, 9))
-        .withColumn("kijun", midline(w26, 26))
-        .withColumn("__asof_click", last_click)
+    # level 2: windows over level-1 expressions (one WindowExec);
+    # __rawq/state/signed/senkou inputs are plain expressions of
+    # level-1 columns, so their windows all share this pass
+    signed = (
+        F.when(F.col("value") > F.col("__lag_v"), F.col("value"))
+        .when(F.col("value") < F.col("__lag_v"), -F.col("value"))
+        .otherwise(F.lit(0.0))
     )
-    # stochastic: the member's exact integer q-chain (see
-    # event_stochastic's exactness note)
-    d = (
-        d.withColumn("__hh", F.max("__v_c").over(w14))
-        .withColumn("__ll", F.min("__v_c").over(w14))
-        .withColumn(
-            "__rawq",
-            F.when(
-                (F.count(F.lit(1)).over(w14) == 14)
-                & (F.col("__hh") != F.col("__ll")),
-                SEM.round6_q("100 * (__v_c - __ll)", "__hh - __ll"),
-            ),
-        )
-        .withColumn("raw_k", F.col("__rawq").cast("double") / 1000000.0)
-    )
-    d = d.withColumn(
-        "__sq", F.when(F.count("__rawq").over(w3) == 3, F.sum("__rawq").over(w3))
-    )
-    d = d.withColumn(
-        "__skq", F.when(F.col("__sq").isNotNull(), SEM.round6_q("__sq", "3000000"))
-    )
-    d = d.withColumn("slow_k", F.col("__skq").cast("double") / 1000000.0)
-    d = d.withColumn(
-        "__sq2", F.when(F.count("__skq").over(w3) == 3, F.sum("__skq").over(w3))
-    )
-    d = d.withColumn(
-        "slow_d",
-        F.when(F.col("__sq2").isNotNull(), SEM.round6_ratio("__sq2", "3000000")),
+    rawq = F.when(
+        (F.col("__n14") == 14) & (F.col("__hh") != F.col("__ll")),
+        SEM.round6_q("100 * (__v_c - __ll)", "__hh - __ll"),
     )
     state = F.when(
         F.col("sma5").isNull() | F.col("__sma20").isNull(), F.lit(None).cast("int")
     ).otherwise(F.when(F.col("sma5") >= F.col("__sma20"), 1).otherwise(-1))
-    d = d.withColumn("state", state)
-    prev_state = F.lag("state").over(w)
+    d = d.select(
+        "*",
+        F.sum(signed).over(run).alias("obv"),
+        rawq.alias("__rawq"),
+        F.when(
+            F.count(rawq).over(w3) == 3, F.sum(rawq).over(w3)
+        ).alias("__sq"),
+        state.alias("state"),
+        F.lag(state).over(w).alias("__prev_state"),
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2, 26).over(w).alias("senkou_a"),
+    )
+
+    # level 3: windows over level-2 expressions (one WindowExec)
+    skq = F.when(F.col("__sq").isNotNull(), SEM.round6_q("__sq", "3000000"))
     change_rn = F.when(
-        F.col("state").isNotNull() & prev_state.isNotNull() & (F.col("state") != prev_state),
+        F.col("state").isNotNull()
+        & F.col("__prev_state").isNotNull()
+        & (F.col("state") != F.col("__prev_state")),
         F.col("__rn"),
     )
-    d = d.withColumn("__change_rn", change_rn)
-    d = d.withColumn("is_cross", F.col("__change_rn").isNotNull())
-    d = d.withColumn(
-        "bars_since_cross",
-        (F.col("__rn") - F.max("__change_rn").over(run)).cast("bigint"),
+    d = d.select(
+        "*",
+        skq.alias("__skq"),
+        F.when(F.count(skq).over(w3) == 3, F.sum(skq).over(w3)).alias("__sq2"),
+        change_rn.alias("__change_rn"),
+        F.max(change_rn).over(run).alias("__last_change"),
     )
-    senkou_a = F.lag((F.col("tenkan") + F.col("kijun")) / 2, 26).over(w)
-    d = d.withColumn("senkou_a", senkou_a)
-    d = d.withColumn(
-        "above_cloud",
-        F.when(F.col("senkou_a").isNotNull(), F.col("value") > F.col("senkou_a")),
-    )
+
+    # level 4: pure expressions — no further windows
     is_purchase = F.col("event_type") == "purchase"
-    d = d.withColumn("ts_asof", F.when(is_purchase, F.col("ts_us")))
-    d = d.withColumn("last_click_value", F.when(is_purchase, F.col("__asof_click")))
-    d = d.withColumn("bb_up", F.col("sma5") + 2 * F.col("__sd5"))
-    d = d.withColumn("bb_dn", F.col("sma5") - 2 * F.col("__sd5"))
+    d = d.select(
+        "*",
+        (F.col("__rawq").cast("double") / 1000000.0).alias("raw_k"),
+        (F.col("__skq").cast("double") / 1000000.0).alias("slow_k"),
+        F.when(
+            F.col("__sq2").isNotNull(), SEM.round6_ratio("__sq2", "3000000")
+        ).alias("slow_d"),
+        F.col("__change_rn").isNotNull().alias("is_cross"),
+        (F.col("__rn") - F.col("__last_change")).cast("bigint").alias(
+            "bars_since_cross"
+        ),
+        F.when(
+            F.col("senkou_a").isNotNull(), F.col("value") > F.col("senkou_a")
+        ).alias("above_cloud"),
+        F.when(is_purchase, F.col("ts_us")).alias("ts_asof"),
+        F.when(is_purchase, F.col("__asof_click")).alias("last_click_value"),
+        (F.col("sma5") + 2 * F.col("__sd5")).alias("bb_up"),
+        (F.col("sma5") - 2 * F.col("__sd5")).alias("bb_dn"),
+    )
     d = d.drop(
-        "__sd5", "__signed", "__sma20", "__rn", "__change_rn", "__asof_click",
-        "__v_c", "__hh", "__ll", "__rawq", "__sq", "__skq", "__sq2",
+        "__sd5", "__lag_v", "__sma20", "__rn", "__change_rn", "__last_change",
+        "__prev_state", "__asof_click", "__v_c", "__hh", "__ll", "__n14",
+        "__rawq", "__sq", "__skq", "__sq2",
     )
 
     # recursive family appended pandas-side; partitioning from the
@@ -448,22 +469,58 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     )
 
     def per_partition(batches):
+        # one pandas frame per partition in, ONE Arrow batch out: the
+        # r8 form yielded one small frame per user (1500 Arrow batches
+        # per partition at sf0.1) and re-sorted + .assign-copied each
+        # group — measured, that overhead dwarfed the recursions
         pdfs = list(batches)
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         if pdf.empty:
             return
-        for _, g in pdf.groupby("user_id", sort=False):
-            g = g.sort_values(["ts_us", "event_id"])
-            v = g["value"].to_numpy(dtype=float)
-            g = g.assign(atr_14=atr_np(v * 1.01, v * 0.99, v, 14))
-            m, s, h = macd_np(v)
-            g = g.assign(
-                macd=m, macd_signal=s, macd_hist=h,
-                ema_12=ema_np(v, 12), rsi_14=rsi_np(v, 14),
+        uid = pdf["user_id"].to_numpy()
+        ts = pdf["ts_us"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        # the window chain upstream REQUIRES (user_id, ts_us, event_id)
+        # ordering and WindowExec preserves it, so group slices arrive
+        # contiguous and time-ordered; guard (cheap vector compare) and
+        # re-sort only if an upstream change ever breaks the contract
+        same_u = uid[1:] == uid[:-1]
+        ordered = np.all(
+            ~same_u
+            | (ts[1:] > ts[:-1])
+            | ((ts[1:] == ts[:-1]) & (eid[1:] >= eid[:-1]))
+        ) and np.all(uid[1:] >= uid[:-1])
+        if not ordered:
+            pdf = pdf.sort_values(
+                ["user_id", "ts_us", "event_id"], ignore_index=True
             )
-            yield g
+            uid = pdf["user_id"].to_numpy()
+        v_all = pdf["value"].to_numpy(dtype=float)
+        n = len(pdf)
+        starts = np.nonzero(np.concatenate(([True], uid[1:] != uid[:-1])))[0]
+        ends = np.concatenate((starts[1:], [n]))
+        atr = np.empty(n)
+        macd = np.empty(n)
+        sig = np.empty(n)
+        ema = np.empty(n)
+        rsi = np.empty(n)
+        for s0, e0 in zip(starts, ends):
+            v = v_all[s0:e0]
+            atr[s0:e0] = atr_np(v * 1.01, v * 0.99, v, 14)
+            m, s, _h = macd_np(v)
+            macd[s0:e0] = m
+            sig[s0:e0] = s
+            ema[s0:e0] = ema_np(v, 12)
+            rsi[s0:e0] = rsi_np(v, 14)
+        pdf["atr_14"] = atr
+        pdf["macd"] = macd
+        pdf["macd_signal"] = sig
+        pdf["macd_hist"] = macd - sig
+        pdf["ema_12"] = ema
+        pdf["rsi_14"] = rsi
+        yield pdf
 
     raw = d.mapInPandas(per_partition, schema=out_schema)
 
