@@ -309,13 +309,14 @@ def fused_event_indicators_jvm(events: DataFrame) -> DataFrame:
     JVM-side. Same output contract as fused_event_indicators and the
     join-of-members panel (equivalence-tested, same FULL-JOIN oracle).
 
-    Measured at sf0.1/local[32] (warm): panel 3.3s, this form 5.4s,
-    all-pandas fused 7.2s. Locally the panel wins — its 11 member
-    subtrees run in parallel and local shuffles are nearly free. The
-    fused forms are the CLUSTER shapes: 1 scan + 1 Exchange of the
-    fact table instead of 11 of each, which is what dominates when the
-    fact table is 100 TB and an Exchange is a network pass. Keep all
-    three equivalence-locked and pick per deployment.
+    Measured at sf0.1/local[32] (warm, round 9 — after the
+    one-Arrow-batch-per-partition + 4-WindowExec restructure): this
+    form 2.4s vs the panel's ~3.3s, so the cluster shape now wins
+    LOCALLY too. The fused forms remain the CLUSTER shapes: 1 scan +
+    1 Exchange of the fact table instead of 11 of each, which is what
+    dominates when the fact table is 100 TB and an Exchange is a
+    network pass. Keep all three equivalence-locked and pick per
+    deployment.
     """
     from pyspark.sql import Window
 
