@@ -129,8 +129,8 @@ def main() -> None:
     assert WARMUP in bench_set, f"pinned warm-up {WARMUP!r} not in bench set"
     bench_set[WARMUP].fn(spark, sf_dir).count()
 
-    calibration = _calibrate(spark)
-    print(f"# calibration: {calibration:.3f}s (range({CALIBRATION_N}).sum, median of {CALIBRATION_RUNS})",
+    calibration_pre = _calibrate(spark)
+    print(f"# calibration(pre): {calibration_pre:.3f}s (range({CALIBRATION_N}).sum, median of {CALIBRATION_RUNS})",
           file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -151,6 +151,15 @@ def main() -> None:
 
     bench_ann_split(spark, sf_dir, timings, medians)
 
+    # calibrate AGAIN after the suite: on a shared rig the load can
+    # swing mid-run (observed: 0.146 -> 0.248 within an hour), so one
+    # snapshot misattributes drift; the pre/post pair bounds it and
+    # the mean is the least-bad single normalizer
+    calibration_post = _calibrate(spark)
+    calibration = round((calibration_pre + calibration_post) / 2, 3)
+    print(f"# calibration(post): {calibration_post:.3f}s -> mean {calibration:.3f}s",
+          file=sys.stderr)
+
     scale = CALIBRATION_REF / calibration if calibration else 1.0
     normalized = {k: round(v * scale, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
@@ -163,6 +172,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "calibration": calibration,
+                "calibration_pre": calibration_pre,
+                "calibration_post": calibration_post,
                 "calibration_ref": CALIBRATION_REF,
                 "queries_normalized": normalized,
                 "value_normalized": round(sum(normalized.values()), 3),

@@ -42,6 +42,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python tools/round_check.py` puts tools/ first
+    sys.path.insert(0, REPO)
 
 
 def run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
@@ -113,12 +115,8 @@ def gate_pytest() -> dict:
 
 # the code paths the stress harnesses measure: a reused artifact is
 # STALE iff HEAD has touched any of these since the artifact's commit
-STRESS_MEASURED_PATHS = (
-    "japanstockdatapipeline_spark/operators/",
-    "japanstockdatapipeline_spark/functions/",
-    "tools/stress_",
-    "tools/calibration.py",
-)
+# (one definition — the stamping side owns it)
+from tools.stress_report import MEASURED_PATHS as STRESS_MEASURED_PATHS  # noqa: E402
 
 
 def _stale_vs_artifact(rep: dict) -> list[str]:

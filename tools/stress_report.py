@@ -76,19 +76,38 @@ def run_harness(cmd: list[str]) -> dict[str, dict]:
     return ops
 
 
+# the code paths the harnesses measure — round_check imports this to
+# decide whether a reused artifact is stale vs HEAD
+MEASURED_PATHS = (
+    "japanstockdatapipeline_spark/operators/",
+    "japanstockdatapipeline_spark/functions/",
+    "tools/stress_",
+    "tools/calibration.py",
+)
+
+
 def git_state() -> dict:
-    """The commit (and dirty-tree flag) the measurement ran at — the
-    round gate uses this to detect a stale artifact (r8 verdict #6:
-    ROUNDCHECK_r08 reused a mid-round artifact with no way to tell
-    whether HEAD had since touched the measured paths)."""
+    """The commit (and MEASURED-PATH dirty files) the measurement ran
+    at — the round gate uses this to detect a stale artifact (r8
+    verdict #6: ROUNDCHECK_r08 reused a mid-round artifact with no way
+    to tell whether HEAD had since touched the measured paths). The
+    dirty list is restricted to measured paths: the round gate itself
+    writes ROUNDCHECK/BOUNDARY artifacts mid-run, and a whole-tree
+    flag would mark every gate-produced artifact dirty."""
     def _git(*args):
         return subprocess.run(
             ["git", *args], capture_output=True, text=True, check=False
         ).stdout.strip()
 
+    dirty = [
+        line.split()[-1]
+        for line in _git("status", "--porcelain").splitlines()
+        if line.strip()
+        and any(line.split()[-1].startswith(p) for p in MEASURED_PATHS)
+    ]
     return {
         "commit": _git("rev-parse", "HEAD") or None,
-        "dirty": bool(_git("status", "--porcelain")),
+        "dirty_measured": dirty,
     }
 
 
