@@ -279,6 +279,10 @@ def main() -> None:
     # (p2/c80) plus its cheaper/deeper neighbors
     ivfpq_split(16, False, ((2, 4), (2, 8), (4, 8), (4, 32)))
     ivfpq_split(16, True, ((2, 4), (2, 8), (4, 8)))
+    # the textbook k ~ sqrt(n) production pairing, residual-coded:
+    # per-cell occupancy ~ sqrt(n) so the probed fraction stays flat as
+    # the corpus grows; n_probe scales with k like the plain-IVF row
+    ivfpq_split(k_sqrt, True, ((max(2, round(k_sqrt / 16)), 8),))
     # n_planes must scale with log2(corpus): the 4-plane default is
     # sized for the 200-vector registered query (16 buckets); at 20k
     # vectors it degrades to ~1250 docs/bucket and minutes of
