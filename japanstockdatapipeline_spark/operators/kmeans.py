@@ -672,6 +672,15 @@ def ivf_pq_build(
         cells.join(v, id_col).select("cell", "__cv"), "__cv"
     ).select("cell", F.col("__cvec").alias("__centroid"))
     if residual:
+        # the residual path consumes `cents` in THREE subtrees (the
+        # residual computation, the recon add-back, and the returned
+        # probe frame) and `rv` in two — persist both so one action
+        # executes the float avg() centroid aggregation once (the same
+        # multi-execution/accumulation-order hazard `cells` is
+        # persisted against; k rows / corpus rows respectively)
+        cents = cents.persist()
+        if persisted_out is not None:
+            persisted_out.append(cents)
         rv = (
             cells.join(v, id_col)
             .join(F.broadcast(cents), "cell")
@@ -682,7 +691,10 @@ def ivf_pq_build(
                     "__cv", "__centroid", lambda x, c: F.round(x - c, 6)
                 ).alias("__res"),
             )
+            .persist()
         )
+        if persisted_out is not None:
+            persisted_out.append(rv)
         coded = _pq_reconstruct(
             rv, m, k_cells, iters, id_col=id_col, vec_col="__res", dim=dim
         )

@@ -402,16 +402,15 @@ def hard_negative_topk_matmul(
 
     def batches(it):
         for pdf in it:
-            lab = pdf[label_col]
-            keep = lab.notna().to_numpy()
-            if not keep.any():
+            if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep]
-            # nullable-int Arrow batches arrive as object/Int64 series;
-            # extract via the nullable-Int64 path (no float64
-            # intermediate — labels above 2^53 must compare exactly)
-            labels = lab[keep].astype("Int64").to_numpy(dtype=np.int64)
-            C = np.array([list(v) for v in pdf[vec_col][keep]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # NULL-label rows are filtered JVM-side BEFORE mapInPandas
+            # (below): an Arrow batch containing a null would reach
+            # pandas as float64, silently corrupting labels above 2^53
+            # — with the nulls gone the column stays int64 end to end
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             norms = np.linalg.norm(C, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             cos = (C / norms) @ Qn.T  # (batch, q)
@@ -428,8 +427,12 @@ def hard_negative_topk_matmul(
             )
             yield out[np.isfinite(flat_cos)]
 
-    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
-        batches, schema=f"{q_id_col} bigint, neighbor_id bigint, cos double"
+    cand = (
+        corpus.select(id_col, vec_col, label_col)
+        .filter(F.col(label_col).isNotNull())
+        .mapInPandas(
+            batches, schema=f"{q_id_col} bigint, neighbor_id bigint, cos double"
+        )
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -706,14 +706,22 @@ def _bpe_apply_oracle_sql(k: int) -> str:
     "identical literal replaces.",
     oracle=_bpe_apply_oracle_sql(BPE_APPLY_MERGES),
 )
-def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_bpe_apply(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(
         F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_SEP), F.lit("")),
         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
         F.lit(0),
     )
-    base = d.select("doc_id", toks.alias("__t"))
+    # the tokenized base feeds BOTH the merge-table aggregation and the
+    # apply projection — persisted (lazily) so one action tokenizes the
+    # corpus once, the doc_vocab_stats idiom; `persisted_out` receives
+    # the handle for explicit release in sweep loops
+    base = d.select("doc_id", toks.alias("__t")).persist()
+    if persisted_out is not None:
+        persisted_out.append(base)
     merges = _bpe_merge_row(base, "__t", BPE_APPLY_MERGES)
     applied = base.crossJoin(F.broadcast(merges)).select(
         "doc_id",

@@ -645,9 +645,11 @@ def corpus_prep_near_dup_stream(
          corpus_prep_stream; near-dups are dropped (counted in stats
          as `near_dups`), not persisted;
       4. the state table is rewritten as (previous state + this
-         batch's survivors) pruned to `watermark` before the max
-         event time seen — state is horizon-bounded like the
-         in-stream exact-dup state.
+         batch's survivors) pruned to `watermark` before the
+         PRE-batch state's max event time (the prune lags one batch
+         so replays stay decision-identical; state is bounded by
+         horizon + one batch span), via a recoverable
+         state -> state.old / tmp -> state swap.
 
     Semantics notes (the documented streaming trades):
       - state holds KEPT docs only, so transitive chains THROUGH a
@@ -690,6 +692,7 @@ def corpus_prep_near_dup_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        state = survivors = None
         try:
             batch_docs = batch_df.select(
                 F.col("doc_id"),
@@ -697,6 +700,17 @@ def corpus_prep_near_dup_stream(
                 F.col("__orig_text"),
             )
             fs, sp = _hadoop_fs(spark, state_dir)
+            _, bak = _hadoop_fs(spark, state_dir.rstrip("/") + ".old")
+            # crash recovery: if a previous attempt died between the
+            # state->state.old rename and the tmp->state rename, the
+            # state dir is missing but the backup holds the pre-swap
+            # table — restore it instead of silently starting empty
+            if not fs.exists(sp) and fs.exists(bak):
+                if not fs.rename(bak, sp):
+                    raise IOError(
+                        f"near-dup state recovery failed: cannot rename "
+                        f"{state_dir}.old back to {state_dir}"
+                    )
             if fs.exists(sp):
                 # replay safety: drop this batch's own ids from the
                 # loaded state so a replayed batch re-decides against
@@ -772,27 +786,42 @@ def corpus_prep_near_dup_stream(
                 write_partition_overwrite(rej, rejects_dir, ["ingest_batch"])
 
             # state := (pre-batch state + this batch's survivors),
-            # horizon-pruned on the max event time seen. Distributed
-            # write to a tmp dir, then an FS-level swap — overwriting
-            # state_dir directly would race the lazy read of the same
-            # path, and collecting state through the driver would not
-            # survive scale (state holds full doc text)
+            # horizon-pruned on the PRE-BATCH state's max event time:
+            # pruning on the post-batch max could evict the very anchor
+            # doc a drop decision used, so a replay after a successful
+            # swap but failed checkpoint commit would decide
+            # differently — anchoring on the pre-batch clock lags the
+            # prune by exactly one batch (state bounded by horizon +
+            # one batch span) and keeps replays decision-identical.
+            # Distributed write to a tmp dir, then an FS-level swap —
+            # overwriting state_dir directly would race the lazy read
+            # of the same path, and collecting state through the
+            # driver would not survive scale (state holds full text)
             new_state = state.unionByName(
                 survivors.select("doc_id", ts_col, "__orig_text")
             )
-            max_ts = new_state.agg(
+            pre_max_ts = state.agg(
                 F.max(F.unix_micros(F.col(ts_col)))
             ).collect()[0][0]  # ONE scalar — planner-side, not data
-            if max_ts is not None:
+            if pre_max_ts is not None:
                 new_state = new_state.filter(
-                    F.unix_micros(F.col(ts_col)) >= max_ts - horizon_us
+                    F.unix_micros(F.col(ts_col)) >= pre_max_ts - horizon_us
                 )
             tmp_dir = state_dir.rstrip("/") + ".tmp"
             new_state.write.mode("overwrite").parquet(tmp_dir)
             _, tp = _hadoop_fs(spark, tmp_dir)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-            fs.rename(tp, sp)
+            # recoverable swap: state -> state.old, tmp -> state, drop
+            # state.old. A crash between the two renames leaves
+            # state.old, which the NEXT attempt restores (above); a
+            # failed rename raises instead of silently losing the table
+            if fs.exists(bak):
+                fs.delete(bak, True)
+            if fs.exists(sp) and not fs.rename(sp, bak):
+                raise IOError(f"near-dup state swap: cannot back up {state_dir}")
+            if not fs.rename(tp, sp):
+                raise IOError(f"near-dup state swap: cannot publish {tmp_dir}")
+            if fs.exists(bak):
+                fs.delete(bak, True)
 
             stats[int(batch_id)] = {
                 "batch_id": int(batch_id),
@@ -800,9 +829,13 @@ def corpus_prep_near_dup_stream(
                 "rejected": n_rej,
                 "near_dups": n_nd,
             }
-            survivors.unpersist()
-            state.unpersist()
         finally:
+            # unpersist in ALL paths: a failing write would otherwise
+            # leak two CacheManager entries (full doc text) per retry
+            if survivors is not None:
+                survivors.unpersist()
+            if state is not None:
+                state.unpersist()
             batch_df.unpersist()
 
     q = (

@@ -122,20 +122,29 @@ from tools.stress_report import MEASURED_PATHS as STRESS_MEASURED_PATHS  # noqa:
 def _stale_vs_artifact(rep: dict) -> list[str]:
     """Files in the measured paths changed between the artifact's commit
     and HEAD (plus any currently-dirty ones). Empty list = fresh.
-    An artifact with no commit stamp is treated as one stale file so
-    pre-r9 artifacts can't silently pass the reuse path."""
+    FAILS CLOSED on every unverifiable case: no commit stamp, a stamp
+    git cannot diff against (foreign/GC'd commit), a failing status
+    probe, or an artifact that was itself measured with dirty files in
+    the measured paths (those edits exist at no commit, so no diff can
+    ever clear them)."""
+    from tools.stress_report import dirty_measured_files
+
     state = rep.get("measured_at") or {}
     commit = state.get("commit")
     if not commit:
         return ["<artifact has no measured_at.commit stamp>"]
+    stale: list[str] = [
+        f"<measured with dirty file: {f}>"
+        for f in state.get("dirty_measured") or []
+    ]
     rc, out = run(["git", "diff", "--name-only", commit, "HEAD"])
-    changed = out.split() if rc == 0 else [f"<git diff failed: {out[-120:]}>"]
-    rc2, out2 = run(["git", "status", "--porcelain"])
-    if rc2 == 0:
-        changed += [line.split()[-1] for line in out2.splitlines() if line.strip()]
-    return sorted(
-        {f for f in changed if any(f.startswith(p) for p in STRESS_MEASURED_PATHS)}
-    )
+    if rc != 0:
+        return stale + [f"<git diff vs {commit[:12]} failed: {out[-120:].strip()}>"]
+    changed = [
+        f for f in out.split()
+        if any(f.startswith(p) for p in STRESS_MEASURED_PATHS)
+    ]
+    return sorted({*stale, *changed, *dirty_measured_files()})
 
 
 def gate_stress(rnd: int, skip: bool) -> dict:

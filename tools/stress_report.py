@@ -20,6 +20,7 @@ one and were unadjudicable — the verdict's measurement-debt item).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -86,6 +87,29 @@ MEASURED_PATHS = (
 )
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args) -> str:
+    # cwd pinned to THIS repo: run from anywhere (including inside a
+    # different git repo) and the stamp still records /root/repo's HEAD
+    return subprocess.run(
+        ["git", *args], capture_output=True, text=True, check=False, cwd=_REPO
+    ).stdout.strip()
+
+
+def dirty_measured_files() -> list[str]:
+    """Currently-dirty files under the measured paths — ONE definition
+    shared by the stamping side (git_state) and the checking side
+    (round_check._stale_vs_artifact), so they cannot drift."""
+    return [
+        line.split()[-1]
+        for line in _git("status", "--porcelain").splitlines()
+        if line.strip()
+        and any(line.split()[-1].startswith(p) for p in MEASURED_PATHS)
+    ]
+
+
 def git_state() -> dict:
     """The commit (and MEASURED-PATH dirty files) the measurement ran
     at — the round gate uses this to detect a stale artifact (r8
@@ -94,20 +118,9 @@ def git_state() -> dict:
     dirty list is restricted to measured paths: the round gate itself
     writes ROUNDCHECK/BOUNDARY artifacts mid-run, and a whole-tree
     flag would mark every gate-produced artifact dirty."""
-    def _git(*args):
-        return subprocess.run(
-            ["git", *args], capture_output=True, text=True, check=False
-        ).stdout.strip()
-
-    dirty = [
-        line.split()[-1]
-        for line in _git("status", "--porcelain").splitlines()
-        if line.strip()
-        and any(line.split()[-1].startswith(p) for p in MEASURED_PATHS)
-    ]
     return {
         "commit": _git("rev-parse", "HEAD") or None,
-        "dirty_measured": dirty,
+        "dirty_measured": dirty_measured_files(),
     }
 
 
