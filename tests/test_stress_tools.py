@@ -84,3 +84,26 @@ def test_stress_gate_staleness_check():
     from tools.round_check import STRESS_MEASURED_PATHS
 
     assert all(any(f.startswith(p) for p in STRESS_MEASURED_PATHS) for f in stale)
+
+
+def test_stress_gate_fails_closed_on_unverifiable_stamps():
+    """The reuse path must fail CLOSED when the stamp cannot be
+    verified: a commit git cannot diff against, or an artifact that
+    was itself measured with dirty files under the measured paths."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.round_check import _stale_vs_artifact
+
+    bad = _stale_vs_artifact({"measured_at": {"commit": "f" * 40}})
+    assert bad and "git diff" in bad[0]
+
+    dirty = _stale_vs_artifact(
+        {
+            "measured_at": {
+                "commit": "HEAD",
+                "dirty_measured": ["japanstockdatapipeline_spark/operators/x.py"],
+            }
+        }
+    )
+    assert any("dirty file" in f for f in dirty)
