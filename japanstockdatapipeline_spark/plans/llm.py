@@ -739,6 +739,415 @@ def doc_bpe_apply(
     )
 
 
+# the full iterative TRAINER (round 9): unlike doc_bpe_apply (which
+# learns all K merges from the INITIAL pair counts in one shot), true
+# BPE training re-counts pairs AFTER each merge — rank i+1's counts see
+# rank i's merged pieces (Sennrich 2016 algorithm 1). The round count
+# is compile-time fixed so the oracle unrolls the identical schedule
+# stage by stage (the kmeans_cells unrolled-iteration discipline).
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_encoded_pieces(s_col):
+    """Piece array of a double-separator-encoded token stream: split on
+    the 2-char separator and drop the empty edge fragments."""
+    return F.filter(F.split(s_col, _BPE_SEP * 2), lambda x: x != F.lit(""))
+
+
+def _bpe_adjacent_pairs(pieces):
+    n = F.size(pieces)
+    return F.zip_with(
+        F.slice(pieces, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(pieces, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _bpe_train_oracle_sql(k: int) -> str:
+    """Unrolled-stage replay of the iterative trainer: stage i counts
+    adjacent pairs over the stage-(i-1) encoded strings, takes the
+    (count DESC, l ASC, r ASC) argmax as merge rank i, and applies it
+    with the identical double-separator literal replace. An `ON true`
+    join applies the (possibly empty) 1-row merge table, so a corpus
+    that runs out of pairs at stage i goes empty for stages > i on
+    both engines."""
+    sep = _bpe_sep_sql()
+    sep2 = f"{sep} || {sep}"
+    ctes = [
+        f"""s0 AS (
+      SELECT doc_id,
+             {sep2} || coalesce(array_to_string(
+               regexp_extract_all(replace(coalesce(text, ''), {sep}, ''),
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), {sep2}), '') || {sep2} AS s
+      FROM documents
+    )"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""m{i} AS (
+      SELECT l, r, count(*) AS cnt
+      FROM (
+        SELECT p[u.i] AS l, p[u.i + 1] AS r
+        FROM (SELECT list_filter(str_split(s, {sep2}), x -> x <> '') AS p
+              FROM s{i - 1}),
+             LATERAL unnest(range(1, len(p))) AS u(i)
+      )
+      GROUP BY l, r
+      ORDER BY cnt DESC, l ASC, r ASC
+      LIMIT 1
+    )"""
+        )
+        if i < k:
+            ctes.append(
+                f"""s{i} AS (
+      SELECT doc_id,
+             replace(s, {sep} || m.l || {sep2} || m.r || {sep},
+                        {sep} || m.l || m.r || {sep}) AS s
+      FROM s{i - 1} JOIN m{i} m ON true
+    )"""
+            )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left_piece, r AS right_piece,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {selects}\n    ORDER BY rank"
+
+
+@member(
+    "doc_bpe_train",
+    doc="The full ITERATIVE BPE trainer (Sennrich, Haddow, Birch, ACL "
+    f"2016, algorithm 1 — completing the counting half "
+    "doc_bpe_pair_counts and the one-shot apply half doc_bpe_apply): "
+    f"{BPE_TRAIN_ROUNDS} merge rounds where each round counts adjacent "
+    "pairs over the CURRENT merged piece streams, takes the (count "
+    "DESC, pair ASC) argmax as the next merge rule, and applies it "
+    "corpus-wide with one leftmost-greedy non-overlapping literal-"
+    "replace pass (bpe_apply_merges_expr's double-separator encoding). "
+    "Output: the learned merge table — (rank, left_piece, right_piece, "
+    "pair_count at learn time). Scale shape: each round is ONE map-"
+    "side-combined pair groupBy + a LIMIT-1 argmax collapsed to a "
+    "broadcast row; the apply is a scan-speed expression — K rounds = "
+    "K passes over the (persisted) tokenized corpus, zero corpus-sized "
+    "joins or windows; at 100 TB you checkpoint the encoded column "
+    "every few rounds instead of re-deriving the replace chain. The "
+    "oracle unrolls the identical schedule stage by stage.",
+    oracle=_bpe_train_oracle_sql(BPE_TRAIN_ROUNDS),
+)
+def doc_bpe_train(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_SEP), F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+        F.lit(0),
+    )
+    sep2 = _BPE_SEP * 2
+    enc0 = F.concat(F.lit(sep2), F.array_join(toks, sep2), F.lit(sep2))
+    # ONE tokenize+encode pass feeds every round's count subtree —
+    # persisted lazily (the doc_bpe_apply idiom); `persisted_out`
+    # receives the handle for explicit release in sweep loops
+    cur = d.select("doc_id", enc0.alias("__s")).persist()
+    if persisted_out is not None:
+        persisted_out.append(cur)
+    merge_rows: list[DataFrame] = []
+    for i in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = _bpe_adjacent_pairs(_bpe_encoded_pieces(F.col("__s")))
+        top1 = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+        )
+        merge_rows.append(
+            top1.select(
+                F.lit(i).cast("bigint").alias("rank"),
+                F.col("l").alias("left_piece"),
+                F.col("r").alias("right_piece"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        if i < BPE_TRAIN_ROUNDS:
+            # broadcast the 1-row merge and apply it; an EMPTY merge
+            # table (corpus out of pairs) empties the stream, matching
+            # the oracle's `JOIN ... ON true`
+            sep = _BPE_SEP
+            cur = cur.crossJoin(F.broadcast(top1.select("l", "r"))).select(
+                "doc_id",
+                F.replace(
+                    F.col("__s"),
+                    F.concat(F.lit(sep), F.col("l"), F.lit(sep2), F.col("r"), F.lit(sep)),
+                    F.concat(F.lit(sep), F.concat(F.col("l"), F.col("r")), F.lit(sep)),
+                ).alias("__s"),
+            )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("rank")
+
+
+# duplicated-SPAN removal (round 9): exact substring dedup at chunk
+# granularity — the Lee, Ippolito et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better") ExactSubstr step, productionized
+# the way large pipelines approximate the suffix-array form: fixed
+# non-overlapping token windows, corpus-wide fingerprint, keep the
+# globally-first occurrence of every duplicated window. Distinct from
+# doc_winnowed_spans, which DETECTS overlap via fingerprint sampling;
+# this member REMOVES the duplicated spans and rebuilds the documents.
+DUP_SPAN_CHUNK = 8
+
+
+@member(
+    "doc_dup_span_removal",
+    doc="Cross-document duplicated-span REMOVAL (Lee et al., ACL 2022 "
+    f"ExactSubstr, at {DUP_SPAN_CHUNK}-token chunk granularity): each "
+    "document is cut into non-overlapping whitespace-token windows; a "
+    "FULL window occurring more than once corpus-wide is kept only at "
+    "its globally-first (doc_id, chunk_idx) occurrence and removed "
+    "everywhere else; partial tail windows are always kept. Output per "
+    "doc: window counts, removed-window count, token mass before/after "
+    "and the md5 of the rebuilt text. Scale shape: one explode + one "
+    "row_number window partitioned by the chunk fingerprint (corpus-"
+    "cardinality key, map-side-combinable grain, no skew: partial "
+    "windows get per-row keys) + one per-doc re-aggregation — no "
+    "corpus x corpus join, nothing driver-side; integer/string outputs "
+    "only, so the hash contract is float-free.",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(list_slice(toks, u.i * {DUP_SPAN_CHUNK} + 1,
+                                        u.i * {DUP_SPAN_CHUNK} + {DUP_SPAN_CHUNK}), ' ') AS txt,
+             CAST(len(list_slice(toks, u.i * {DUP_SPAN_CHUNK} + 1,
+                                 u.i * {DUP_SPAN_CHUNK} + {DUP_SPAN_CHUNK})) AS BIGINT) AS sz
+      FROM t, LATERAL unnest(range(0, (len(toks) + {DUP_SPAN_CHUNK - 1}) // {DUP_SPAN_CHUNK})) AS u(i)
+    ), st AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY CASE WHEN sz = {DUP_SPAN_CHUNK} THEN md5(txt)
+                          ELSE 'p:' || CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR) END
+        ORDER BY doc_id, idx) AS rn
+      FROM ch
+    ), a AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS span_n_chunks,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS span_dup_removed,
+             CAST(sum(CASE WHEN rn = 1 THEN sz ELSE 0 END) AS BIGINT) AS span_tokens_after,
+             string_agg(CASE WHEN rn = 1 THEN txt END, ' ' ORDER BY idx) AS clean
+      FROM st GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS span_tokens_before,
+           coalesce(a.span_n_chunks, 0) AS span_n_chunks,
+           coalesce(a.span_dup_removed, 0) AS span_dup_removed,
+           coalesce(a.span_tokens_after, 0) AS span_tokens_after,
+           md5(coalesce(a.clean, '')) AS span_clean_fp
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_removal(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_removal(d: DataFrame) -> DataFrame:
+    """DataFrame-level core of doc_dup_span_removal (also driven by
+    tools/stress_dedup.py on the replica corpus). NOTE the inherent
+    granularity trade-off: fixed windows are alignment-SENSITIVE (a
+    one-token shift escapes the fingerprint — the stress replicas are
+    the worst case by construction), which is why doc_winnowed_spans
+    exists as the alignment-robust DETECTOR; this member is the
+    REMOVAL half at the fixed-window granularity production pipelines
+    run (the suffix-array form of Lee et al. is not expressible as a
+    bounded-shuffle plan)."""
+    from pyspark.sql.window import Window
+
+    C = DUP_SPAN_CHUNK
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select("doc_id", toks.alias("__toks"))
+    nch = F.floor((F.size("__toks") + F.lit(C - 1)) / F.lit(C)).cast("int")
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case
+    idxs = F.when(nch > 0, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_structs = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.cast("bigint").alias("idx"),
+            F.array_join(F.slice("__toks", i * C + 1, C), " ").alias("txt"),
+            F.size(F.slice("__toks", i * C + 1, C)).cast("bigint").alias("sz"),
+        ),
+    )
+    ch = base.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", F.col("c.idx").alias("idx"), F.col("c.txt").alias("txt"),
+        F.col("c.sz").alias("sz"),
+    )
+    fp = F.when(F.col("sz") == C, F.md5(F.col("txt"))).otherwise(
+        F.concat(
+            F.lit("p:"), F.col("doc_id").cast("string"),
+            F.lit(":"), F.col("idx").cast("string"),
+        )
+    )
+    st = ch.withColumn("__fp", fp).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__fp").orderBy("doc_id", "idx")),
+    )
+    agg = st.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("span_n_chunks"),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+        .cast("bigint").alias("span_dup_removed"),
+        F.sum(F.when(F.col("__rn") == 1, F.col("sz")).otherwise(0))
+        .cast("bigint").alias("span_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("__rn") == 1, F.struct("idx", "txt")))
+                ),
+                lambda s: s["txt"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.select("doc_id", F.size("__toks").cast("bigint").alias("span_tokens_before"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "span_tokens_before",
+            F.coalesce("span_n_chunks", zero).alias("span_n_chunks"),
+            F.coalesce("span_dup_removed", zero).alias("span_dup_removed"),
+            F.coalesce("span_tokens_after", zero).alias("span_tokens_after"),
+            F.md5(F.coalesce("__clean", F.lit(""))).alias("span_clean_fp"),
+        )
+    )
+
+
+# priority sampling (round 9): fixed-size weight-proportional corpus
+# subsampling with unbiased subset-sum estimators (Duffield, Lund,
+# Thorup, JACM 2007). Deterministic and EXACTLY cross-engine: u_i is a
+# 52-bit md5 integer and the sort key (h+1)/w is one IEEE division
+# (correctly rounded by spec — bit-identical in both engines, unlike
+# transcendental ln/exp keys of the Efraimidis-Spirakis form).
+PRIORITY_SAMPLE_K = 64
+_PS_2POW52 = 4503599627370496  # u_i = (h_i + 1) / 2^52  in  (0, 1]
+
+
+@member(
+    "doc_priority_sample",
+    doc="Priority sampling (Duffield-Lund-Thorup, JACM 2007): a fixed-"
+    f"size (K={PRIORITY_SAMPLE_K}) weight-proportional sample of the "
+    "corpus with the unbiased subset-sum estimator w-hat = max(w, tau) "
+    "— the primitive for subsampling a 100-TB corpus to a token budget "
+    "while keeping statistics estimable. Weight = whitespace token "
+    "count; priority q_i = w_i/u_i with u_i a deterministic 52-bit "
+    "md5-seeded uniform, sample = K largest priorities = K smallest "
+    "(h+1)/w sort keys (one exact IEEE division — cross-engine bit-"
+    "identical; ties broken by doc_id), tau = the (K+1)-th priority "
+    "rounded on the exact integer rails. Scale shape: eligibility is a "
+    "scan filter; the K+1 cut is orderBy+limit (TakeOrderedAndProject, "
+    "distributed); the threshold collapses to ONE broadcast row; the "
+    "only window is a row_number over the <= K+1 sampled rows — a "
+    "constant-size axis. A corpus with <= K eligible docs samples "
+    "everything with w-hat = w (exercised at sf0.001; the threshold "
+    "branch at sf0.01/0.1).",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS weight,
+             ('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM documents
+    ), k AS (
+      SELECT *, CAST(h + 1 AS DOUBLE) / CAST(weight AS DOUBLE) AS key
+      FROM e WHERE weight > 0
+    ), top AS (
+      SELECT * FROM k ORDER BY key ASC, doc_id ASC LIMIT {PRIORITY_SAMPLE_K + 1}
+    ), c AS (
+      SELECT count(*) AS cnt FROM top
+    ), thr AS (
+      SELECT key AS tk, doc_id AS td, weight AS tw, h AS th
+      FROM top ORDER BY key DESC, doc_id DESC LIMIT 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS sample_rank,
+           doc_id, weight,
+           CASE WHEN cnt < {PRIORITY_SAMPLE_K + 1} THEN CAST(weight AS DOUBLE)
+                ELSE greatest(CAST(weight AS DOUBLE),
+                              {SEM.round6_ratio_sql(f'CAST(tw AS HUGEINT) * {_PS_2POW52}', 'th + 1')})
+           END AS est_weight
+    FROM top, c, thr
+    WHERE cnt < {PRIORITY_SAMPLE_K + 1} OR (key, doc_id) < (tk, td)
+    """,
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    K = PRIORITY_SAMPLE_K
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    e = (
+        d.select("doc_id", F.size(toks).cast("bigint").alias("weight"), h.alias("__h"))
+        .filter(F.col("weight") > 0)
+        .withColumn(
+            "__key",
+            (F.col("__h") + 1).cast("double") / F.col("weight").cast("double"),
+        )
+    )
+    top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1)
+    # the (K+1)-th smallest (key, doc_id) + the eligible-row count,
+    # collapsed to one broadcastable threshold row
+    thr = top.agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max(
+            F.struct(
+                F.col("__key").alias("k"), F.col("doc_id").alias("d"),
+                F.col("weight").alias("w"), F.col("__h").alias("h"),
+            )
+        ).alias("__t"),
+    ).select(
+        "__cnt",
+        F.col("__t.k").alias("__tk"), F.col("__t.d").alias("__td"),
+        F.col("__t.w").alias("__tw"), F.col("__t.h").alias("__th"),
+    )
+    tau6 = SEM.round6_ratio(
+        f"CAST(__tw AS DECIMAL(38,0)) * {_PS_2POW52}", "__th + 1"
+    )
+    below = (F.col("__cnt") < K + 1) | (
+        F.struct(F.col("__key"), F.col("doc_id"))
+        < F.struct(F.col("__tk"), F.col("__td"))
+    )
+    w_rank = Window.orderBy("__key", "doc_id")
+    return (
+        top.crossJoin(F.broadcast(thr))
+        .filter(below)
+        .select(
+            F.row_number().over(w_rank).cast("bigint").alias("sample_rank"),
+            "doc_id",
+            "weight",
+            F.when(F.col("__cnt") < K + 1, F.col("weight").cast("double"))
+            .otherwise(F.greatest(F.col("weight").cast("double"), tau6))
+            .alias("est_weight"),
+        )
+    )
+
+
 @member(
     "doc_rolling_hash_fingerprint",
     doc="Rolling polynomial hash document fingerprint (north-star "

@@ -232,6 +232,8 @@ register_panel(
         "doc_dsir_weight",
         "doc_winnowed_spans",
         "doc_bpe_apply",
+        "doc_dup_span_removal",
+        "doc_priority_sample",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

@@ -152,6 +152,8 @@ def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
     import pandas as pd
 
     from japanstockdatapipeline_spark.plans.llm import (
+        doc_bpe_apply,
+        doc_bpe_train,
         doc_dsir_weight,
         doc_unigram_logprob,
         doc_vocab_stats,
@@ -179,7 +181,70 @@ def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
         doc_vocab_stats(spark, sf_dir, persisted_out=handles).count()
         doc_unigram_logprob(spark, sf_dir, persisted_out=handles).count()
         doc_dsir_weight(spark, sf_dir, persisted_out=handles).count()
-        assert len(handles) == 3
+        doc_bpe_apply(spark, sf_dir, persisted_out=handles).count()
+        doc_bpe_train(spark, sf_dir, persisted_out=handles).count()
+        assert len(handles) == 5
         for h in handles:
             h.unpersist()
     assert n_cached() == base
+
+
+def test_dup_span_removal_hand_vector(spark, tmp_path):
+    """8-token windows: a window duplicated across docs survives only
+    at its globally-first (doc_id, chunk_idx) occurrence; partial tail
+    windows are never removed even when their text repeats; empty/NULL
+    docs keep a zeroed row."""
+    from japanstockdatapipeline_spark.plans.llm import doc_dup_span_removal
+
+    w8 = "w1 w2 w3 w4 w5 w6 w7 w8"  # one full window
+    u8 = "u1 u2 u3 u4 u5 u6 u7 u8"  # another full window
+    rows = [
+        (1, f"{w8} {u8}"),          # first occurrence of both windows
+        (2, f"{w8} tail bit"),      # window dup (removed) + partial tail
+        (3, f"{u8} {w8}"),          # both windows dup -> all removed
+        (4, "tail bit"),            # partial-only doc, same text as doc2's
+                                    # tail: partials are NEVER dedup'd
+        (5, ""),
+        (6, None),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in doc_dup_span_removal(spark, sf_dir).collect()}
+
+    assert got[1]["span_n_chunks"] == 2 and got[1]["span_dup_removed"] == 0
+    assert got[1]["span_tokens_before"] == 16 and got[1]["span_tokens_after"] == 16
+
+    assert got[2]["span_n_chunks"] == 2 and got[2]["span_dup_removed"] == 1
+    assert got[2]["span_tokens_after"] == 2  # only the partial tail kept
+
+    assert got[3]["span_dup_removed"] == 2 and got[3]["span_tokens_after"] == 0
+
+    assert got[4]["span_dup_removed"] == 0 and got[4]["span_tokens_after"] == 2
+
+    for d in (5, 6):
+        assert got[d]["span_n_chunks"] == 0
+        assert got[d]["span_tokens_before"] == 0
+        assert got[d]["span_tokens_after"] == 0
+
+    # rebuilt text: doc2 keeps exactly 'tail bit', doc4 is identical
+    assert got[2]["span_clean_fp"] == got[4]["span_clean_fp"]
+    # fully-emptied doc3 hashes like the empty docs
+    assert got[3]["span_clean_fp"] == got[5]["span_clean_fp"] == got[6]["span_clean_fp"]
+
+
+def test_dup_span_removal_within_one_doc(spark, tmp_path):
+    """The SAME window repeated inside one document is removed at its
+    later chunk positions (self-repetition is cross-position dup)."""
+    from japanstockdatapipeline_spark.plans.llm import doc_dup_span_removal
+
+    w8 = "a b c d e f g h"
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, f"{w8} {w8} {w8}")], ["doc_id", "text"]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = doc_dup_span_removal(spark, sf_dir).collect()[0]
+    assert got["span_n_chunks"] == 3
+    assert got["span_dup_removed"] == 2
+    assert got["span_tokens_before"] == 24 and got["span_tokens_after"] == 8

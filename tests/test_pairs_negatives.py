@@ -241,3 +241,81 @@ def test_bpe_apply_overlap_is_leftmost_greedy(spark, tmp_path):
     got = {r["doc_id"]: r for r in doc_bpe_apply(spark, sf_dir).collect()}
     assert got[1]["bpe_pieces_after"] == 2  # [cc, c]
     assert got[2]["bpe_pieces_after"] == 3  # [cc, cc, c]
+
+
+def _py_bpe_train(texts, k):
+    """Pure-Python reference of the iterative trainer: re-count after
+    every merge; one leftmost-greedy non-overlapping token pass per
+    learned rank (the same pass semantics the encoded literal replace
+    implements)."""
+    import re
+
+    enc = [
+        re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t or "") for t in texts
+    ]
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for p in enc:
+            for a, b in zip(p, p[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        new_enc = []
+        for p in enc:
+            out, i = [], 0
+            while i < len(p):
+                if i + 1 < len(p) and p[i] == l and p[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(p[i])
+                    i += 1
+            new_enc.append(out)
+        enc = new_enc
+    return merges
+
+
+def test_bpe_train_is_iterative_not_one_shot(spark, tmp_path):
+    """Three copies of 'a b c': rank 1 resolves the (a,b)/(b,c) count
+    tie lexicographically to (a,b); rank 2 must then be (ab,c) — a pair
+    that does NOT exist in the initial counts, so a one-shot learner
+    (doc_bpe_apply's table) could never produce it. After rank 2 every
+    doc is one piece: no pairs remain, so the table stops at 2 rows
+    even though BPE_TRAIN_ROUNDS is larger."""
+    from japanstockdatapipeline_spark.plans.llm import doc_bpe_train
+
+    sf_dir = _write_docs(spark, tmp_path, [(i, "a b c") for i in range(3)])
+    rows = [tuple(r) for r in doc_bpe_train(spark, sf_dir).collect()]
+    assert rows == [(1, "a", "b", 3), (2, "ab", "c", 3)]
+
+
+def test_bpe_train_matches_python_reference(spark, tmp_path):
+    """Full-table equality vs the pure-Python iterative reference on a
+    small-vocab corpus crafted to chain merges across rounds (merged
+    pieces re-pair with their neighbors) and to exercise count ties."""
+    from japanstockdatapipeline_spark.plans.llm import (
+        BPE_TRAIN_ROUNDS,
+        doc_bpe_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and a rat sat",
+        "on and on and on",
+        "rat cat mat rat cat",
+        "the the the cat cat",
+        "sat on a mat, sat on a rat!",
+        "",
+        None,
+        "x",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in doc_bpe_train(spark, sf_dir).collect()]
+    want = _py_bpe_train(texts, BPE_TRAIN_ROUNDS)
+    assert got == want
+    assert len(got) == BPE_TRAIN_ROUNDS  # this corpus never runs dry

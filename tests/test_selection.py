@@ -207,3 +207,61 @@ def test_classifier_exact_rounding_at_half_boundary(spark, tmp_path):
     row = doc_quality_classifier(spark, sf_dir).collect()[0]
     assert row["clf_logit"] == expected
     assert row["clf_keep"] == (expected >= 0)
+
+
+def _ps_key(doc_id: int, weight: int) -> float:
+    """Mirror of doc_priority_sample's sort key: u ~ 52-bit md5, key =
+    (h+1)/w via one IEEE division (exact in both engines)."""
+    h = int(hashlib.md5(f"ps:{doc_id}".encode()).hexdigest()[:13], 16)
+    return (h + 1) / weight
+
+
+def test_priority_sample_small_corpus_takes_everything(spark, tmp_path):
+    """With <= K eligible docs the whole corpus is the sample, ranks
+    follow the key order, and the estimator is exactly the weight
+    (no threshold exists). Zero-token and NULL docs are ineligible."""
+    from japanstockdatapipeline_spark.plans.llm import doc_priority_sample
+
+    rows = [(i, " ".join(["w"] * (i + 1)), "en") for i in range(10)]
+    rows += [(100, "", "en"), (101, None, "en")]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = doc_priority_sample(spark, sf_dir).orderBy("sample_rank").collect()
+    assert len(got) == 10
+    assert [r["sample_rank"] for r in got] == list(range(1, 11))
+    for r in got:
+        assert r["est_weight"] == float(r["weight"])
+    keys = [_ps_key(r["doc_id"], r["weight"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_priority_sample_matches_python_reference(spark, tmp_path):
+    """On a 200-doc corpus the sample must be EXACTLY the K smallest
+    (h+1)/w keys (doc_id tie-break), in key order; the subset-sum
+    estimator is max(weight, tau) with tau = the (K+1)-th priority —
+    always >= the raw weight and equal for items heavier than tau."""
+    from japanstockdatapipeline_spark.plans.llm import (
+        PRIORITY_SAMPLE_K,
+        doc_priority_sample,
+    )
+
+    rows = [(i, " ".join(["t"] * (1 + (i * 7) % 40)), "en") for i in range(200)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = doc_priority_sample(spark, sf_dir).orderBy("sample_rank").collect()
+    assert len(got) == PRIORITY_SAMPLE_K
+
+    weights = {i: 1 + (i * 7) % 40 for i in range(200)}
+    ordered = sorted(weights, key=lambda i: (_ps_key(i, weights[i]), i))
+    want_ids = ordered[:PRIORITY_SAMPLE_K]
+    assert [r["doc_id"] for r in got] == want_ids
+
+    # tau = the (K+1)-th priority w/u = w * 2^52 / (h+1)
+    t = ordered[PRIORITY_SAMPLE_K]
+    h_t = int(hashlib.md5(f"ps:{t}".encode()).hexdigest()[:13], 16)
+    tau = weights[t] * 4503599627370496 / (h_t + 1)
+    for r in got:
+        assert r["est_weight"] >= float(r["weight"])
+        if r["weight"] > tau:
+            assert r["est_weight"] == float(r["weight"])
+        else:
+            # rails-rounded tau: within a half-ulp of 6dp
+            assert abs(r["est_weight"] - tau) < 1e-6

@@ -261,7 +261,12 @@ BOUNDED_AXIS_GLOBAL_WINDOWS: dict[str, str] = {
     "doc_mixture_plan": "source axis (per-source aggregate + water-fill)",
     "doc_mixture_sample": "source axis (per-source aggregate + water-fill)",
     "doc_feature_panel": "source axis via the doc_mixture_sample member's "
-    "ungrouped water-fill (operators/waterfill.py:132 — constituent axis)",
+    "ungrouped water-fill (operators/waterfill.py:132 — constituent axis) "
+    "+ the doc_priority_sample member's K+1-row rank (constant axis)",
+    # constant axis: the rank window runs over the <= K+1 rows that
+    # survived the distributed TakeOrdered cut, never the corpus
+    "doc_priority_sample": "K+1-row sample axis (rank over the "
+    "TakeOrdered output, K=64 compile-time constant)",
     # calendar/day axis: inputs are per-day aggregates or distinct-date
     # grids — O(trading days), thousands of rows per decade
     "order_calendar_math": "distinct-order-date axis (lead/lag calendar walk)",
