@@ -248,3 +248,68 @@ def test_dup_span_removal_within_one_doc(spark, tmp_path):
     assert got["span_n_chunks"] == 3
     assert got["span_dup_removed"] == 2
     assert got["span_tokens_before"] == 24 and got["span_tokens_after"] == 8
+
+
+def test_dup_span_removal_matches_python_reference(spark, tmp_path):
+    """Seeded random small-vocab corpus (forces window collisions both
+    within and across docs): per-doc counts, kept token mass, and the
+    rebuilt-text fingerprint must all match a straightforward Python
+    implementation of keep-globally-first chunk dedup."""
+    import hashlib
+    import random
+    import re
+
+    from japanstockdatapipeline_spark.plans.llm import (
+        DUP_SPAN_CHUNK as C,
+        doc_dup_span_removal,
+    )
+
+    rng = random.Random(97)
+    vocab = ["aa", "bb", "cc"]
+    texts = {}
+    for did in range(60):
+        n = rng.randrange(0, 30)
+        texts[did] = " ".join(rng.choice(vocab) for _ in range(n))
+    texts[60] = ""
+    texts[61] = None
+
+    def py_ref():
+        chunks = []
+        nt = {}
+        for did in sorted(texts):
+            toks = [x for x in re.split(r"\s+", (texts[did] or "").strip()) if x]
+            nt[did] = len(toks)
+            for i in range((len(toks) + C - 1) // C):
+                sl = toks[i * C : (i + 1) * C]
+                chunks.append((did, i, " ".join(sl), len(sl)))
+        seen, out = set(), {}
+        for did in sorted(texts):
+            out[did] = {"n": 0, "rm": 0, "after": 0, "kept": []}
+        for did, i, txt, sz in sorted(chunks):
+            key = ("f", txt) if sz == C else ("p", did, i)
+            out[did]["n"] += 1
+            if key in seen:
+                out[did]["rm"] += 1
+            else:
+                seen.add(key)
+                out[did]["after"] += sz
+                out[did]["kept"].append(txt)
+        for did, o in out.items():
+            o["before"] = nt[did]
+            o["fp"] = hashlib.md5(" ".join(o["kept"]).encode()).hexdigest()
+        return out
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        sorted(texts.items()), ["doc_id", "text"]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in doc_dup_span_removal(spark, sf_dir).collect()}
+    want = py_ref()
+    assert set(got) == set(want)
+    for did, o in want.items():
+        g = got[did]
+        assert g["span_n_chunks"] == o["n"], did
+        assert g["span_dup_removed"] == o["rm"], did
+        assert g["span_tokens_before"] == o["before"], did
+        assert g["span_tokens_after"] == o["after"], did
+        assert g["span_clean_fp"] == o["fp"], did

@@ -115,6 +115,17 @@ def main() -> None:
         "winnowed_spans",
         lambda: winnowed_spans(d).where(F.col("wn_dup_flag")).count(),
     )
+    # duplicated-span REMOVAL (round 9): fixed 8-token windows. The
+    # replica corpus exercises both sides of its alignment trade-off:
+    # replicas shifted by a multiple of 8 re-align (real removals),
+    # other shifts escape the fixed windows (winnowed_spans is the
+    # alignment-robust detector). Count docs that lost a span.
+    from japanstockdatapipeline_spark.plans.llm import dup_span_removal
+
+    timed(
+        "dup_span_removal",
+        lambda: dup_span_removal(d).where(F.col("span_dup_removed") > 0).count(),
+    )
     timed(
         "minhash_lsh_pairs",
         lambda: minhash_lsh_pairs(d, n_hashes=16, bands=4).count(),
