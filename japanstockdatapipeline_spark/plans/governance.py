@@ -521,3 +521,122 @@ def _register_leakage_safe_split() -> None:
 
 
 _register_leakage_safe_split()
+
+
+# License / copyright notice filtering (round 9): the governance gate
+# code-and-web corpora run before training (The Stack, Kocetkov et al.
+# 2022: keep permissively-licensed files; drop copyleft/NC/unknown).
+# Like the other governance members, a deterministic notice is
+# synthesized per document from its own columns, then the REAL
+# detection + policy expressions run over it on both engines.
+_LIC_PERMISSIVE = ("mit", "apache-2.0", "bsd-3-clause")
+
+
+def _license_augmented():
+    did = F.col("doc_id")
+    notice = (
+        F.when(did % 5 == 0, F.lit(" SPDX-License-Identifier: MIT"))
+        .when(did % 5 == 1, F.lit(" SPDX-License-Identifier: GPL-3.0-only"))
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit(" Copyright (c) 20"),
+                F.lpad((did % 30).cast("string"), 2, "0"),
+                F.lit(" Acme Corp. All rights reserved."),
+            ),
+        )
+        .when(did % 5 == 3, F.lit(" licensed under CC BY-NC 4.0"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.col("text"), notice)
+
+
+_LIC_AUG_SQL = """text || CASE
+      WHEN doc_id % 5 = 0 THEN ' SPDX-License-Identifier: MIT'
+      WHEN doc_id % 5 = 1 THEN ' SPDX-License-Identifier: GPL-3.0-only'
+      WHEN doc_id % 5 = 2 THEN ' Copyright (c) 20' ||
+           lpad(CAST(doc_id % 30 AS VARCHAR), 2, '0') ||
+           ' Acme Corp. All rights reserved.'
+      WHEN doc_id % 5 = 3 THEN ' licensed under CC BY-NC 4.0'
+      ELSE '' END"""
+
+_LIC_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+_LIC_CC_RE = r"\bCC BY(-[A-Z]{2})*( \d\.\d)?"
+_LIC_COPYRIGHT_RE = r"Copyright \(c\) \d{4}"
+_LIC_RIGHTS_RE = r"[Aa]ll rights reserved"
+
+
+def license_filter_cols() -> list:
+    """License-governance expressions: SPDX id extraction, CC-marker
+    extraction, copyright-line / all-rights-reserved flags, a license
+    class, and the keep verdict (permissive SPDX or no notice at all
+    -> allowed; copyleft / NC / bare all-rights-reserved -> dropped).
+    Empty extracts become NULL so 'no notice' is distinguishable."""
+    aug = _license_augmented()
+    spdx_raw = F.regexp_extract(aug, _LIC_SPDX_RE, 1)
+    spdx = F.when(spdx_raw != "", F.lower(spdx_raw))
+    cc_raw = F.regexp_extract(aug, _LIC_CC_RE, 0)
+    cc = F.when(cc_raw != "", cc_raw)
+    has_cr = F.regexp_count(aug, F.lit(_LIC_COPYRIGHT_RE)) > 0
+    rights = F.regexp_count(aug, F.lit(_LIC_RIGHTS_RE)) > 0
+    permissive = spdx.isin(*_LIC_PERMISSIVE)
+    lic_class = (
+        F.when(permissive, F.lit("permissive"))
+        .when(spdx.isNotNull(), F.lit("copyleft_or_other"))
+        .when(cc.contains("-NC"), F.lit("non_commercial"))
+        .when(cc.isNotNull(), F.lit("cc_other"))
+        .when(rights | has_cr, F.lit("all_rights_reserved"))
+        .otherwise(F.lit("none"))
+    )
+    return [
+        spdx.alias("lic_spdx"),
+        cc.alias("lic_cc"),
+        has_cr.alias("lic_has_copyright"),
+        rights.alias("lic_rights_reserved"),
+        lic_class.alias("lic_class"),
+        lic_class.isin("permissive", "none").alias("lic_allow"),
+    ]
+
+
+_LIC_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_LIC_AUG_SQL} AS t FROM documents
+    ), x AS (
+      SELECT doc_id,
+             nullif(lower(regexp_extract(t, '{_LIC_SPDX_RE}', 1)), '') AS lic_spdx,
+             nullif(regexp_extract(t, '{_LIC_CC_RE}', 0), '') AS lic_cc,
+             len(regexp_extract_all(t, '{_LIC_COPYRIGHT_RE}')) > 0 AS lic_has_copyright,
+             len(regexp_extract_all(t, '{_LIC_RIGHTS_RE}')) > 0 AS lic_rights_reserved
+      FROM aug
+    ), c AS (
+      SELECT *, CASE
+          WHEN lic_spdx IN ('{"', '".join(_LIC_PERMISSIVE)}') THEN 'permissive'
+          WHEN lic_spdx IS NOT NULL THEN 'copyleft_or_other'
+          WHEN contains(lic_cc, '-NC') THEN 'non_commercial'
+          WHEN lic_cc IS NOT NULL THEN 'cc_other'
+          WHEN lic_rights_reserved OR lic_has_copyright THEN 'all_rights_reserved'
+          ELSE 'none' END AS lic_class
+      FROM x
+    )
+    SELECT doc_id, lic_spdx, lic_cc, lic_has_copyright, lic_rights_reserved,
+           lic_class, lic_class IN ('permissive', 'none') AS lic_allow
+    FROM c
+"""
+
+
+@member(
+    "doc_license_filter",
+    doc="License / copyright notice filtering (The Stack-style "
+    "governance gate, Kocetkov et al. 2022): synthesizes a "
+    "deterministic notice per document (SPDX MIT / SPDX GPL-3.0-only "
+    "/ copyright + all-rights-reserved / CC BY-NC / none), then "
+    "detects SPDX id, CC marker, copyright lines, classifies "
+    "(permissive / copyleft_or_other / non_commercial / cc_other / "
+    "all_rights_reserved / none), and emits the keep verdict "
+    "(permissive or unmarked -> allowed). Scale: scan-speed "
+    "Java-and-RE2-portable regex expressions, zero shuffles.",
+    oracle=_LIC_ORACLE,
+)
+def doc_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *license_filter_cols())

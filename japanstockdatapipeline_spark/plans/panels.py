@@ -234,6 +234,7 @@ register_panel(
         "doc_bpe_apply",
         "doc_dup_span_removal",
         "doc_priority_sample",
+        "doc_license_filter",
     ),
     renames={
         "doc_lang_id": {"lang": "li_lang"},

@@ -103,3 +103,31 @@ def test_width_normalize_roundtrip(spark):
     # zen form actually differs (normalization is not a no-op) and
     # contains only full-width chars where ASCII alnum/space existed
     assert df.filter(F.col("zen_text") == F.col("zen_norm")).count() == 0
+
+
+def test_license_filter_classes_and_policy(spark):
+    """Each synthesized notice class (doc_id % 5) maps to the expected
+    detection columns and keep verdict: permissive SPDX and unmarked
+    docs pass, GPL / CC BY-NC / all-rights-reserved are dropped."""
+    rows = {
+        r["doc_id"]: r
+        for r in _m("doc_license_filter").fn(spark, SF).limit(500).collect()
+    }
+    for did, r in rows.items():
+        cls = did % 5
+        if cls == 0:
+            assert r["lic_spdx"] == "mit" and r["lic_class"] == "permissive"
+            assert r["lic_allow"]
+        elif cls == 1:
+            assert r["lic_spdx"] == "gpl-3.0-only"
+            assert r["lic_class"] == "copyleft_or_other" and not r["lic_allow"]
+        elif cls == 2:
+            assert r["lic_spdx"] is None and r["lic_has_copyright"]
+            assert r["lic_rights_reserved"]
+            assert r["lic_class"] == "all_rights_reserved" and not r["lic_allow"]
+        elif cls == 3:
+            assert r["lic_cc"] == "CC BY-NC 4.0"
+            assert r["lic_class"] == "non_commercial" and not r["lic_allow"]
+        else:
+            assert r["lic_spdx"] is None and r["lic_cc"] is None
+            assert r["lic_class"] == "none" and r["lic_allow"]

@@ -115,6 +115,20 @@ def main() -> None:
         "winnowed_spans",
         lambda: winnowed_spans(d).where(F.col("wn_dup_flag")).count(),
     )
+    # the eager production BPE trainer (round 9): K=16 merge rounds on
+    # the full replica corpus — prices the per-round scan + Heaps-
+    # bounded pair shuffle SCALE.md claims, with two checkpoint
+    # rotations mid-run (checkpoint_every=8)
+    from japanstockdatapipeline_spark.operators.bpe import bpe_train
+
+    timed(
+        "bpe_train_k16",
+        lambda: len(
+            bpe_train(d, 16, checkpoint_every=8, checkpoint_dir="/tmp/stress_bpe_ck")
+        ),
+        extra={"k_merges": 16},
+    )
+
     # duplicated-span REMOVAL (round 9): fixed 8-token windows. The
     # replica corpus exercises both sides of its alignment trade-off:
     # replicas shifted by a multiple of 8 re-align (real removals),
