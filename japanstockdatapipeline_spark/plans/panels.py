@@ -384,6 +384,7 @@ register_panel(
         "embedding_ivfpq_topk",
         "embedding_ivfadc_topk",
         "embedding_hard_negatives",
+        "embedding_matryoshka_topk",
     ),
     renames={
         "embedding_knn_topk": {"neighbor_id": "knn_id", "cos": "knn_cos"},
@@ -395,6 +396,7 @@ register_panel(
         "embedding_ivfpq_topk": {"neighbor_id": "ivfpq_id", "cos": "ivfpq_cos"},
         "embedding_ivfadc_topk": {"neighbor_id": "ivfadc_id", "cos": "ivfadc_cos"},
         "embedding_hard_negatives": {"neighbor_id": "hn_id", "cos": "hn_cos"},
+        "embedding_matryoshka_topk": {"neighbor_id": "mat_id", "cos": "mat_cos"},
     },
     doc="ANN comparison panel (T2/J8 + scale paths): brute-force, LSH, "
     "label-cell IVF, the PRODUCTION k-means-quantized IVF top-k, the "
@@ -402,8 +404,10 @@ register_panel(
     "two-stage true-cosine re-rank, the FULL composed IVF-PQ "
     "pipeline (coarse probe -> ADC -> re-rank), its RESIDUAL-coded "
     "IVFADC sibling (recall 1.0 at half the shortlist on the stress "
-    "corpus), and the hard-negative "
-    "mining column (top-k different-label — contrastive training prep) "
+    "corpus), the hard-negative "
+    "mining column (top-k different-label — contrastive training prep), "
+    "and the Matryoshka truncated-dim (16 of 64) exact top-k — the "
+    "dimension-pruning serving dial alongside int8 and PQ — "
     "joined on (q_id, rank) — exactly the recall audit table an ANN "
     "rollout reviews (the kmeans column is the pairing SCALE.md "
     "measured at recall 1.0 on the replica corpus).",

@@ -142,6 +142,59 @@ def embedding_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Matryoshka truncation dial (round 9): serve ANN on a PREFIX of the
+# embedding (Kusupati et al. 2022, Matryoshka Representation Learning
+# — nested prefixes trained to be usable at reduced dim). Alongside
+# int8 quantization and PQ this is the third serving-cost dial; the
+# audit question is the same as PQ's: what does truncated-dim ranking
+# recall against the full-dim exact top-k.
+MAT_DIM = 16
+
+
+@member(
+    "embedding_matryoshka_topk",
+    doc="Truncated-dimension exact top-k (the Matryoshka serving "
+    f"audit, Kusupati et al. 2022): cosine over the first {MAT_DIM} of "
+    f"{EMB_DIM} dims only — 4x less compute/bandwidth per comparison — "
+    "same query set, tie-break, and k as embedding_knn_topk, so the "
+    "ann_topk_panel row shows full-dim vs truncated-dim rankings "
+    "side by side (the recall-vs-cost table a dimension-pruning "
+    "rollout reviews). Same BLAS scan shape as the knn member; "
+    "truncation is a slice expression in the scan. NOTE on expected "
+    "values: the synthetic embeddings are random (no MRL-trained "
+    "prefix structure), so measured truncation recall here is the "
+    "FLOOR (~0.19 at dim 16 on sf0.01) — that low number is the "
+    "audit working, exactly what this table would catch before a "
+    "rollout on untrained prefixes.",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, list_slice(embedding::DOUBLE[], 1, {MAT_DIM}) AS q_vec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+               list_slice(e.embedding::DOUBLE[], 1, {MAT_DIM}), q.q_vec) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.slice(as_double_array(F.col("embedding")), 1, MAT_DIM)
+    )
+    out = brute_force_topk_matmul(emb, _queries_df(emb), k=5)
+    return out.select(
+        "q_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int")
+    )
+
+
 @member(
     "embedding_lsh_topk",
     doc="ANN scale path (north-star): random-hyperplane LSH bucketing "

@@ -185,8 +185,14 @@ def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
         doc_bpe_train(spark, sf_dir, persisted_out=handles).count()
         assert len(handles) == 5
         for h in handles:
+            assert h.storageLevel.useMemory or h.storageLevel.useDisk  # was persisted
             h.unpersist()
-    assert n_cached() == base
+            assert not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+    # <= not ==: the async ContextCleaner may reap OTHER tests'
+    # unreferenced checkpoint RDDs between the base measurement and
+    # here (observed flaking in the full-suite run); the per-handle
+    # storageLevel assertions above are the exact release check
+    assert n_cached() <= base
 
 
 def test_dup_span_removal_hand_vector(spark, tmp_path):

@@ -130,6 +130,24 @@ def main() -> None:
 
     timed("hard_negative_topk_matmul", hard_neg)
 
+    # Matryoshka truncation (round 9): exact top-k on the first 16 of
+    # 64 dims — prices the dimension-pruning serving dial (4x less
+    # compute per comparison) and measures its recall against the
+    # full-dim exact set. The replica embeddings are random (no
+    # MRL-trained prefix), so the recall here is the untrained FLOOR —
+    # the audit catching a bad truncation, not a harness defect
+    def matryoshka():
+        m = 16
+        c16 = corpus.withColumn(
+            "embedding", F.slice(F.col("embedding").cast("array<double>"), 1, m)
+        )
+        q16 = queries.withColumn(
+            "q_vec", F.slice(F.col("q_vec").cast("array<double>"), 1, m)
+        )
+        return with_recall(brute_force_topk_matmul(c16, q16, K_NN))
+
+    timed("matryoshka_topk_dim16", matryoshka, extra={"dim": 16})
+
     timed(
         "lsh_bucketed_topk",
         lambda: with_recall(lsh_bucketed_topk(corpus, queries, K_NN, dim=DIM)),
@@ -137,6 +155,10 @@ def main() -> None:
     timed(
         "ivf_topk",
         lambda: with_recall(ivf_topk(corpus, queries, K_NN, n_probe=2)),
+        # the DEGENERATE coarse-quantizer baseline, kept on purpose:
+        # label cells are not geometric, so recall ~0 — the row that
+        # motivates the kmeans-cell pairing below (SCALE.md ANN table)
+        extra={"note": "degenerate label-cell baseline"},
     )
 
     def ivf_kmeans():
