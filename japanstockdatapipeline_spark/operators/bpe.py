@@ -82,13 +82,8 @@ def bpe_train(
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     llm = _llm()
     sep, sep2 = llm._BPE_SEP, llm._BPE_SEP * 2
-    toks = F.regexp_extract_all(
-        F.replace(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), F.lit("")),
-        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
-        F.lit(0),
-    )
     base = docs.select(
-        F.concat(F.lit(sep2), F.array_join(toks, sep2), F.lit(sep2)).alias("__s")
+        llm.bpe_encode(llm.bpe_pretokens(F.col(text_col))).alias("__s")
     ).persist()
     cur = base
     merges: list[tuple[int, str, str, int]] = []
@@ -157,13 +152,9 @@ def bpe_apply(
     pieces). Scan-speed expressions; the merge table rides as one
     literal array."""
     llm = _llm()
-    sep, sep2 = llm._BPE_SEP, llm._BPE_SEP * 2
+    sep2 = llm._BPE_SEP * 2
     rules = [(m[-3], m[-2]) if len(m) >= 3 else (m[0], m[1]) for m in merges]
-    toks = F.regexp_extract_all(
-        F.replace(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), F.lit("")),
-        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
-        F.lit(0),
-    )
+    toks = llm.bpe_pretokens(F.col(text_col))
     merges_col = F.array(
         *[
             F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))

@@ -548,10 +548,13 @@ def _license_augmented():
         .when(did % 5 == 3, F.lit(" licensed under CC BY-NC 4.0"))
         .otherwise(F.lit(""))
     )
-    return F.concat(F.col("text"), notice)
+    # coalesce: a NULL text must not nullify the notice — otherwise a
+    # NULL-text doc in a notice class falls through to lic_class 'none'
+    # and the gate ADMITS a document it should drop (review finding)
+    return F.concat(F.coalesce(F.col("text"), F.lit("")), notice)
 
 
-_LIC_AUG_SQL = """text || CASE
+_LIC_AUG_SQL = """coalesce(text, '') || CASE
       WHEN doc_id % 5 = 0 THEN ' SPDX-License-Identifier: MIT'
       WHEN doc_id % 5 = 1 THEN ' SPDX-License-Identifier: GPL-3.0-only'
       WHEN doc_id % 5 = 2 THEN ' Copyright (c) 20' ||

@@ -585,6 +585,25 @@ def _bpe_sep_sql() -> str:
     return "chr(30)"
 
 
+def bpe_pretokens(text_col):
+    """THE pre-tokenizer (strip the separator char, then the Sennrich
+    letters/digits/punct split) — single definition shared by
+    doc_bpe_apply, doc_bpe_train, and operators/bpe's eager trainer +
+    tokenizer, so the four call sites cannot drift (review finding)."""
+    return F.regexp_extract_all(
+        F.replace(F.coalesce(text_col, F.lit("")), F.lit(_BPE_SEP), F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+        F.lit(0),
+    )
+
+
+def bpe_encode(toks):
+    """Double-separator encoding of a piece array (see
+    bpe_apply_merges_expr for the boundary invariant)."""
+    sep2 = _BPE_SEP * 2
+    return F.concat(F.lit(sep2), F.array_join(toks, sep2), F.lit(sep2))
+
+
 def bpe_apply_merges_expr(toks, merges_col):
     """Apply a rank-ordered merge table to one doc's pre-token array —
     the APPLY half of a BPE tokenizer (Sennrich, Haddow, Birch, ACL
@@ -710,11 +729,7 @@ def doc_bpe_apply(
     spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(
-        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_SEP), F.lit("")),
-        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
-        F.lit(0),
-    )
+    toks = bpe_pretokens(F.col("text"))
     # the tokenized base feeds BOTH the merge-table aggregation and the
     # apply projection — persisted (lazily) so one action tokenizes the
     # corpus once, the doc_vocab_stats idiom; `persisted_out` receives
@@ -838,13 +853,7 @@ def doc_bpe_train(
     spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(
-        F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_SEP), F.lit("")),
-        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
-        F.lit(0),
-    )
-    sep2 = _BPE_SEP * 2
-    enc0 = F.concat(F.lit(sep2), F.array_join(toks, sep2), F.lit(sep2))
+    enc0 = bpe_encode(bpe_pretokens(F.col("text")))
     # ONE tokenize+encode pass feeds every round's count subtree —
     # persisted lazily (the doc_bpe_apply idiom); `persisted_out`
     # receives the handle for explicit release in sweep loops
@@ -873,7 +882,7 @@ def doc_bpe_train(
             # broadcast the 1-row merge and apply it; an EMPTY merge
             # table (corpus out of pairs) empties the stream, matching
             # the oracle's `JOIN ... ON true`
-            sep = _BPE_SEP
+            sep, sep2 = _BPE_SEP, _BPE_SEP * 2
             cur = cur.crossJoin(F.broadcast(top1.select("l", "r"))).select(
                 "doc_id",
                 F.replace(
@@ -1086,7 +1095,9 @@ _PS_2POW52 = 4503599627370496  # u_i = (h_i + 1) / 2^52  in  (0, 1]
     WHERE cnt < {PRIORITY_SAMPLE_K + 1} OR (key, doc_id) < (tk, td)
     """,
 )
-def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_priority_sample(
+    spark: SparkSession, sf_dir: str, *, persisted_out: list | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     K = PRIORITY_SAMPLE_K
@@ -1110,7 +1121,13 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__h") + 1).cast("double") / F.col("weight").cast("double"),
         )
     )
-    top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1)
+    # persisted (lazily): `top` feeds BOTH the threshold aggregate and
+    # the probe side — without it each side re-derives the TakeOrdered
+    # cut and the corpus is scanned twice (review finding; the
+    # doc_bpe_apply persisted_out idiom, K+1 rows of cache)
+    top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1).persist()
+    if persisted_out is not None:
+        persisted_out.append(top)
     # the (K+1)-th smallest (key, doc_id) + the eligible-row count,
     # collapsed to one broadcastable threshold row
     thr = top.agg(

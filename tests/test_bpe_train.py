@@ -8,35 +8,9 @@ from __future__ import annotations
 import re
 
 import pytest
+from helpers_bpe import py_bpe_train as _py_bpe_train
 
 from japanstockdatapipeline_spark.operators.bpe import bpe_apply, bpe_train
-
-
-def _py_bpe_train(texts, k):
-    enc = [re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t or "") for t in texts]
-    merges = []
-    for rank in range(1, k + 1):
-        counts = {}
-        for p in enc:
-            for a, b in zip(p, p[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + 1
-        if not counts:
-            break
-        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rank, l, r, c))
-        new_enc = []
-        for p in enc:
-            out, i = [], 0
-            while i < len(p):
-                if i + 1 < len(p) and p[i] == l and p[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(p[i])
-                    i += 1
-            new_enc.append(out)
-        enc = new_enc
-    return merges, enc
 
 
 TEXTS = [
@@ -109,7 +83,11 @@ def test_eager_trainer_releases_cache_and_rotates_checkpoints(spark, tmp_path):
     got = bpe_train(_docs(spark), 10, checkpoint_every=2, checkpoint_dir=ck)
     assert got == want
     assert bpe_train(_docs(spark), 3) == want[:3]  # no-checkpoint path
-    assert n_cached() == base
+    # <= not ==: the async ContextCleaner may reap an earlier test's
+    # localCheckpoint RDDs mid-test (the test_llm_ops sweep-test flake
+    # mode); the single-generation-dir assertion below is the exact
+    # release check for THIS run's checkpoints
+    assert n_cached() <= base
     gens = [d for d in os.listdir(ck) if d.startswith("bpe_gen=")]
     assert len(gens) == 1
 

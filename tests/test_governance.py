@@ -131,3 +131,20 @@ def test_license_filter_classes_and_policy(spark):
         else:
             assert r["lic_spdx"] is None and r["lic_cc"] is None
             assert r["lic_class"] == "none" and r["lic_allow"]
+
+
+def test_license_filter_null_text_still_classified(spark, tmp_path):
+    """Review fix: a NULL-text document must not nullify the synthesized
+    notice — the notice classes still classify (and drop) correctly."""
+    from japanstockdatapipeline_spark.plans.llm import load_table  # noqa: F401
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, None) for i in range(5)], "doc_id bigint, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["doc_id"]: r for r in _m("doc_license_filter").fn(spark, sf_dir).collect()}
+    assert rows[0]["lic_class"] == "permissive" and rows[0]["lic_allow"]
+    assert rows[1]["lic_class"] == "copyleft_or_other" and not rows[1]["lic_allow"]
+    assert rows[2]["lic_class"] == "all_rights_reserved" and not rows[2]["lic_allow"]
+    assert rows[3]["lic_class"] == "non_commercial" and not rows[3]["lic_allow"]
+    assert rows[4]["lic_class"] == "none" and rows[4]["lic_allow"]

@@ -155,6 +155,7 @@ def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
         doc_bpe_apply,
         doc_bpe_train,
         doc_dsir_weight,
+        doc_priority_sample,
         doc_unigram_logprob,
         doc_vocab_stats,
     )
@@ -183,7 +184,8 @@ def test_persisted_members_release_cache_across_sweep(spark, tmp_path):
         doc_dsir_weight(spark, sf_dir, persisted_out=handles).count()
         doc_bpe_apply(spark, sf_dir, persisted_out=handles).count()
         doc_bpe_train(spark, sf_dir, persisted_out=handles).count()
-        assert len(handles) == 5
+        doc_priority_sample(spark, sf_dir, persisted_out=handles).count()
+        assert len(handles) == 6
         for h in handles:
             assert h.storageLevel.useMemory or h.storageLevel.useDisk  # was persisted
             h.unpersist()

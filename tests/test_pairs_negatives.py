@@ -244,38 +244,11 @@ def test_bpe_apply_overlap_is_leftmost_greedy(spark, tmp_path):
 
 
 def _py_bpe_train(texts, k):
-    """Pure-Python reference of the iterative trainer: re-count after
-    every merge; one leftmost-greedy non-overlapping token pass per
-    learned rank (the same pass semantics the encoded literal replace
-    implements)."""
-    import re
+    """The shared pure-Python iterative reference (tests/helpers_bpe),
+    merge table only."""
+    from helpers_bpe import py_bpe_train
 
-    enc = [
-        re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t or "") for t in texts
-    ]
-    merges = []
-    for rank in range(1, k + 1):
-        counts = {}
-        for p in enc:
-            for a, b in zip(p, p[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + 1
-        if not counts:
-            break
-        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rank, l, r, c))
-        new_enc = []
-        for p in enc:
-            out, i = [], 0
-            while i < len(p):
-                if i + 1 < len(p) and p[i] == l and p[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(p[i])
-                    i += 1
-            new_enc.append(out)
-        enc = new_enc
-    return merges
+    return py_bpe_train(texts, k)[0]
 
 
 def test_bpe_train_is_iterative_not_one_shot(spark, tmp_path):

@@ -117,17 +117,22 @@ def main() -> None:
     )
     # the eager production BPE trainer (round 9): K=16 merge rounds on
     # the full replica corpus — prices the per-round scan + Heaps-
-    # bounded pair shuffle SCALE.md claims, with two checkpoint
-    # rotations mid-run (checkpoint_every=8)
+    # bounded pair shuffle SCALE.md claims. checkpoint_every=5 fires
+    # rotations at ranks 5/10/15 (the condition is rank % ce == 0 AND
+    # rank < k), so the delete-older-generation path runs twice at
+    # stress scale, not just the first write
+    import shutil
+
     from japanstockdatapipeline_spark.operators.bpe import bpe_train
 
     timed(
         "bpe_train_k16",
         lambda: len(
-            bpe_train(d, 16, checkpoint_every=8, checkpoint_dir="/tmp/stress_bpe_ck")
+            bpe_train(d, 16, checkpoint_every=5, checkpoint_dir="/tmp/stress_bpe_ck")
         ),
-        extra={"k_merges": 16},
+        extra={"k_merges": 16, "checkpoint_rotations": 3},
     )
+    shutil.rmtree("/tmp/stress_bpe_ck", ignore_errors=True)
 
     # duplicated-span REMOVAL (round 9): fixed 8-token windows. The
     # replica corpus exercises both sides of its alignment trade-off:
