@@ -128,6 +128,9 @@ PLAN_TIME_JOB_ALLOWLIST = {
     # round 8: the hard-negative miner shares the knn BLAS shape —
     # the bounded query matrix (with labels) is collected at build
     "embedding_hard_negatives",
+    # round 9: the truncated-dim audit is the SAME knn BLAS shape over
+    # sliced vectors — the bounded query matrix collect at build
+    "embedding_matryoshka_topk",
     "ann_topk_panel",
     "doc_dup_clusters",
     "corpus_prep_pipeline",
