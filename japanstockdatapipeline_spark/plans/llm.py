@@ -972,9 +972,19 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
     exists as the alignment-robust DETECTOR; this member is the
     REMOVAL half at the fixed-window granularity production pipelines
     run (the suffix-array form of Lee et al. is not expressible as a
-    bounded-shuffle plan)."""
-    from pyspark.sql.window import Window
+    bounded-shuffle plan).
 
+    Keep-first resolution is a partial-aggregatable
+    min(struct(doc_id, idx, ...)) per fingerprint — NOT a row_number
+    window over the fingerprint: a boilerplate chunk duplicated into
+    half a 100-TB corpus is a planet-hot key, and a window would make
+    ONE reducer sort the whole hot group, while min(struct) map-side
+    combines to one candidate row per map partition before the
+    shuffle (the r9-verdict #1 rewrite; the hot-key stress row in
+    STRESS_r10 prices both forms). Struct comparison is
+    lexicographic by field order, so min over (doc_id, idx, txt, sz)
+    is exactly order-by (doc_id, idx) — (doc_id, idx) is unique, so
+    txt/sz ride along without influencing the winner."""
     C = DUP_SPAN_CHUNK
     toks = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
@@ -1004,21 +1014,22 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
             F.lit(":"), F.col("idx").cast("string"),
         )
     )
-    st = ch.withColumn("__fp", fp).withColumn(
-        "__rn",
-        F.row_number().over(Window.partitionBy("__fp").orderBy("doc_id", "idx")),
+    st = ch.withColumn("__fp", fp)
+    # one winner (first occurrence) per fingerprint; map-side combined
+    winners = st.groupBy("__fp").agg(
+        F.min(F.struct("doc_id", "idx", "txt", "sz")).alias("w")
     )
-    agg = st.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("span_n_chunks"),
-        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
-        .cast("bigint").alias("span_dup_removed"),
-        F.sum(F.when(F.col("__rn") == 1, F.col("sz")).otherwise(0))
-        .cast("bigint").alias("span_tokens_after"),
+    # re-aggregate the winners back to per-doc kept stats. A chunk of
+    # doc d survives iff d won its fingerprint group, so kept-chunk
+    # counts/tokens/clean-text all come from the winners side alone;
+    # total chunk counts come FREE from the base projection (nch),
+    # no second pass over the exploded chunks.
+    kept = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.sum("w.sz").cast("bigint").alias("span_tokens_after"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("__rn") == 1, F.struct("idx", "txt")))
-                ),
+                F.array_sort(F.collect_list(F.struct("w.idx", "w.txt"))),
                 lambda s: s["txt"],
             ),
             " ",
@@ -1026,13 +1037,18 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
     )
     zero = F.lit(0).cast("bigint")
     return (
-        base.select("doc_id", F.size("__toks").cast("bigint").alias("span_tokens_before"))
-        .join(agg, "doc_id", "left")
+        base.select(
+            "doc_id",
+            F.size("__toks").cast("bigint").alias("span_tokens_before"),
+            nch.cast("bigint").alias("span_n_chunks"),
+        )
+        .join(kept, "doc_id", "left")
         .select(
             "doc_id",
             "span_tokens_before",
-            F.coalesce("span_n_chunks", zero).alias("span_n_chunks"),
-            F.coalesce("span_dup_removed", zero).alias("span_dup_removed"),
+            "span_n_chunks",
+            (F.col("span_n_chunks") - F.coalesce("__n_kept", zero))
+            .cast("bigint").alias("span_dup_removed"),
             F.coalesce("span_tokens_after", zero).alias("span_tokens_after"),
             F.md5(F.coalesce("__clean", F.lit(""))).alias("span_clean_fp"),
         )
@@ -1047,6 +1063,8 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
 # transcendental ln/exp keys of the Efraimidis-Spirakis form).
 PRIORITY_SAMPLE_K = 64
 _PS_2POW52 = 4503599627370496  # u_i = (h_i + 1) / 2^52  in  (0, 1]
+# one live cached top-(K+1) plan per sf_dir (see doc_priority_sample)
+_PRIORITY_SAMPLE_SLOT: dict[str, DataFrame] = {}
 
 
 @member(
@@ -1124,8 +1142,17 @@ def doc_priority_sample(
     # persisted (lazily): `top` feeds BOTH the threshold aggregate and
     # the probe side — without it each side re-derives the TakeOrdered
     # cut and the corpus is scanned twice (review finding; the
-    # doc_bpe_apply persisted_out idiom, K+1 rows of cache)
+    # doc_bpe_apply persisted_out idiom, K+1 rows of cache).
+    # Bounded slot (r9 ADVICE): panel builds call this member without
+    # persisted_out, which previously leaked one cached plan per call;
+    # releasing the previous same-sf_dir handle first bounds the
+    # session to ONE live cached (K+1)-row plan per corpus (a caller
+    # still holding the prior DataFrame just recomputes, uncached).
+    old = _PRIORITY_SAMPLE_SLOT.pop(sf_dir, None)
+    if old is not None:
+        old.unpersist()
     top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1).persist()
+    _PRIORITY_SAMPLE_SLOT[sf_dir] = top
     if persisted_out is not None:
         persisted_out.append(top)
     # the (K+1)-th smallest (key, doc_id) + the eligible-row count,
@@ -1143,6 +1170,13 @@ def doc_priority_sample(
         F.col("__t.k").alias("__tk"), F.col("__t.d").alias("__td"),
         F.col("__t.w").alias("__tw"), F.col("__t.h").alias("__th"),
     )
+    # CEILING of the exact-rounding rails (r9 ADVICE): round6_ratio
+    # requires the 6dp-scaled quotient to fit int64, and E[tau] ~
+    # total_corpus_tokens/(K+1), so the rails hold up to ~6e14 total
+    # whitespace tokens (6dp tau ~ total/65 * 1e6 < 2^63) — orders of
+    # magnitude above any tested scale, but a 100-TB deployment near
+    # that ceiling must raise K or drop tau to double precision
+    # (mirrors the overflow note in functions/semantics.py).
     tau6 = SEM.round6_ratio(
         f"CAST(__tw AS DECIMAL(38,0)) * {_PS_2POW52}", "__th + 1"
     )

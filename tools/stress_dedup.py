@@ -71,6 +71,91 @@ def build(spark, sf_dir: str, k: int) -> None:
     u.write.mode("overwrite").parquet(OUT)
 
 
+def build_hot_span_corpus(spark, *, n_docs: int, hot_frac: float):
+    """Synthesize a corpus where one DUP_SPAN_CHUNK-token chunk is the
+    FIRST chunk of `hot_frac` of the docs (chunk-aligned, so the fixed
+    windows all fingerprint it identically) followed by unique filler
+    tokens — the maximally skewed fingerprint distribution."""
+    from japanstockdatapipeline_spark.plans.llm import DUP_SPAN_CHUNK
+
+    hot_chunk = " ".join(f"boiler{j}" for j in range(DUP_SPAN_CHUNK))
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                (F.col("id") % F.lit(round(1 / hot_frac))) == 0,
+                F.lit(hot_chunk + " "),
+            ).otherwise(F.lit("")),
+            # 16 unique filler tokens per doc
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                    for j in range(16)
+                ],
+            ),
+        ).alias("text"),
+    )
+    return base
+
+
+def _dup_span_removal_window_form(d):
+    """The PRE-r10 keep-first idiom (row_number over the fingerprint)
+    kept here solely as the stress comparison baseline — the shipped
+    plans/llm.dup_span_removal resolves keep-first with a partial-
+    aggregatable min(struct) instead. Output-identical; only the
+    physical shape under a hot key differs."""
+    from pyspark.sql.window import Window
+
+    from japanstockdatapipeline_spark.plans.llm import DUP_SPAN_CHUNK
+
+    C = DUP_SPAN_CHUNK
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select("doc_id", toks.alias("__toks"))
+    nch = F.floor((F.size("__toks") + F.lit(C - 1)) / F.lit(C)).cast("int")
+    idxs = F.when(nch > 0, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_structs = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.cast("bigint").alias("idx"),
+            F.array_join(F.slice("__toks", i * C + 1, C), " ").alias("txt"),
+            F.size(F.slice("__toks", i * C + 1, C)).cast("bigint").alias("sz"),
+        ),
+    )
+    ch = base.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", F.col("c.idx").alias("idx"), F.col("c.txt").alias("txt"),
+        F.col("c.sz").alias("sz"),
+    )
+    fp = F.when(F.col("sz") == C, F.md5(F.col("txt"))).otherwise(
+        F.concat(
+            F.lit("p:"), F.col("doc_id").cast("string"),
+            F.lit(":"), F.col("idx").cast("string"),
+        )
+    )
+    st = ch.withColumn("__fp", fp).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__fp").orderBy("doc_id", "idx")),
+    )
+    agg = st.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("span_n_chunks"),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+        .cast("bigint").alias("span_dup_removed"),
+        F.sum(F.when(F.col("__rn") == 1, F.col("sz")).otherwise(0))
+        .cast("bigint").alias("span_tokens_after"),
+    )
+    return base.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("span_dup_removed", F.lit(0).cast("bigint")).alias(
+            "span_dup_removed"
+        ),
+    )
+
+
 def timed(name: str, fn, extra=None) -> object:
     t0 = time.time()
     try:
@@ -144,6 +229,27 @@ def main() -> None:
     timed(
         "dup_span_removal",
         lambda: dup_span_removal(d).where(F.col("span_dup_removed") > 0).count(),
+    )
+    # ADVERSARIAL hot-fingerprint corpus (r9 verdict #1): one 8-token
+    # boilerplate chunk planted in ~50% of a 100k-doc corpus — the
+    # planet-hot-key shape a global footer/disclaimer produces at
+    # 100 TB. The shipped plan resolves keep-first with a partial-
+    # aggregatable min(struct) (one candidate row per map partition
+    # reaches the shuffle), while the pre-r10 row_number window makes
+    # ONE reducer sort the whole 50k-row hot group — both are timed so
+    # the artifact shows the skewed-key wall, not just claims it.
+    hot = build_hot_span_corpus(spark, n_docs=100_000, hot_frac=0.5)
+    timed(
+        "dup_span_removal_hotkey",
+        lambda: dup_span_removal(hot).where(F.col("span_dup_removed") > 0).count(),
+        extra={"n_docs": 100_000, "hot_frac": 0.5},
+    )
+    timed(
+        "dup_span_removal_hotkey_window_baseline",
+        lambda: _dup_span_removal_window_form(hot)
+        .where(F.col("span_dup_removed") > 0)
+        .count(),
+        extra={"n_docs": 100_000, "hot_frac": 0.5, "note": "pre-r10 row_number form"},
     )
     timed(
         "minhash_lsh_pairs",
