@@ -102,6 +102,40 @@ def gate_plans() -> dict:
     return {"ok": ok, "detail": m.group(0) if m else out[-300:]}
 
 
+def gate_docs() -> dict:
+    """README count validation (r9 verdict hygiene item: '413 pytest
+    tests' had drifted to 415). Hard-coded pytest counts are gone from
+    the README; the query/member counts it still states are checked
+    here against the LIVE registry, so displayed counts derive from
+    code, not memory."""
+    code = (
+        "from japanstockdatapipeline_spark.plans import all_queries, all_members\n"
+        "print('REGISTRY', len(all_queries()), len(all_members()))\n"
+    )
+    rc, out = run([sys.executable, "-c", code])
+    m = re.search(r"REGISTRY (\d+) (\d+)", out)
+    if rc != 0 or m is None:
+        return {"ok": False, "detail": f"registry probe failed: {out[-200:]}"}
+    n_q, n_m = int(m.group(1)), int(m.group(2))
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    stale = []
+    mq = re.search(r"(\d+) registered queries", readme)
+    mm = re.search(r"(\d+) member queries", readme)
+    if re.search(r"\d+\s*\npytest tests|\d+ pytest tests", readme):
+        stale.append("hand-maintained pytest count present")
+    if mq and int(mq.group(1)) != n_q:
+        stale.append(f"README says {mq.group(1)} queries, registry has {n_q}")
+    if mm and int(mm.group(1)) != n_m:
+        stale.append(f"README says {mm.group(1)} members, registry has {n_m}")
+    return {
+        "ok": not stale,
+        "queries": n_q,
+        "members": n_m,
+        "detail": stale or f"README counts match registry ({n_q} queries, {n_m} members)",
+    }
+
+
 def gate_pytest() -> dict:
     rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"])
     m = re.search(r"(\d+) passed", out)
@@ -210,6 +244,7 @@ def main() -> int:
         ("oracle_sf01", lambda: gate_oracle(sf_dir_big, timeout=7200)),
         ("canary", lambda: gate_canary(rnd, sf_dir)),
         ("plans", gate_plans),
+        ("docs", gate_docs),
         ("pytest", (lambda: {"ok": True, "detail": "skipped (--skip-pytest)"})
          if skip_pytest else gate_pytest),
         ("stress", lambda: gate_stress(rnd, skip_stress)),
