@@ -192,7 +192,7 @@ def clear_batch_partitions(
 def write_with_audit(
     df: DataFrame,
     path: str,
-    partition_col: str,
+    partition_col: str | list[str],
     *,
     count_nulls: tuple[str, ...] = (),
 ) -> dict[str, int]:

@@ -434,7 +434,7 @@ def quality_gated_ingest(
     batch N overwrites only its own subpartition) without losing
     cross-batch rows."""
     from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
-    from .incremental import clear_batch_partitions, write_partition_overwrite
+    from .incremental import clear_batch_partitions, write_with_audit
 
     scored = (
         stream.select("*", *clf_stage_cols())
@@ -456,28 +456,33 @@ def quality_gated_ingest(
             rej = batch_df.filter(~F.coalesce(keep_pred, F.lit(False))).withColumn(
                 "ingest_batch", F.lit(int(batch_id))
             )
-            n_keep = keep.count()
-            n_rej = rej.count()
             # clear this batch's prior subpartitions FIRST: dynamic
             # overwrite only replaces partitions present in the new
             # data, so a replay that now yields zero rows (or fewer
             # partition_col values) would otherwise leave the earlier
-            # attempt's ingest_batch=N rows live (r8 ADVICE)
+            # attempt's ingest_batch=N rows live (r8 ADVICE). Counts
+            # then accumulate DURING each write via df.observe
+            # (write_with_audit) — one scan per batch per sink, not
+            # the count()-then-write double scan (r9 verdict #3); an
+            # empty replay still clears, and its empty write is a
+            # no-op dynamic overwrite.
             clear_batch_partitions(
                 batch_df.sparkSession, target_dir, batch_id, nested=True
             )
+            n_keep = write_with_audit(
+                keep, target_dir, [partition_col, "ingest_batch"]
+            )["rows"]
             if rejects_dir is not None:
                 clear_batch_partitions(
                     batch_df.sparkSession, rejects_dir, batch_id, nested=True
                 )
-            if n_keep:
-                write_partition_overwrite(
-                    keep, target_dir, [partition_col, "ingest_batch"]
-                )
-            if n_rej and rejects_dir is not None:
-                write_partition_overwrite(
+                n_rej = write_with_audit(
                     rej, rejects_dir, [partition_col, "ingest_batch"]
-                )
+                )["rows"]
+            else:
+                # rejects are dropped, not written — a count over the
+                # persisted batch is the only scan that side gets
+                n_rej = rej.count()
             # keyed by batch_id: a micro-batch retried after a
             # transient sink failure re-enters here with the SAME
             # batch_id — the parquet writes are idempotent (batch-
@@ -539,7 +544,7 @@ def corpus_prep_stream(
     from ..plans.governance import redact_text
     from ..plans.llm import CLF_STAGE_NAMES, clf_output_cols, clf_stage_cols
     from ..functions.text import fingerprint_md5
-    from .incremental import clear_batch_partitions, write_partition_overwrite
+    from .incremental import clear_batch_partitions, write_with_audit
 
     # the SAME chain the batch member applies (one home: governance)
     redacted = redact_text(F.col("text"))
@@ -564,18 +569,20 @@ def corpus_prep_stream(
             rej = batch_df.filter(~keep_pred).withColumn(
                 "ingest_batch", F.lit(int(batch_id))
             )
-            n_keep, n_rej = keep.count(), rej.count()
             # clear-before-write keeps the replay contract exact even
             # when a replayed batch now produces zero keep (or reject)
             # rows — an empty frame has no partitions, so dynamic
-            # overwrite alone would leave the prior attempt live
+            # overwrite alone would leave the prior attempt live.
+            # Counts ride the writes via df.observe (write_with_audit):
+            # one scan per batch per sink, not count()-then-write
+            # (r9 verdict #3); the empty write is a no-op overwrite.
             clear_batch_partitions(batch_df.sparkSession, target_dir, batch_id)
+            n_keep = write_with_audit(keep, target_dir, "ingest_batch")["rows"]
             if rejects_dir is not None:
                 clear_batch_partitions(batch_df.sparkSession, rejects_dir, batch_id)
-            if n_keep:
-                write_partition_overwrite(keep, target_dir, ["ingest_batch"])
-            if n_rej and rejects_dir is not None:
-                write_partition_overwrite(rej, rejects_dir, ["ingest_batch"])
+                n_rej = write_with_audit(rej, rejects_dir, "ingest_batch")["rows"]
+            else:
+                n_rej = rej.count()  # dropped, not written — count is the only scan
             stats[int(batch_id)] = {
                 "batch_id": int(batch_id),
                 "written": n_keep,
@@ -672,7 +679,7 @@ def corpus_prep_near_dup_stream(
     from .incremental import (
         _hadoop_fs,
         clear_batch_partitions,
-        write_partition_overwrite,
+        write_with_audit,
     )
 
     horizon_us = _horizon_micros(watermark)
@@ -775,15 +782,17 @@ def corpus_prep_near_dup_stream(
                 .select(*out_cols)
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
             )
-            n_keep, n_rej = keep.count(), rej.count()
-            n_nd = batch_df.count() - n_keep - n_rej
+            # counts ride the writes via df.observe (write_with_audit):
+            # one scan per batch per sink (r9 verdict #3); the clear
+            # still runs before each write so empty replays stay exact
             clear_batch_partitions(spark, target_dir, batch_id)
+            n_keep = write_with_audit(keep, target_dir, "ingest_batch")["rows"]
             if rejects_dir is not None:
                 clear_batch_partitions(spark, rejects_dir, batch_id)
-            if n_keep:
-                write_partition_overwrite(keep, target_dir, ["ingest_batch"])
-            if n_rej and rejects_dir is not None:
-                write_partition_overwrite(rej, rejects_dir, ["ingest_batch"])
+                n_rej = write_with_audit(rej, rejects_dir, "ingest_batch")["rows"]
+            else:
+                n_rej = rej.count()  # dropped, not written
+            n_nd = batch_df.count() - n_keep - n_rej
 
             # state := (pre-batch state + this batch's survivors),
             # horizon-pruned on the PRE-BATCH state's max event time:
