@@ -13,21 +13,45 @@ from japanstockdatapipeline_spark.sources import load_table
 
 
 def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    from japanstockdatapipeline_spark.pipeline import read_gold
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        FreshnessError,
+        published_versions,
+    )
+
     out_dir = str(tmp_path / "lake")
     counts = run_daily_pipeline(spark, sf_dir, out_dir, "2026-08-13")
     assert counts["silver_events"] == 1000
     assert counts["gold_snapshot"] == 15  # one row per user
     assert counts["gold_market_indicators"] > 0
     assert counts["gold_stock_screen"] == 150  # one screen row per customer
-    # idempotent re-run: same run_date overwrites, counts unchanged
+    # idempotent re-run: same run_date republishes, counts unchanged
     counts2 = run_daily_pipeline(spark, sf_dir, out_dir, "2026-08-13")
     assert counts2 == counts
     # manifest recorded 2 successful runs per job
     recs = [json.loads(line) for line in open(f"{out_dir}/ops/runs.jsonl")]
     assert sum(r.get("status") == "success" for r in recs) == 8
-    # wide indicators table carries both column groups (ST4 merge)
-    wide = spark.read.parquet(f"{out_dir}/gold/market_indicators")
+    # gold tables flow through publish_version: the re-run published a
+    # SECOND retained snapshot per table, _LATEST points at it
+    assert published_versions(spark, f"{out_dir}/gold/market_indicators") == [1, 2]
+    # serving read: resolve _LATEST + freshness guard (ST9)
+    wide = read_gold(
+        spark, out_dir, "market_indicators", as_of=dt.date(2026, 8, 14)
+    )
     assert {"adv_dec_ratio_25d", "pct_above_sma20"} <= set(wide.columns)
+    # time travel: the first publication is still readable by version
+    v1 = read_gold(
+        spark, out_dir, "snapshot", as_of=dt.date(2026, 8, 14), version=1
+    )
+    assert v1.count() == counts["gold_snapshot"]
+    # the STALE path errors instead of serving (error-don't-serve-stale):
+    # a reader 30 days later must refuse the 2026-08-13 snapshot
+    with pytest.raises(FreshnessError):
+        read_gold(spark, out_dir, "snapshot", as_of=dt.date(2026, 9, 13))
+    with pytest.raises(ValueError):
+        read_gold(spark, out_dir, "not_a_table", as_of=dt.date(2026, 8, 14))
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
