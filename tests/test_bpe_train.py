@@ -58,6 +58,23 @@ def test_eager_trainer_matches_registered_member_prefix(spark, tmp_path):
     assert eager == member
 
 
+def test_stats_instrumentation_is_observation_only(spark):
+    """stats_out/vocab_every (the stress_bpe pricing hooks) must not
+    change the learned merge table, and the per-rank records must
+    cover every learned rank with the Heaps probe firing on schedule."""
+    want = bpe_train(_docs(spark), 12, checkpoint_every=4)
+    stats: list[dict] = []
+    got = bpe_train(
+        _docs(spark), 12, checkpoint_every=4, stats_out=stats, vocab_every=4
+    )
+    assert got == want
+    assert [s["rank"] for s in stats] == list(range(1, len(want) + 1))
+    probed = [s["rank"] for s in stats if s["pair_vocab"] is not None]
+    assert probed == [r for r in range(1, len(want) + 1) if r % 4 == 1]
+    assert all(s["pair_vocab"] >= 1 for s in stats if s["pair_vocab"] is not None)
+    assert [s["cnt"] for s in stats] == [m[3] for m in want]
+
+
 def test_eager_trainer_stops_when_pairs_run_dry(spark):
     """A corpus whose pieces fully merge stops early: 'a b' x3 learns
     (a,b) then has single-piece docs only."""

@@ -54,6 +54,7 @@ BASELINE_R06 = {
 
 DEDUP_K = 30
 ANN_K = 10
+ANN_FOCUS_K = 100  # 200k vectors — the 10x-the-10x IVFADC validation
 
 
 def run_harness(cmd: list[str]) -> dict[str, dict]:
@@ -82,6 +83,10 @@ def run_harness(cmd: list[str]) -> dict[str, dict]:
 MEASURED_PATHS = (
     "japanstockdatapipeline_spark/operators/",
     "japanstockdatapipeline_spark/functions/",
+    # r10: the stress suites also drive the fused doc plans and the
+    # streaming near-dup sink — stale-check those paths too
+    "japanstockdatapipeline_spark/plans/llm.py",
+    "japanstockdatapipeline_spark/streaming/jobs.py",
     "tools/stress_",
     "tools/calibration.py",
 )
@@ -129,13 +134,23 @@ def main() -> int:
     out_path = f"STRESS_r{rnd:02d}.json"
     report = {
         "round": rnd,
-        "configs": {"dedup_k": DEDUP_K, "ann_k": ANN_K, "sf_dir": "/root/testdata/sf0.1"},
+        "configs": {
+            "dedup_k": DEDUP_K,
+            "ann_k": ANN_K,
+            "ann_focus_k": ANN_FOCUS_K,
+            "sf_dir": "/root/testdata/sf0.1",
+        },
         "measured_at": git_state(),
         "suites": {},
     }
     for suite, cmd in (
         ("dedup", [sys.executable, "tools/stress_dedup.py", str(DEDUP_K)]),
         ("ann", [sys.executable, "tools/stress_ann.py", str(ANN_K)]),
+        # r10 additions: BPE trainer at real K, the streaming near-dup
+        # divergence bound, and IVFADC at 200k vectors
+        ("bpe", [sys.executable, "tools/stress_bpe.py"]),
+        ("stream", [sys.executable, "tools/stress_stream_neardup.py"]),
+        ("ann200k", [sys.executable, "tools/stress_ann.py", str(ANN_FOCUS_K), "--focus-ivfadc"]),
     ):
         ops = run_harness(cmd)
         for op, rec in ops.items():
