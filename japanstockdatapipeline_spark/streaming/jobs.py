@@ -626,6 +626,7 @@ def corpus_prep_near_dup_stream(
     n_hashes: int = 32,
     bands: int = 16,
     k: int = 3,
+    track_dropped: bool = False,
 ) -> list[dict]:
     """corpus_prep_stream PLUS a streaming NEAR-dup stage (the half the
     r8 twin lacked): each micro-batch runs the SAME two-stage
@@ -659,10 +660,29 @@ def corpus_prep_near_dup_stream(
          state -> state.old / tmp -> state swap.
 
     Semantics notes (the documented streaming trades):
-      - state holds KEPT docs only, so transitive chains THROUGH a
-        dropped doc are not followed across batches (batch processing
-        of the same data in one pass would follow them); within one
-        micro-batch chains resolve fully.
+      - with the default `track_dropped=False`, state holds KEPT docs
+        only, so transitive chains THROUGH a dropped doc are not
+        followed across batches (batch processing of the same data in
+        one pass would follow them); within one micro-batch chains
+        resolve fully. tools/stress_stream_neardup.py measures the
+        divergence bound on an adversarial all-chains corpus: the
+        re-kept extras are exactly ceil(M/2)-1 per length-M chain
+        whose members arrive in separate batches (50% of the
+        should-drop set at the bound), and ZERO for the star shape
+        (satellites of one kept head) that dominates real crawl dup
+        structure.
+      - `track_dropped=True` closes that gap: dropped docs are
+        recorded in the state table too (flagged `__kept=false`), so
+        a later doc matching ONLY a dropped doc still drops — chains
+        extend one hop per batch, reproducing the batch kept-set on
+        chain corpora (the stress tool asserts divergence 0). Cost:
+        state holds every doc seen within the horizon instead of the
+        kept subset — same horizon bound, larger constant; dropped
+        rows never re-win (any state doc in a cluster outranks every
+        batch doc, and state rows are never re-emitted). A state dir
+        written in one mode is readable in the other (`__kept` is
+        assumed true when absent, and dropped rows are filtered out
+        when re-read with tracking off).
       - the state table stores the ORIGINAL text (shingles must be
         computed on pre-redaction text, like fp/clf): it is an
         internal, horizon-pruned working set, not a published output.
@@ -699,7 +719,7 @@ def corpus_prep_near_dup_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
-        state = survivors = None
+        state = survivors = persisted_drop_ids = None
         try:
             batch_docs = batch_df.select(
                 F.col("doc_id"),
@@ -730,6 +750,15 @@ def corpus_prep_near_dup_stream(
                 state = spark.createDataFrame(
                     [], schema=batch_docs.schema
                 )
+            # mode-normalize the state schema: tracking adds a __kept
+            # flag; a kept-only state read with tracking on is all
+            # kept, a tracked state read with tracking off keeps only
+            # the kept rows (cross-mode state dirs stay readable)
+            if track_dropped:
+                if "__kept" not in state.columns:
+                    state = state.withColumn("__kept", F.lit(True))
+            elif "__kept" in state.columns:
+                state = state.filter(F.col("__kept")).drop("__kept")
             state = state.persist()
             u = state.select(
                 "doc_id", "__orig_text", F.lit(True).alias("__is_state")
@@ -768,6 +797,12 @@ def corpus_prep_near_dup_stream(
                 )
                 .select("doc_id")
             )
+            if track_dropped:
+                # drop_ids feeds BOTH the survivor anti-join and the
+                # dropped-rows state append — persist so the LSH +
+                # cluster pipeline runs once per batch, not twice
+                drop_ids = drop_ids.persist()
+                persisted_drop_ids = drop_ids
             survivors = batch_df.join(drop_ids, "doc_id", "left_anti").persist()
 
             keep_pred = F.coalesce(F.col("clf_keep"), F.lit(False))
@@ -794,7 +829,8 @@ def corpus_prep_near_dup_stream(
                 n_rej = rej.count()  # dropped, not written
             n_nd = batch_df.count() - n_keep - n_rej
 
-            # state := (pre-batch state + this batch's survivors),
+            # state := (pre-batch state + this batch's survivors
+            # [+ its near-dup drops, flagged, when tracking]),
             # horizon-pruned on the PRE-BATCH state's max event time:
             # pruning on the post-batch max could evict the very anchor
             # doc a drop decision used, so a replay after a successful
@@ -806,9 +842,22 @@ def corpus_prep_near_dup_stream(
             # overwriting state_dir directly would race the lazy read
             # of the same path, and collecting state through the
             # driver would not survive scale (state holds full text)
-            new_state = state.unionByName(
-                survivors.select("doc_id", ts_col, "__orig_text")
-            )
+            survivor_rows = survivors.select("doc_id", ts_col, "__orig_text")
+            if track_dropped:
+                # near-dup drops enter the state flagged false so later
+                # chain links through them are caught; clf rejects are
+                # SURVIVORS of dedup (they stay kept anchors)
+                dropped_rows = (
+                    batch_docs.join(drop_ids, "doc_id", "left_semi")
+                    .select("doc_id", ts_col, "__orig_text")
+                )
+                new_state = state.unionByName(
+                    survivor_rows.withColumn("__kept", F.lit(True)).unionByName(
+                        dropped_rows.withColumn("__kept", F.lit(False))
+                    )
+                )
+            else:
+                new_state = state.unionByName(survivor_rows)
             pre_max_ts = state.agg(
                 F.max(F.unix_micros(F.col(ts_col)))
             ).collect()[0][0]  # ONE scalar — planner-side, not data
@@ -841,6 +890,8 @@ def corpus_prep_near_dup_stream(
         finally:
             # unpersist in ALL paths: a failing write would otherwise
             # leak two CacheManager entries (full doc text) per retry
+            if persisted_drop_ids is not None:
+                persisted_drop_ids.unpersist()
             if survivors is not None:
                 survivors.unpersist()
             if state is not None:

@@ -685,3 +685,88 @@ def test_corpus_prep_near_dup_stream_parity_with_batch(spark, tmp_path):
     # the state table is horizon-bounded and holds only survivors
     state = spark.read.parquet(str(tmp_path / "state"))
     assert {r["doc_id"] for r in state.collect()} <= expected
+
+
+def test_near_dup_stream_track_dropped_follows_chains(spark, tmp_path):
+    """A 3-link chain split across 3 micro-batches where each link is
+    a near-dup ONLY of the previous one: with the default kept-only
+    state, link 3 is re-kept (its anchor was dropped — the documented
+    trade); with track_dropped=True the dropped link stays in state
+    flagged, so the chain is followed and the stream reproduces the
+    batch kept-set exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from japanstockdatapipeline_spark.operators.dedup import (
+        dup_clusters,
+        lsh_verified_pairs,
+    )
+    from japanstockdatapipeline_spark.streaming.jobs import (
+        corpus_prep_near_dup_stream,
+    )
+
+    # sliding-window chain: J(adjacent)=14/26~0.54 >= 0.5,
+    # J(skip-one)=8/32=0.25 < 0.5 (k=3 shingles, L=22, step 6)
+    def chain_text(m):
+        return " ".join(f"t{j}" for j in range(m * 6, m * 6 + 22))
+
+    rows = {1: chain_text(0), 2: chain_text(1), 3: chain_text(2)}
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, did in enumerate(sorted(rows)):
+        pd.DataFrame(
+            {
+                "doc_id": [did],
+                "text": [rows[did]],
+                "ts": [t0 + dt.timedelta(minutes=b)],
+            }
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / f"b{b}.parquet")
+
+    # batch comparator: the chain collapses to one cluster, head kept
+    docs_df = spark.createDataFrame(
+        [(i, t) for i, t in rows.items()], "doc_id long, text string"
+    )
+    pairs = lsh_verified_pairs(docs_df, 0.5).select("id_a", "id_b")
+    dropped = {
+        r["id"] for r in dup_clusters(pairs).collect() if r["id"] != r["cluster"]
+    }
+    assert dropped == {2, 3}  # the chain really chains transitively
+
+    def read_ids(path):
+        # a sink dir that only ever saw empty batch writes holds just
+        # _SUCCESS markers (no schema) — treat it as the empty set
+        import glob as _glob
+
+        if not _glob.glob(f"{path}/**/*.parquet", recursive=True):
+            return set()
+        return {r["doc_id"] for r in spark.read.parquet(path).collect()}
+
+    def run(tag, track):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        root = tmp_path / tag
+        corpus_prep_near_dup_stream(
+            stream,
+            str(root / "gold"),
+            str(root / "cp"),
+            str(root / "state"),
+            rejects_dir=str(root / "rej"),
+            track_dropped=track,
+        )
+        kept = read_ids(str(root / "gold")) | read_ids(str(root / "rej"))
+        return kept, spark.read.parquet(str(root / "state"))
+
+    kept_plain, _ = run("plain", False)
+    # the documented trade: doc 3's only anchor (doc 2) was dropped,
+    # so kept-only state re-keeps it
+    assert kept_plain == {1, 3}
+
+    kept_tracked, state = run("tracked", True)
+    assert kept_tracked == {1}  # == batch kept-set: chain followed
+    srows = {r["doc_id"]: r["__kept"] for r in state.collect()}
+    assert srows.get(1) is True and srows.get(2) is False and srows.get(3) is False

@@ -25,9 +25,12 @@ trade and measures the kept-set divergence stream-vs-batch:
     satellite arrives, so divergence must be ZERO — the shape that
     dominates real crawl duplication (re-submissions of one origin).
 
-One JSON line per measurement; folded into STRESS_r{N}.json by
-tools/stress_report.py, and the measured bound is documented in
-SCALE.md.
+Both state modes are measured: the default kept-only state (the
+divergence BOUND above) and `track_dropped=True` (dropped docs enter
+the state flagged, so chains extend one hop per batch — divergence
+must be ZERO, asserted). One JSON line per measurement; folded into
+STRESS_r{N}.json by tools/stress_report.py, and the measured bound is
+documented in SCALE.md.
 
     python tools/stress_stream_neardup.py [n_chains] [chain_len]
 """
@@ -116,25 +119,6 @@ def main() -> int:
             {"doc_id": ids, "text": texts, "ts": [t0 + dt.timedelta(minutes=b)] * len(ids)}
         ).astype({"ts": "datetime64[us]"}).to_parquet(f"{src}/b{b}.parquet")
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    t_s = time.time()
-    stats = corpus_prep_near_dup_stream(
-        stream,
-        f"{WORK}/gold",
-        f"{WORK}/cp",
-        f"{WORK}/state",
-        rejects_dir=f"{WORK}/rej",
-        threshold=THRESHOLD,
-    )
-    stream_sec = round(time.time() - t_s, 2)
-    kept_stream = {
-        r["doc_id"] for r in spark.read.parquet(f"{WORK}/gold").collect()
-    } | {r["doc_id"] for r in spark.read.parquet(f"{WORK}/rej").collect()}
-
     # batch comparator: identical operators and dials, one pass
     docs_df = spark.createDataFrame(
         list(docs.items()), "doc_id long, text string"
@@ -147,39 +131,73 @@ def main() -> int:
     batch_sec = round(time.time() - t_b, 2)
     kept_batch = set(docs) - dropped_batch
 
-    extra = kept_stream - kept_batch
-    missing = kept_batch - kept_stream  # must be empty: stream never over-drops
-    chain_extra = {d for d in extra if d < 1_000_000}
-    star_extra = {d for d in extra if d >= 1_000_000}
-    divergence = len(extra) / max(len(dropped_batch), 1)
-    print(
-        json.dumps(
-            {
-                "op": "near_dup_stream_divergence",
-                "sec": stream_sec,
-                "batch_sec": batch_sec,
-                "n_docs": len(docs),
-                "n_batches": len(stats),
-                "n_chains": n_chains,
-                "chain_len": chain_len,
-                "kept_batch": len(kept_batch),
-                "kept_stream": len(kept_stream),
-                "stream_overdrops": len(missing),
-                "extra_kept_chain": len(chain_extra),
-                "extra_kept_star": len(star_extra),
-                "divergence_vs_should_drop": round(divergence, 4),
-                "theoretical_chain_bound": round(
-                    (n_chains * (-(-chain_len // 2)) - n_chains)
-                    / max(len(dropped_batch), 1),
-                    4,
-                ),
-            }
+    failures = 0
+    for tag, track in (("", False), ("_tracked", True)):
+        run = f"{WORK}/run{tag}"
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-    )
+        t_s = time.time()
+        stats = corpus_prep_near_dup_stream(
+            stream,
+            f"{run}/gold",
+            f"{run}/cp",
+            f"{run}/state",
+            rejects_dir=f"{run}/rej",
+            threshold=THRESHOLD,
+            track_dropped=track,
+        )
+        stream_sec = round(time.time() - t_s, 2)
+
+        def read_ids(path):
+            # a sink dir that only saw empty batch writes holds just
+            # _SUCCESS markers (no schema) — the empty set
+            import glob as _glob
+
+            if not _glob.glob(f"{path}/**/*.parquet", recursive=True):
+                return set()
+            return {r["doc_id"] for r in spark.read.parquet(path).collect()}
+
+        kept_stream = read_ids(f"{run}/gold") | read_ids(f"{run}/rej")
+
+        extra = kept_stream - kept_batch
+        missing = kept_batch - kept_stream  # must be empty: never over-drop
+        chain_extra = {d for d in extra if d < 1_000_000}
+        star_extra = {d for d in extra if d >= 1_000_000}
+        divergence = len(extra) / max(len(dropped_batch), 1)
+        print(
+            json.dumps(
+                {
+                    "op": f"near_dup_stream_divergence{tag}",
+                    "track_dropped": track,
+                    "sec": stream_sec,
+                    "batch_sec": batch_sec,
+                    "n_docs": len(docs),
+                    "n_batches": len(stats),
+                    "n_chains": n_chains,
+                    "chain_len": chain_len,
+                    "kept_batch": len(kept_batch),
+                    "kept_stream": len(kept_stream),
+                    "stream_overdrops": len(missing),
+                    "extra_kept_chain": len(chain_extra),
+                    "extra_kept_star": len(star_extra),
+                    "divergence_vs_should_drop": round(divergence, 4),
+                    "theoretical_chain_bound": round(
+                        (n_chains * (-(-chain_len // 2)) - n_chains)
+                        / max(len(dropped_batch), 1),
+                        4,
+                    ),
+                }
+            )
+        )
+        # bugs, not the documented trade: over-drops in either mode,
+        # star-control divergence, or ANY divergence when tracking
+        if missing or star_extra or (track and extra):
+            failures += 1
     shutil.rmtree(WORK, ignore_errors=True)
-    # non-zero exit if the stream over-drops or the star control
-    # diverges — those would be BUGS, not the documented trade
-    return 1 if (missing or star_extra) else 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
