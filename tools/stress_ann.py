@@ -77,13 +77,17 @@ def timed(name: str, fn, extra=None) -> object:
 
 def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
     """Residual-coded IVFADC build/probe at the focus scale (200k via
-    stress_report's K=100): one build per k_coarse (persisted index +
-    centroids), then an n_probe sweep at fixed candidates=80 so the
-    artifact documents probe-wall-vs-recall scaling beyond the 20k
-    measurements. Dials follow SCALE.md's extrapolation rule: the
-    shipped small-k point (16, p2) for continuity, and the k ~ sqrt(n)
-    production pairing with n_probe scaled as k/16 to hold the probed
-    corpus fraction roughly constant."""
+    stress_report's K=100): one build per (k_coarse, m, k_cells),
+    then (n_probe, candidates) sweeps. The grid exists to document
+    the DENSITY rule the 200k corpus exposed (each base vector has
+    100 near-replicas here vs 10 at 20k, with razor-thin cosine
+    gaps): the 20k-shipped 32-bit code (m=8 x 4-bit cells) becomes
+    shortlist-bound — recall saturates ~0.92 at c80 regardless of
+    n_probe and needs c640 to clear 0.95 — while one extra codebook
+    bit per subspace (k_cells=64, 48-bit codes) restores recall 0.99
+    at the SAME c80 shortlist. Code budget must scale with cluster
+    density (log2 of the per-cluster occupancy), not corpus size;
+    candidates is the expensive lever, k_cells the cheap one."""
     from japanstockdatapipeline_spark.operators.kmeans import (
         ivf_pq_build,
         ivf_pq_probe,
@@ -91,14 +95,18 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
 
     k_sqrt = int(math.isqrt(n))
     p_sqrt = max(2, round(k_sqrt / 16))
-    for k_coarse, probes in (
-        (16, (2,)),
-        (k_sqrt, (max(2, p_sqrt // 2), p_sqrt, p_sqrt * 2)),
+    for k_coarse, m, k_cells, sweeps in (
+        # 20k-shipped code (32-bit): the shortlist-dependence sweep
+        (16, 8, 16, ((2, 80), (2, 320), (2, 640))),
+        # density-scaled code (48-bit): same shortlist, recall back
+        (16, 8, 64, ((2, 80),)),
+        # k ~ sqrt(n) production pairing with the density-scaled code
+        (k_sqrt, 8, 64, ((p_sqrt, 80),)),
     ):
         t_b = time.time()
         handles: list = []
         index, cents = ivf_pq_build(
-            corpus, k_coarse=k_coarse, m=8, k_cells=16,
+            corpus, k_coarse=k_coarse, m=m, k_cells=k_cells,
             residual=True, persisted_out=handles,
         )
         index = index.persist()
@@ -106,21 +114,23 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
         index.count()
         cents.count()
         build_sec = round(time.time() - t_b, 2)
-        for n_probe in probes:
+        for n_probe, cand in sweeps:
             t_p = time.time()
             rec = with_recall(
                 ivf_pq_probe(
                     index, cents, queries, corpus, k=K_NN,
-                    candidates=8 * K_NN, n_probe=n_probe,
+                    candidates=cand, n_probe=n_probe,
                 )
             )
             rec.update(
                 {
-                    "op": f"ivfadc_focus_k{k_coarse}_p{n_probe}_c{8 * K_NN}",
+                    "op": f"ivfadc_focus_k{k_coarse}_m{m}_kc{k_cells}_p{n_probe}_c{cand}",
                     "n_corpus": n,
                     "k_coarse": k_coarse,
+                    "m": m,
+                    "k_cells": k_cells,
                     "n_probe": n_probe,
-                    "candidates": 8 * K_NN,
+                    "candidates": cand,
                     "build_sec": build_sec,
                     "probe_sec": round(time.time() - t_p, 2),
                 }

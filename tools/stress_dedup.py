@@ -238,19 +238,30 @@ def main() -> None:
     # reaches the shuffle), while the pre-r10 row_number window makes
     # ONE reducer sort the whole 50k-row hot group — both are timed so
     # the artifact shows the skewed-key wall, not just claims it.
-    hot = build_hot_span_corpus(spark, n_docs=100_000, hot_frac=0.5)
-    timed(
-        "dup_span_removal_hotkey",
-        lambda: dup_span_removal(hot).where(F.col("span_dup_removed") > 0).count(),
-        extra={"n_docs": 100_000, "hot_frac": 0.5},
-    )
-    timed(
-        "dup_span_removal_hotkey_window_baseline",
-        lambda: _dup_span_removal_window_form(hot)
-        .where(F.col("span_dup_removed") > 0)
-        .count(),
-        extra={"n_docs": 100_000, "hot_frac": 0.5, "note": "pre-r10 row_number form"},
-    )
+    for n_hot, frac in ((100_000, 0.5), (400_000, 0.9)):
+        hot = build_hot_span_corpus(spark, n_docs=n_hot, hot_frac=frac)
+        timed(
+            f"dup_span_removal_hotkey_{n_hot // 1000}k",
+            lambda h=hot: dup_span_removal(h)
+            .where(F.col("span_dup_removed") > 0)
+            .count(),
+            extra={"n_docs": n_hot, "hot_frac": frac},
+        )
+        timed(
+            f"dup_span_removal_hotkey_{n_hot // 1000}k_window_baseline",
+            lambda h=hot: _dup_span_removal_window_form(h)
+            .where(F.col("span_dup_removed") > 0)
+            .count(),
+            extra={
+                "n_docs": n_hot,
+                "hot_frac": frac,
+                "note": "pre-r10 row_number form; locally faster (a "
+                "single-task sort of <1M rows is trivial) — the shipped "
+                "min-struct form is chosen for its BOUNDED reduce input "
+                "(one row per map partition per fingerprint), the "
+                "property that survives a billion-row hot group",
+            },
+        )
     timed(
         "minhash_lsh_pairs",
         lambda: minhash_lsh_pairs(d, n_hashes=16, bands=4).count(),
