@@ -106,10 +106,14 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, k + 1):
-            t0 = time.time() if stats_out is not None else 0.0
+            # the Heaps probe runs BEFORE the timer starts: it is an
+            # instrumentation-only extra job, and timing it would
+            # inflate exactly the per-round wall the pricing harness
+            # exists to measure (review finding r10)
             pair_vocab = None
             if vocab_every and rank % vocab_every == 1 % vocab_every:
                 pair_vocab = _pair_counts(cur).count()
+            t0 = time.time() if stats_out is not None else 0.0
             top = (
                 _pair_counts(cur)
                 .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())

@@ -40,9 +40,11 @@ from .sources import load_table
 from .streaming.incremental import (
     RunManifest,
     assert_fresh,
+    latest_version,
     merge_column_groups,
     publish_version,
     read_published,
+    rollback_to,
     write_partition_overwrite,
 )
 
@@ -67,19 +69,26 @@ def read_gold(
     version: int | None = None,
 ) -> DataFrame:
     """Serving-side read of a published gold table. Resolves the
-    `_LATEST` pointer (or pins `version` for time travel), then
-    asserts the snapshot's publication date (`as_of` column) is within
-    `max_staleness_days` of the caller's clock — raising
-    FreshnessError instead of serving stale data (the reference
-    mandate: error, don't serve stale, 00117:233-241)."""
+    `_LATEST` pointer and asserts the snapshot's publication date
+    (`as_of` column) is within `max_staleness_days` of the caller's
+    clock — raising FreshnessError instead of serving stale data (the
+    reference mandate: error, don't serve stale, 00117:233-241).
+    Pinning `version` is a time-travel/forensic read of a retained
+    snapshot and is exempt from the freshness guard (an old version
+    is old by definition; guarding it would defeat retention)."""
     if table not in GOLD_TABLES:
         raise ValueError(f"unknown gold table {table!r}; have {GOLD_TABLES}")
     df = read_published(
         spark, os.path.join(out_dir, "gold", table), version=version
     )
-    assert_fresh(
-        df, "as_of", as_of=as_of, max_staleness_days=max_staleness_days
-    )
+    # NOTE: the stale guard protects SERVING reads (the _LATEST pointer);
+    # an explicitly pinned version is a time-travel/forensic read of
+    # a retained old snapshot — guarding it would make every old
+    # version unreadable, defeating retention (review finding r10)
+    if version is None:
+        assert_fresh(
+            df, "as_of", as_of=as_of, max_staleness_days=max_staleness_days
+        )
     return df
 
 
@@ -102,11 +111,28 @@ def run_daily_pipeline(
     # as_of is a DATE (not a string): the freshness guard compares it
     # against the serving clock
     as_of_col = F.to_date(F.lit(run_date))
+    run_as_of = dt.date.fromisoformat(run_date)
 
     def publish_gold(df: DataFrame, table: str) -> int:
         root = os.path.join(out_dir, "gold", table)
-        publish_version(df.withColumn("as_of", as_of_col), root)
-        return read_published(spark, root).count()
+        # backfill guard (review finding r10): publish_version flips
+        # _LATEST unconditionally, so re-running an OLDER run_date
+        # (backfilling a failed day) would silently demote the newer
+        # serving snapshot. Probe the currently-served as_of first;
+        # if it is newer, still publish the backfill (retained for
+        # time travel) but flip the pointer back to the newer data.
+        prev_v = latest_version(spark, root)
+        prev_as_of = None
+        if prev_v is not None:
+            prev_as_of = (
+                read_published(spark, root, version=prev_v)
+                .agg(F.max("as_of"))
+                .first()[0]
+            )
+        v = publish_version(df.withColumn("as_of", as_of_col), root)
+        if prev_as_of is not None and prev_as_of > run_as_of:
+            rollback_to(spark, root, prev_v)
+        return read_published(spark, root, version=v).count()
 
     def silver():
         df = _silver_events(spark, sf_dir)

@@ -1063,8 +1063,9 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
 # transcendental ln/exp keys of the Efraimidis-Spirakis form).
 PRIORITY_SAMPLE_K = 64
 _PS_2POW52 = 4503599627370496  # u_i = (h_i + 1) / 2^52  in  (0, 1]
-# one live cached top-(K+1) plan per sf_dir (see doc_priority_sample)
-_PRIORITY_SAMPLE_SLOT: dict[str, DataFrame] = {}
+# one live cached top-(K+1) plan per (spark app, sf_dir) — see
+# doc_priority_sample
+_PRIORITY_SAMPLE_SLOT: dict[tuple[str, str], DataFrame] = {}
 
 
 @member(
@@ -1148,11 +1149,21 @@ def doc_priority_sample(
     # releasing the previous same-sf_dir handle first bounds the
     # session to ONE live cached (K+1)-row plan per corpus (a caller
     # still holding the prior DataFrame just recomputes, uncached).
-    old = _PRIORITY_SAMPLE_SLOT.pop(sf_dir, None)
+    # Keyed by (application, sf_dir) and swept across app ids so a
+    # handle from a STOPPED SparkSession is dropped, never unpersisted
+    # against a dead context (review finding r10); the unpersist is
+    # additionally best-effort for the stop-raced case.
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _PRIORITY_SAMPLE_SLOT if k[0] != app_id]:
+        _PRIORITY_SAMPLE_SLOT.pop(key, None)  # dead session: just drop
+    old = _PRIORITY_SAMPLE_SLOT.pop((app_id, sf_dir), None)
     if old is not None:
-        old.unpersist()
+        try:
+            old.unpersist()
+        except Exception:  # session stopped between calls — harmless
+            pass
     top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1).persist()
-    _PRIORITY_SAMPLE_SLOT[sf_dir] = top
+    _PRIORITY_SAMPLE_SLOT[(app_id, sf_dir)] = top
     if persisted_out is not None:
         persisted_out.append(top)
     # the (K+1)-th smallest (key, doc_id) + the eligible-row count,

@@ -393,6 +393,18 @@ def published_versions(spark: SparkSession, root: str) -> list[int]:
     return sorted(int(v) for v in list_partitions(spark, root, "v"))
 
 
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """The version the `_LATEST` pointer currently serves (falling
+    back to the highest complete version mid-flip), or None when
+    nothing is published yet — the pre-publish probe the backfill
+    guard in pipeline.publish_gold needs."""
+    raw = _read_small_file(spark, f"{root}/_LATEST")
+    if raw is not None:
+        return int(raw.strip())
+    versions = published_versions(spark, root)
+    return versions[-1] if versions else None
+
+
 def read_published(
     spark: SparkSession, root: str, *, version: int | None = None
 ) -> DataFrame:

@@ -50,8 +50,32 @@ def test_daily_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # a reader 30 days later must refuse the 2026-08-13 snapshot
     with pytest.raises(FreshnessError):
         read_gold(spark, out_dir, "snapshot", as_of=dt.date(2026, 9, 13))
+    # ...but an explicitly PINNED version is a time-travel read of a
+    # retained old snapshot — exempt from the guard (review finding)
+    assert (
+        read_gold(
+            spark, out_dir, "snapshot", as_of=dt.date(2026, 9, 13), version=1
+        ).count()
+        == counts["gold_snapshot"]
+    )
     with pytest.raises(ValueError):
         read_gold(spark, out_dir, "not_a_table", as_of=dt.date(2026, 8, 14))
+
+    # BACKFILL guard: re-running an OLDER run_date publishes a new
+    # retained version but must NOT demote the newer serving snapshot
+    run_daily_pipeline(spark, sf_dir, out_dir, "2026-08-12")
+    served = read_gold(spark, out_dir, "snapshot", as_of=dt.date(2026, 8, 14))
+    assert {r["as_of"] for r in served.select("as_of").distinct().collect()} == {
+        dt.date(2026, 8, 13)
+    }
+    # the backfilled snapshot is still there, pinned by version
+    assert published_versions(spark, f"{out_dir}/gold/snapshot") == [1, 2, 3]
+    backfill = read_gold(
+        spark, out_dir, "snapshot", as_of=dt.date(2026, 8, 14), version=3
+    )
+    assert {r["as_of"] for r in backfill.select("as_of").distinct().collect()} == {
+        dt.date(2026, 8, 12)
+    }
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):

@@ -48,6 +48,24 @@ def test_stress_dedup_build_and_ops(spark, sf_dir, tmp_path, monkeypatch):
     assert fp.count() == n_orig * 2 - fp.where(F.col("n_docs") > 1).count()
 
 
+def test_hot_span_corpus_holds_requested_fraction(spark):
+    """The hot-chunk selector must honor hot_frac across the dial —
+    `id % round(1/frac)` (the r10 review finding) silently degenerated
+    to 100% hot for any frac > 2/3."""
+    sd = _load("tools/stress_dedup.py", "stress_dedup_frac")
+    from japanstockdatapipeline_spark.plans.llm import DUP_SPAN_CHUNK
+
+    hot_tok = "boiler0"
+    for frac in (0.5, 0.9):
+        d = sd.build_hot_span_corpus(spark, n_docs=1000, hot_frac=frac)
+        n_hot = d.where(F.col("text").startswith(hot_tok)).count()
+        assert n_hot == int(1000 * frac), (frac, n_hot)
+        # hot docs carry the chunk chunk-ALIGNED (first DUP_SPAN_CHUNK
+        # tokens), so every occurrence fingerprints identically
+        one = d.where(F.col("text").startswith(hot_tok)).first()["text"].split()
+        assert one[:DUP_SPAN_CHUNK] == [f"boiler{j}" for j in range(DUP_SPAN_CHUNK)]
+
+
 def test_stress_ann_build_and_recall_helpers(spark, sf_dir, tmp_path, monkeypatch):
     sa = _load("tools/stress_ann.py", "stress_ann_smoke")
     monkeypatch.setattr(sa, "OUT", str(tmp_path / "emb.parquet"))

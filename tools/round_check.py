@@ -124,9 +124,16 @@ def gate_docs() -> dict:
     mm = re.search(r"(\d+) member queries", readme)
     if re.search(r"\d+\s*\npytest tests|\d+ pytest tests", readme):
         stale.append("hand-maintained pytest count present")
-    if mq and int(mq.group(1)) != n_q:
+    # a MISSING phrase is a failure too: rewording the README would
+    # otherwise skip the count check silently — the drift class this
+    # gate exists to catch (review finding r10)
+    if mq is None:
+        stale.append("README lost the 'N registered queries' phrase")
+    elif int(mq.group(1)) != n_q:
         stale.append(f"README says {mq.group(1)} queries, registry has {n_q}")
-    if mm and int(mm.group(1)) != n_m:
+    if mm is None:
+        stale.append("README lost the 'N member queries' phrase")
+    elif int(mm.group(1)) != n_m:
         stale.append(f"README says {mm.group(1)} members, registry has {n_m}")
     return {
         "ok": not stale,

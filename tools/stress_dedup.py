@@ -79,11 +79,15 @@ def build_hot_span_corpus(spark, *, n_docs: int, hot_frac: float):
     from japanstockdatapipeline_spark.plans.llm import DUP_SPAN_CHUNK
 
     hot_chunk = " ".join(f"boiler{j}" for j in range(DUP_SPAN_CHUNK))
+    # percent-bucket selection: `id % round(1/frac) == 0` (the r10
+    # review finding) degenerates to 100% for any frac > 2/3 —
+    # `id % 100 < frac*100` holds the requested fraction across the
+    # whole dial (2-decimal granularity)
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.when(
-                (F.col("id") % F.lit(round(1 / hot_frac))) == 0,
+                (F.col("id") % 100) < F.lit(int(round(hot_frac * 100))),
                 F.lit(hot_chunk + " "),
             ).otherwise(F.lit("")),
             # 16 unique filler tokens per doc
