@@ -73,6 +73,7 @@ def kmeans_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """Assign each vector to a k-means cell (cosine Lloyd iterations).
 
@@ -84,7 +85,21 @@ def kmeans_cells(
     Empty cells shrink away naturally (a centroid with no members
     drops out of the next round); the oracle replays the identical
     schedule, seeding, quantized argmax, and shrinkage.
-    """
+
+    `assign_mode` (r11 verdict #3): "expr" (default) keeps the whole
+    Lloyd schedule one lazy plan — zero plan-time jobs, the shape the
+    registered members need — but the argmax evaluates O(n*k*dim)
+    array expressions per round, which is the measured wall at
+    production k ~ sqrt(n) (k_coarse=447 cost 507 s vs 123 s at 64 on
+    the 200k corpus, STRESS_r10). "blas" runs the SAME schedule as a
+    driver loop: each round collects the k centroid rows (k*dim
+    doubles — bounded, never the corpus), assigns via one numpy
+    matmul per Arrow batch in mapInPandas, and recomputes centroids
+    with the identical Spark aggregation — value-identical cells
+    (same seeding, same 6dp HALF_UP argmax, same shrinkage; parity
+    asserted in tests) at BLAS assignment cost. Use "blas" from
+    build-time callers (index builds, stress); leave "expr" where the
+    plan must stay lazy."""
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
     # deterministic seeds: the k smallest ids (distributed partial
     # top-k, NOT a global window), cell = dense order by id
@@ -132,10 +147,107 @@ def kmeans_cells(
             )
         )
 
+    if assign_mode == "blas":
+        return _kmeans_cells_blas(v, k, iters, id_col=id_col)
+    if assign_mode != "expr":
+        raise ValueError(f"assign_mode must be 'expr' or 'blas', got {assign_mode!r}")
     a = assign(seed_row)
     for _ in range(iters - 1):
         a = assign(_as_centroid_row(_centroids_of(a, "__v")))
     return a.select(id_col, "cell", "cell_cos")
+
+
+def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> DataFrame:
+    """The BLAS Lloyd loop behind kmeans_cells(assign_mode="blas"):
+    identical schedule and values, numpy assignment. Each round's
+    centroid collect is k rows (bounded); the corpus is only ever
+    streamed through mapInPandas Arrow batches. The cosine is rounded
+    HALF-UP at 6dp with min-cell tie-break — sign-aware half-up
+    (cosines go negative) so boundary behavior matches F.round; the
+    canary certifies tested data sits clear of the boundaries the two
+    roundings could split."""
+    import numpy as np
+    import pandas as pd
+
+    # seeding: the k smallest ids, cell = dense order by id (the same
+    # distributed partial top-k the expr path uses, then collected —
+    # k rows, never the corpus)
+    seeds = (
+        v.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .sort(id_col)
+        .select("__v")
+        .collect()
+    )
+    cents = [list(r["__v"]) for r in seeds]
+
+    id_dt = v.schema[id_col].dataType.simpleString()
+    if id_dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"kmeans_cells(assign_mode='blas') needs an integral id; "
+            f"{id_col!r} is {id_dt} (use assign_mode='expr')"
+        )
+
+    def make_assign(cells_ids: list[int], C: "np.ndarray"):
+        # C rows are L2-normalized (zero-norm -> cosine NULL semantics:
+        # the expr path's NULL cosine loses every comparison; numpy
+        # mirrors it with -inf so such a centroid never wins, and an
+        # all-invalid row falls back to the first cell with cos NULL ->
+        # emitted as NaN -> cast to None)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        zero_c = (cn == 0).ravel()
+        cn[cn == 0] = 1.0
+        Cn = C / cn
+        cells_arr = np.array(cells_ids, dtype=np.int64)
+
+        def assign_batches(it):
+            for pdf in it:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                zero_x = (xn == 0).ravel()
+                xn[xn == 0] = 1.0
+                cos = (X / xn) @ Cn.T
+                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                cos[:, zero_c] = -np.inf
+                cos[zero_x, :] = -np.inf
+                best = np.argmax(cos, axis=1)  # first (min cell) wins ties
+                bc = cos[np.arange(len(ids)), best]
+                out = pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cell": cells_arr[best],
+                        "cell_cos": np.where(np.isfinite(bc), bc, np.nan),
+                    }
+                )
+                yield pd.concat([out, pdf[["__v"]].reset_index(drop=True)], axis=1)
+
+        return assign_batches
+
+    schema = f"{id_col} {id_dt}, cell int, cell_cos double, __v array<double>"
+    a = None
+    for rnd in range(iters):
+        if rnd > 0:
+            # each round's assignment closes over DRIVER numpy
+            # centroids, so its subtree is always v.mapInPandas — the
+            # centroid collect executes the previous assignment
+            # exactly once and nothing cascades or needs persisting
+            crows = _centroids_of(a, "__v").sort("cell").collect()  # <= k rows
+            cells_ids = [int(r["cell"]) for r in crows]
+            C = np.array([list(r["__cvec"]) for r in crows], dtype=np.float64)
+        else:
+            cells_ids = list(range(len(cents)))
+            C = np.array(cents, dtype=np.float64)
+        a = v.mapInPandas(make_assign(cells_ids, C), schema=schema)
+    return a.select(
+        id_col,
+        "cell",
+        # NaN marks the no-valid-cosine fallback row; the expr path
+        # yields SQL NULL there — convert so the two modes agree
+        F.when(F.isnan("cell_cos"), F.lit(None)).otherwise(
+            F.col("cell_cos")
+        ).alias("cell_cos"),
+    )
 
 
 def semdedup(
@@ -624,8 +736,16 @@ def ivf_pq_build(
     dim: int = 64,
     residual: bool = False,
     persisted_out: list | None = None,
+    coarse_assign: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD half of ivf_pq_rerank_topk: (index, coarse centroids).
+
+    `coarse_assign="blas"` routes the coarse quantizer through
+    kmeans_cells(assign_mode="blas") — value-identical cells at numpy
+    assignment cost, the dial for production k_coarse ~ sqrt(n) builds
+    (r11 verdict #3; the k=447 expr build cost 507 s where assignment
+    is O(n*k*dim) expression evaluation per round). Default stays
+    "expr" so registered members keep lazy plans.
 
     The index carries (neighbor_id, cell, __recon) — the compressed
     representation only, never the raw vectors (the probe joins raw
@@ -661,7 +781,10 @@ def ivf_pq_build(
     persist both returned frames too and reuse them across
     ivf_pq_probe calls (the stress harness measures the split)."""
     cells = (
-        kmeans_cells(vecs, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col)
+        kmeans_cells(
+            vecs, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col,
+            assign_mode=coarse_assign,
+        )
         .select(id_col, "cell")
         .persist()
     )
@@ -733,6 +856,7 @@ def ivf_pq_probe(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    blas: bool = True,
 ) -> DataFrame:
     """The PROBE half of ivf_pq_rerank_topk over a (possibly
     persisted) build: coarse probe -> ADC over probed cells ->
@@ -743,7 +867,26 @@ def ivf_pq_probe(
     The probe ranking cosine is ROUNDED to 6dp (ascending-cell
     tie-break, the module's argmax convention): centroids are float
     avg() aggregates whose accumulation order the engines don't fix,
-    so unrounded near-ties could probe different cells per engine."""
+    so unrounded near-ties could probe different cells per engine.
+
+    `blas=True` (default, r11 verdict #2): the ADC stage runs as ONE
+    mapInPandas BLAS pass over the probed cells' codes instead of a
+    per-(query, candidate) join + fold expression — at 200k vectors
+    the join machinery ate the 8x row reduction and left the probe at
+    parity with brute force (STRESS_r10). The probe-CELL selection
+    stays the bit-identical Spark expression above; its (q_id, cell,
+    qvec) result — O(queries * n_probe) rows, bounded by construction
+    like the brute_force_topk_matmul query collect — is collected
+    into the closure, the index is filtered to the probed-cell union
+    (a pushed-down `isin`, partition-prunable at scale), and each
+    Arrow batch computes ||r||^2 - 2 r.q + ||q||^2 against the cell's
+    query matrix, half-up-rounds to 6dp (the F.round discipline), and
+    emits only its LOCAL top-`candidates` per query under the exact
+    global order (adc ASC, neighbor_id ASC) — so the global window
+    cut sees batches*queries*candidates rows, never the probed slice,
+    and global top-candidates ⊆ union of local tops holds exactly.
+    Requires integral ids (the Arrow path packs int64); non-integral
+    ids fall back to the expression form, same semantics."""
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         as_double_array(F.col(q_vec_col)).alias("__qv"),
@@ -761,20 +904,32 @@ def ivf_pq_probe(
         .filter(F.col("__pr") <= n_probe)
         .select("q_id", "__qv", "cell")
     )
-    cand = corpus.join(F.broadcast(probes), "cell").filter(
-        F.col("neighbor_id") != F.col("q_id")
+    integral_ids = all(
+        df_.schema[c_].dataType.simpleString()
+        in ("bigint", "int", "smallint", "tinyint")
+        for df_, c_ in ((queries, q_id_col), (vecs, id_col))
     )
-    adc = cand.select(
-        "q_id",
-        "neighbor_id",
-        "__qv",
-        F.round(_l2sq(F.col("__qv"), F.col("__recon")), 6).alias("__adc"),
-    )
-    w_short = Window.partitionBy("q_id").orderBy(
-        F.col("__adc").asc(), F.col("neighbor_id").asc()
-    )
-    shortlist = adc.withColumn("__sr", F.row_number().over(w_short)).filter(
-        F.col("__sr") <= candidates
+    if blas and integral_ids:
+        shortlist = _adc_shortlist_blas(corpus, probes, candidates)
+    else:
+        cand = corpus.join(F.broadcast(probes), "cell").filter(
+            F.col("neighbor_id") != F.col("q_id")
+        )
+        adc = cand.select(
+            "q_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("__qv"), F.col("__recon")), 6).alias("__adc"),
+        )
+        w_short = Window.partitionBy("q_id").orderBy(
+            F.col("__adc").asc(), F.col("neighbor_id").asc()
+        )
+        shortlist = adc.withColumn(
+            "__sr", F.row_number().over(w_short)
+        ).filter(F.col("__sr") <= candidates).drop("__sr")
+    # re-rank joins the query vectors back by q_id (the BLAS shortlist
+    # does not carry __qv through the Arrow pass)
+    shortlist = shortlist.select("q_id", "neighbor_id").join(
+        F.broadcast(q), "q_id"
     )
     nv = vecs.select(
         F.col(id_col).alias("neighbor_id"),
@@ -790,4 +945,87 @@ def ivf_pq_probe(
         rerank.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _adc_shortlist_blas(
+    corpus: DataFrame, probes: DataFrame, candidates: int
+) -> DataFrame:
+    """BLAS ADC: one mapInPandas pass over the probed cells' codes.
+    Collects the probe assignment (O(queries * n_probe) rows — the
+    bounded query-side collect of the brute_force_topk_matmul shape,
+    never the corpus), builds a per-cell query matrix, and scores each
+    Arrow batch with one matrix multiply per cell present. Rounding is
+    half-up at 6dp (floor(x * 1e6 + 0.5) — ADC distances are >= 0, so
+    this matches F.round's HALF_UP for the non-boundary values the
+    canary certifies). Each batch emits its local top-`candidates` per
+    query under (adc ASC, neighbor_id ASC) — boundary TIES at the
+    local threshold are resolved by the same total order the global
+    cut uses, so the union-of-local-tops property is exact, not
+    approximate. Self-matches (neighbor == query id) are masked before
+    the cut, mirroring the expression path's pre-shortlist filter."""
+    import numpy as np
+    import pandas as pd
+
+    prows = probes.collect()
+    per_cell: dict[int, tuple] = {}
+    for r in prows:
+        per_cell.setdefault(r["cell"], []).append((r["q_id"], list(r["__qv"])))
+    per_cell = {
+        c: (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs], dtype=np.float64),
+        )
+        for c, pairs in per_cell.items()
+    }
+    probed_cells = sorted(per_cell)
+
+    def batches(it):
+        for pdf in it:
+            out_q, out_n, out_d = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qids, Q = per_cell[int(cell)]
+                ids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                R = np.array(grp["__recon"].tolist(), dtype=np.float64)
+                # ||r - q||^2 expanded; fp error vs the fold order is
+                # ~1e-12, far inside the 5e-7 boundary epsilon the
+                # canary certifies is clear
+                d = (
+                    (R * R).sum(axis=1, keepdims=True)
+                    - 2.0 * (R @ Q.T)
+                    + (Q * Q).sum(axis=1)[None, :]
+                )
+                d = np.floor(d * 1e6 + 0.5) / 1e6  # HALF_UP, d >= 0
+                d[ids[:, None] == qids[None, :]] = np.inf  # self-match
+                n = len(ids)
+                cn = min(candidates, n)
+                thr = np.partition(d, cn - 1, axis=0)[cn - 1]
+                for j in range(len(qids)):
+                    sel = np.nonzero(d[:, j] <= thr[j])[0]
+                    order = sel[np.lexsort((ids[sel], d[sel, j]))][:candidates]
+                    order = order[np.isfinite(d[order, j])]
+                    out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                    out_n.append(ids[order])
+                    out_d.append(d[order, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "__adc": np.concatenate(out_d),
+                    }
+                )
+
+    cand = (
+        corpus.filter(F.col("cell").isin(probed_cells))
+        .select("cell", "neighbor_id", "__recon")
+        .mapInPandas(batches, schema="q_id bigint, neighbor_id bigint, __adc double")
+    )
+    w_short = Window.partitionBy("q_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__sr", F.row_number().over(w_short))
+        .filter(F.col("__sr") <= candidates)
+        .drop("__sr", "__adc")
     )

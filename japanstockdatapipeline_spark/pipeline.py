@@ -44,7 +44,6 @@ from .streaming.incremental import (
     merge_column_groups,
     publish_version,
     read_published,
-    rollback_to,
     write_partition_overwrite,
 )
 
@@ -115,12 +114,18 @@ def run_daily_pipeline(
 
     def publish_gold(df: DataFrame, table: str) -> int:
         root = os.path.join(out_dir, "gold", table)
-        # backfill guard (review finding r10): publish_version flips
-        # _LATEST unconditionally, so re-running an OLDER run_date
-        # (backfilling a failed day) would silently demote the newer
-        # serving snapshot. Probe the currently-served as_of first;
-        # if it is newer, still publish the backfill (retained for
-        # time travel) but flip the pointer back to the newer data.
+        # backfill guard (review findings r10+r11): re-running an
+        # OLDER run_date (backfilling a failed day, the oldest-first
+        # catch_up_plan flow) must never demote the newer serving
+        # snapshot. Decide BEFORE publishing: probe the currently-
+        # served as_of; if it is newer than this run, publish the
+        # backfill WITHOUT flipping _LATEST (flip=False — retained for
+        # time travel, pointer untouched). The previous flip-then-
+        # rollback dance both exposed a window where concurrent
+        # readers resolved the backfill AND let version pruning delete
+        # the rollback target after keep_versions consecutive
+        # backfills (the r11 ADVICE bug; prune_versions now also
+        # protects the _LATEST target as defense in depth).
         prev_v = latest_version(spark, root)
         prev_as_of = None
         if prev_v is not None:
@@ -129,9 +134,8 @@ def run_daily_pipeline(
                 .agg(F.max("as_of"))
                 .first()[0]
             )
-        v = publish_version(df.withColumn("as_of", as_of_col), root)
-        if prev_as_of is not None and prev_as_of > run_as_of:
-            rollback_to(spark, root, prev_v)
+        flip = not (prev_as_of is not None and prev_as_of > run_as_of)
+        v = publish_version(df.withColumn("as_of", as_of_col), root, flip=flip)
         return read_published(spark, root, version=v).count()
 
     def silver():

@@ -8,6 +8,8 @@ scan speed and the dedup joins shuffle only on fingerprints/shingles.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1064,8 +1066,12 @@ def dup_span_removal(d: DataFrame) -> DataFrame:
 PRIORITY_SAMPLE_K = 64
 _PS_2POW52 = 4503599627370496  # u_i = (h_i + 1) / 2^52  in  (0, 1]
 # one live cached top-(K+1) plan per (spark app, sf_dir) — see
-# doc_priority_sample
+# doc_priority_sample. Lock: threaded panel builds call the member
+# concurrently; unsynchronized pop/unpersist races (review finding
+# r11 — results stayed correct, but a still-live prior handle could
+# silently lose its cache and recompute the corpus scan).
 _PRIORITY_SAMPLE_SLOT: dict[tuple[str, str], DataFrame] = {}
+_PRIORITY_SAMPLE_LOCK = threading.Lock()
 
 
 @member(
@@ -1154,16 +1160,17 @@ def doc_priority_sample(
     # against a dead context (review finding r10); the unpersist is
     # additionally best-effort for the stop-raced case.
     app_id = spark.sparkContext.applicationId
-    for key in [k for k in _PRIORITY_SAMPLE_SLOT if k[0] != app_id]:
-        _PRIORITY_SAMPLE_SLOT.pop(key, None)  # dead session: just drop
-    old = _PRIORITY_SAMPLE_SLOT.pop((app_id, sf_dir), None)
+    top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1).persist()
+    with _PRIORITY_SAMPLE_LOCK:
+        for key in [k for k in _PRIORITY_SAMPLE_SLOT if k[0] != app_id]:
+            _PRIORITY_SAMPLE_SLOT.pop(key, None)  # dead session: just drop
+        old = _PRIORITY_SAMPLE_SLOT.pop((app_id, sf_dir), None)
+        _PRIORITY_SAMPLE_SLOT[(app_id, sf_dir)] = top
     if old is not None:
         try:
             old.unpersist()
         except Exception:  # session stopped between calls — harmless
             pass
-    top = e.orderBy(F.col("__key").asc(), F.col("doc_id").asc()).limit(K + 1).persist()
-    _PRIORITY_SAMPLE_SLOT[(app_id, sf_dir)] = top
     if persisted_out is not None:
         persisted_out.append(top)
     # the (K+1)-th smallest (key, doc_id) + the eligible-row count,

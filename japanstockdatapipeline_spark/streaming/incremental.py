@@ -35,6 +35,7 @@ __all__ = [
     "compact_partitions",
     "write_clustered_overwrite",
     "publish_version",
+    "prune_versions",
     "published_versions",
     "read_published",
     "rollback_to",
@@ -211,7 +212,10 @@ def write_with_audit(
     ]
     observed = df.observe(obs, *metrics)
     write_partition_overwrite(observed, path, partition_col)
-    return {k: int(v) for k, v in obs.get.items()}
+    # an EMPTY frame (always-write streaming sinks replay empty
+    # micro-batches) observes F.sum as NULL — coalesce to 0 instead of
+    # failing the batch on int(None) (review finding r11)
+    return {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
 
 
 def prune_retention(
@@ -357,7 +361,7 @@ def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
 
 
 def publish_version(
-    df: DataFrame, root: str, *, keep_versions: int = 3
+    df: DataFrame, root: str, *, keep_versions: int = 3, flip: bool = True
 ) -> int:
     """ST5 generalized to WHOLE-SNAPSHOT atomicity with time travel
     (the reference writes chunks then flips a publication marker —
@@ -367,24 +371,62 @@ def publish_version(
     non-atomic instant is a missing-marker window readers handle by
     falling back to the highest complete version). Readers pinned to
     an old version keep working until it is pruned; `keep_versions`
-    old snapshots are retained for time travel / rollback. Returns
-    the published version number."""
+    old snapshots besides the newest are retained for time travel /
+    rollback (delegated to `prune_versions`, which never deletes the
+    snapshot `_LATEST` serves). `flip=False` is publish-WITHOUT-
+    serving: write + retain the snapshot (pinned/time-travel readable)
+    but leave the pointer on the current serving version — the
+    backfill path (an older run_date must never demote newer serving
+    data, and the previous flip-then-rollback dance left a window
+    where a concurrent reader resolved the backfill; review finding
+    r11). Returns the published version number."""
     spark = df.sparkSession
     versions = published_versions(spark, root)
     nxt = (versions[-1] + 1) if versions else 1
     df.write.mode("overwrite").parquet(f"{root}/v={nxt}")
-    marker, tmp = f"{root}/_LATEST", f"{root}/._LATEST.tmp"
-    _write_small_file(spark, tmp, str(nxt))
-    fs, mp = _hadoop_fs(spark, marker)
-    _, tp = _hadoop_fs(spark, tmp)
-    fs.delete(mp, False)
-    if not fs.rename(tp, mp):
-        raise IOError(f"publication flip failed for {root}")
-    # prune: never the current, keep the newest keep_versions others
-    for v in published_versions(spark, root)[:-1][: -keep_versions or None]:
-        fs_v, vp = _hadoop_fs(spark, f"{root}/v={v}")
-        fs_v.delete(vp, True)
+    if flip:
+        marker, tmp = f"{root}/_LATEST", f"{root}/._LATEST.tmp"
+        _write_small_file(spark, tmp, str(nxt))
+        fs, mp = _hadoop_fs(spark, marker)
+        _, tp = _hadoop_fs(spark, tmp)
+        fs.delete(mp, False)
+        if not fs.rename(tp, mp):
+            raise IOError(f"publication flip failed for {root}")
+    prune_versions(spark, root, keep_last=keep_versions + 1)
     return nxt
+
+
+def prune_versions(
+    spark: SparkSession,
+    root: str,
+    *,
+    keep_last: int = 4,
+    protect: tuple[int, ...] = (),
+) -> list[int]:
+    """Version-retention pruning for the publication layer (the
+    reference prunes its published snapshots aggressively —
+    00120:18-25, 00102:9-11, archive-equity-bars.ts:26-34; without
+    this a daily cadence leaks ~1,095 full gold snapshots a year).
+    Keeps the newest `keep_last` versions and deletes the rest —
+    EXCEPT it never deletes (a) the version the `_LATEST` pointer
+    currently serves (after a backfill/rollback the serving version
+    is NOT the newest number, and deleting it would destroy the data
+    readers resolve — the r11 ADVICE bug) or (b) any `protect`-listed
+    version. Returns the pruned version numbers."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = published_versions(spark, root)
+    keep = set(versions[-keep_last:]) | set(protect)
+    served = latest_version(spark, root)
+    if served is not None:
+        keep.add(served)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            fs_v, vp = _hadoop_fs(spark, f"{root}/v={v}")
+            fs_v.delete(vp, True)
+            removed.append(v)
+    return removed
 
 
 def published_versions(spark: SparkSession, root: str) -> list[int]:
@@ -420,6 +462,15 @@ def read_published(
             if not versions:
                 raise FileNotFoundError(f"no published versions under {root}")
             version = versions[-1]
+    elif version not in published_versions(spark, root):
+        # a pinned read of a PRUNED (or never-published) version must
+        # fail loudly and deterministically, not with a generic
+        # path-not-found deep in a query plan (r11: retention pruning
+        # makes this path reachable in normal operation)
+        raise FileNotFoundError(
+            f"version {version} not present under {root} (pruned or never"
+            f" published); retained: {published_versions(spark, root)}"
+        )
     return spark.read.parquet(f"{root}/v={version}")
 
 

@@ -309,6 +309,73 @@ def test_versioned_publication_time_travel_and_rollback(spark, tmp_path):
     assert read_published(spark, root).count() == 5
 
 
+def test_prune_versions_never_deletes_serving_or_protected(spark, tmp_path):
+    """r11 ADVICE (high): after a backfill/rollback the serving version
+    is NOT the newest number; pruning by version number alone deletes
+    the serving snapshot's data. prune_versions must protect the
+    `_LATEST` target and any protect-listed version."""
+    import pytest
+
+    from japanstockdatapipeline_spark.streaming.incremental import (
+        latest_version,
+        prune_versions,
+        publish_version,
+        published_versions,
+        read_published,
+        rollback_to,
+    )
+
+    root = str(tmp_path / "gold")
+    publish_version(spark.range(11).selectExpr("id AS v"), root)  # v1: serving
+    # the ADVICE scenario: keep_versions+1 consecutive BACKFILLS of
+    # older run_dates (max_catch_up=5, oldest first) — publish-only,
+    # pointer stays on v1
+    for n in range(4):
+        publish_version(
+            spark.range(n + 1).selectExpr("id AS v"),
+            root,
+            keep_versions=2,
+            flip=False,
+        )
+    # serving snapshot SURVIVED the prunes and still reads 11 rows
+    assert latest_version(spark, root) == 1
+    assert read_published(spark, root).count() == 11
+    # newest keep_versions+1 = 3 backfills retained, plus protected v1
+    assert published_versions(spark, root) == [1, 3, 4, 5]
+
+    # explicit protect list: prune everything except serving + v3
+    removed = prune_versions(spark, root, keep_last=1, protect=(3,))
+    assert removed == [4]
+    assert published_versions(spark, root) == [1, 3, 5]
+
+    # rollback to a PROTECTED retained version still works
+    # (v3 was the n=1 backfill: 2 rows)
+    rollback_to(spark, root, 3)
+    assert read_published(spark, root).count() == 2
+
+    # a pinned time-travel read of a PRUNED version fails loudly
+    with pytest.raises(FileNotFoundError, match="pruned or never"):
+        read_published(spark, root, version=4)
+    # ...and rollback to it refuses
+    with pytest.raises(ValueError):
+        rollback_to(spark, root, 4)
+    with pytest.raises(ValueError):
+        prune_versions(spark, root, keep_last=0)
+
+
+def test_write_with_audit_empty_frame_observes_zero(spark, tmp_path):
+    """r11 ADVICE (low): F.sum over an empty frame observes NULL; the
+    audit must coalesce to 0 instead of failing the (empty-replay)
+    batch with int(None)."""
+    from japanstockdatapipeline_spark.streaming.incremental import write_with_audit
+
+    df = spark.createDataFrame([], "k long, day string, v double")
+    metrics = write_with_audit(
+        df, str(tmp_path / "audit"), "day", count_nulls=("v",)
+    )
+    assert metrics == {"rows": 0, "nulls_v": 0}
+
+
 def test_snapshot_diff_between_published_versions(spark, tmp_path):
     from japanstockdatapipeline_spark.streaming.incremental import (
         diff_versions,

@@ -342,3 +342,57 @@ def test_ivfadc_rerank_matches_brute_on_probed_cells(spark, clustered):
         ).collect()
     }
     assert got == exact
+
+
+def test_kmeans_cells_blas_matches_expression(spark, clustered):
+    """r11 verdict #3: the BLAS Lloyd loop (driver-looped numpy
+    assignment) must produce value-IDENTICAL (vec_id, cell, cell_cos)
+    to the lazy expression form — same seeding, same 6dp HALF_UP
+    argmax with min-cell ties, same empty-cell shrinkage."""
+    from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+    for k, iters in ((3, 2), (5, 3)):
+        expr = {
+            tuple(r) for r in kmeans_cells(clustered, k=k, iters=iters).collect()
+        }
+        fast = {
+            tuple(r)
+            for r in kmeans_cells(
+                clustered, k=k, iters=iters, assign_mode="blas"
+            ).collect()
+        }
+        assert expr == fast, f"k={k} iters={iters}"
+
+
+def test_ivf_pq_probe_blas_matches_expression(spark, clustered):
+    """r11 verdict #2: the BLAS ADC probe (one mapInPandas matmul over
+    the probed cells) must be value-IDENTICAL to the join+fold
+    expression form — same probe cells, same 6dp-rounded shortlist
+    order and boundary ties, same re-rank — in both coding modes."""
+    from japanstockdatapipeline_spark.operators.kmeans import (
+        ivf_pq_build,
+        ivf_pq_probe,
+    )
+
+    queries = clustered.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    for residual in (False, True):
+        handles = []
+        index, cents = ivf_pq_build(
+            clustered, k_coarse=3, m=8, k_cells=16, dim=8,
+            residual=residual, persisted_out=handles,
+        )
+        expr = ivf_pq_probe(
+            index, cents, queries, clustered, k=5, candidates=7, n_probe=2,
+            blas=False,
+        )
+        fast = ivf_pq_probe(
+            index, cents, queries, clustered, k=5, candidates=7, n_probe=2,
+            blas=True,
+        )
+        assert sorted(map(tuple, expr.collect())) == sorted(
+            map(tuple, fast.collect())
+        ), f"residual={residual}"
+        for h in handles:
+            h.unpersist()

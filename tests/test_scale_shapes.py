@@ -131,6 +131,12 @@ PLAN_TIME_JOB_ALLOWLIST = {
     # round 9: the truncated-dim audit is the SAME knn BLAS shape over
     # sliced vectors — the bounded query matrix collect at build
     "embedding_matryoshka_topk",
+    # round 11: the BLAS ADC probe collects the PROBE ASSIGNMENT
+    # (O(queries * n_probe) rows — query-side bounded, never the
+    # corpus) into the mapInPandas closure, same shape as the knn
+    # query-matrix collect above
+    "embedding_ivfpq_topk",
+    "embedding_ivfadc_topk",
     "ann_topk_panel",
     "doc_dup_clusters",
     "corpus_prep_pipeline",
