@@ -33,9 +33,38 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .ingest import TokenBucket, classify_status, paginate, with_retry
+from .ingest import RetryableError, TokenBucket, classify_status, paginate, with_retry
 
 SCHEMA = "shard INT, offset BIGINT, code STRING, value DOUBLE"
+
+
+def _http_fetcher(endpoint: str, shard: int):
+    """The REAL-socket fetch half (r11 verdict #8): GET
+    `{endpoint}?shard=S&offset=O&limit=L`, expecting a JSON array of
+    row arrays. HTTP status classification rides the same
+    classify_status table the fake uses (429/5xx retryable, 4xx
+    fatal — reference nikkei225jp-client.ts:244-250); connection
+    failures are retryable (a provider restart mid-scan). Tests spin
+    a stdlib http.server on localhost so the executor-side
+    token-bucket/retry/pagination loop runs over actual I/O."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def fetch(offset: int, limit: int) -> list[tuple]:
+        url = f"{endpoint}?shard={shard}&offset={offset}&limit={limit}"
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                body = resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:
+            raise classify_status(e.code)(
+                f"HTTP {e.code} from {url}", e.code
+            ) from e
+        except urllib.error.URLError as e:
+            raise RetryableError(f"connection error on {url}: {e.reason}") from e
+        return [tuple(r) for r in json.loads(body)]
+
+    return fetch
 
 
 def _fake_server(shard: int, total_rows: int, flaky: bool):
@@ -77,6 +106,8 @@ class PagedApiReader(DataSourceReader):
         self.rows_per_shard = int(opts.get("rowspershard", 2500))
         self.page_size = int(opts.get("pagesize", 1000))
         self.flaky = str(opts.get("flaky", "true")).lower() == "true"
+        # endpoint set -> fetch over a real socket instead of the fake
+        self.endpoint = opts.get("endpoint")
 
     def partitions(self):
         # one partition per dataset shard (symbol / date-range in the
@@ -86,7 +117,11 @@ class PagedApiReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         shard = partition.shard
-        fetch = _fake_server(shard, self.rows_per_shard, self.flaky)
+        fetch = (
+            _http_fetcher(self.endpoint, shard)
+            if self.endpoint
+            else _fake_server(shard, self.rows_per_shard, self.flaky)
+        )
         # per-TASK rate limiter (each shard is its own limit domain);
         # a fast virtual clock keeps tests instant while still
         # exercising acquire() on every page
@@ -195,7 +230,12 @@ class PagedApiWriter(DataSourceWriter):
 
     def __init__(self, options: dict):
         opts = {k.lower(): v for k, v in dict(options).items()}
-        self.endpoint_dir = opts["endpointdir"]
+        # one of: a directory the fake API appends payload files to, or
+        # a REAL HTTP endpoint to POST chunks at (r11 verdict #8)
+        self.endpoint_dir = opts.get("endpointdir")
+        self.endpoint = opts.get("endpoint")
+        if not self.endpoint_dir and not self.endpoint:
+            raise ValueError("paged_api sink needs endpointDir or endpoint")
         self.max_rows = int(opts.get("maxrowsperrequest", 2000))
         self.max_bytes = int(opts.get("maxbytesperrequest", 750 * 1024))
         self.flaky = str(opts.get("flaky", "false")).lower() == "true"
@@ -210,6 +250,28 @@ class PagedApiWriter(DataSourceWriter):
         failed_once = {"done": False}
 
         def post(payload: str) -> None:
+            if self.endpoint:
+                import urllib.error
+                import urllib.request
+
+                req = urllib.request.Request(
+                    self.endpoint,
+                    data=payload.encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30):
+                        pass
+                except urllib.error.HTTPError as e:
+                    raise classify_status(e.code)(
+                        f"HTTP {e.code} posting to {self.endpoint}", e.code
+                    ) from e
+                except urllib.error.URLError as e:
+                    raise RetryableError(
+                        f"connection error posting to {self.endpoint}: {e.reason}"
+                    ) from e
+                return
             if self.flaky and not failed_once["done"]:
                 failed_once["done"] = True
                 raise classify_status(503)("injected transient 503", 503)
@@ -219,7 +281,8 @@ class PagedApiWriter(DataSourceWriter):
                 f.write(payload)
             os.rename(tmp, os.path.join(self.endpoint_dir, name))
 
-        os.makedirs(self.endpoint_dir, exist_ok=True)
+        if self.endpoint_dir:
+            os.makedirs(self.endpoint_dir, exist_ok=True)
         requests = rows = 0
         chunk: list[dict] = []
         chunk_bytes = 2  # the enclosing "[]"

@@ -135,11 +135,30 @@ def gate_docs() -> dict:
         stale.append("README lost the 'N member queries' phrase")
     elif int(mm.group(1)) != n_m:
         stale.append(f"README says {mm.group(1)} members, registry has {n_m}")
+    # COVERAGE.md got the same treatment in r11 (verdict hygiene #9):
+    # its check-count preamble is derived-or-fail, not hand-maintained
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        coverage = f.read()
+    mc = re.search(
+        r"(\d+) checks total:\s*\n?(\d+) registered queries \+ (\d+) member queries",
+        coverage,
+    )
+    if mc is None:
+        stale.append("COVERAGE.md lost the 'N checks total' phrase")
+    elif (int(mc.group(1)), int(mc.group(2)), int(mc.group(3))) != (
+        n_q + n_m,
+        n_q,
+        n_m,
+    ):
+        stale.append(
+            f"COVERAGE.md says {mc.group(1)}={mc.group(2)}+{mc.group(3)},"
+            f" registry has {n_q + n_m}={n_q}+{n_m}"
+        )
     return {
         "ok": not stale,
         "queries": n_q,
         "members": n_m,
-        "detail": stale or f"README counts match registry ({n_q} queries, {n_m} members)",
+        "detail": stale or f"README+COVERAGE counts match registry ({n_q} queries, {n_m} members)",
     }
 
 

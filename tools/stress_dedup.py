@@ -181,10 +181,120 @@ def calibrate(spark) -> None:
     print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
 
+def build_boiler_corpus(spark, *, n_docs: int, boiler_frac: float = 0.3):
+    """r11 verdict #6: the corpus the max_df cap exists for — one
+    shared boilerplate snippet (a footer/disclaimer) in `boiler_frac`
+    of the docs, unique filler otherwise. Its k=3 shingles have
+    df = boiler_frac * n, so the UNCAPPED posting-list join emits
+    ~grams * (frac*n)^2 candidate pairs (superlinear in n), while the
+    cap drops those grams from the join keys entirely. Boiler-only
+    overlap is J ~ 0.25 < the 0.5 threshold, so BOTH forms return the
+    same (empty) verified set — identical answers, divergent cost."""
+    snippet = " ".join(f"footer{j}" for j in range(10))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                (F.col("id") % 100) < F.lit(int(round(boiler_frac * 100))),
+                F.lit(snippet + " "),
+            ).otherwise(F.lit("")),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"v{j}_"), F.col("id").cast("string"))
+                    for j in range(12)
+                ],
+            ),
+        ).alias("text"),
+    )
+
+
+def _focus_maxdf(spark) -> None:
+    """Capped-vs-uncapped crossover sweep on the boilerplate corpus.
+    The artifact shows the uncapped join superlinear in n (the r10
+    blemish: at 150k replica docs the cap COST 9% with no measured
+    upside — this is the upside's corpus)."""
+    for n in (20_000, 40_000):
+        d = build_boiler_corpus(spark, n_docs=n).persist()
+        d.count()
+        timed(
+            f"ngram_jaccard_uncapped_boiler_{n // 1000}k",
+            lambda dd=d: ngram_jaccard_pairs(
+                dd, threshold=0.5, k=3, max_df=None
+            ).count(),
+            extra={"n_docs": n, "boiler_frac": 0.3},
+        )
+        timed(
+            f"ngram_jaccard_maxdf_boiler_{n // 1000}k",
+            lambda dd=d: ngram_jaccard_pairs(
+                dd, threshold=0.5, k=3, max_df=256
+            ).count(),
+            extra={"n_docs": n, "boiler_frac": 0.3},
+        )
+        d.unpersist()
+    # the cap's cost is flat: two more capped-only points extend the
+    # curve where the uncapped form is already out of wall budget
+    for n in (150_000, 400_000):
+        d = build_boiler_corpus(spark, n_docs=n).persist()
+        d.count()
+        timed(
+            f"ngram_jaccard_maxdf_boiler_{n // 1000}k",
+            lambda dd=d: ngram_jaccard_pairs(
+                dd, threshold=0.5, k=3, max_df=256
+            ).count(),
+            extra={"n_docs": n, "boiler_frac": 0.3},
+        )
+        d.unpersist()
+
+
+def _focus_dedup10x(spark, sf_dir: str, k: int) -> None:
+    """r11 verdict #7: the dedup extrapolations validated an order of
+    magnitude up (~10x the K=30 suite): exact dedup, the production
+    LSH-verified 32/16 dial, clusters, and the hot-key dup-span form
+    at 1.5M docs."""
+    t0 = time.time()
+    build(spark, sf_dir, k)
+    d = spark.read.parquet(OUT)
+    n_docs = d.count()
+    print(json.dumps({"op": "build", "rows": n_docs, "k": k, "sec": round(time.time() - t0, 2)}))
+    calibrate(spark)
+    timed("exact_dedup", lambda: exact_dedup(d).count(), extra={"n_docs": n_docs})
+    timed(
+        "lsh_verified_pairs_32x16",
+        lambda: lsh_verified_pairs(d, threshold=0.5, n_hashes=32, bands=16).count(),
+        extra={"n_hashes": 32, "bands": 16, "n_docs": n_docs},
+    )
+    timed(
+        "dup_clusters_on_lsh",
+        lambda: dup_clusters(
+            minhash_lsh_pairs(d, n_hashes=16, bands=4)
+            .where(F.col("est_jaccard") >= 0.5)
+            .select("id_a", "id_b")
+        ).count(),
+        extra={"n_docs": n_docs},
+    )
+    from japanstockdatapipeline_spark.plans.llm import dup_span_removal
+
+    hot = build_hot_span_corpus(spark, n_docs=1_500_000, hot_frac=0.9)
+    timed(
+        "dup_span_removal_hotkey_1500k",
+        lambda: dup_span_removal(hot).where(F.col("span_dup_removed") > 0).count(),
+        extra={"n_docs": 1_500_000, "hot_frac": 0.9},
+    )
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stress-dedup")
+    if "--focus-maxdf" in sys.argv:
+        print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
+        _focus_maxdf(spark)
+        return
+    if "--focus-dedup10x" in sys.argv:
+        _focus_dedup10x(spark, sf_dir, k)
+        return
     t0 = time.time()
     build(spark, sf_dir, k)
     d = spark.read.parquet(OUT)

@@ -151,6 +151,12 @@ def main() -> int:
         ("bpe", [sys.executable, "tools/stress_bpe.py"]),
         ("stream", [sys.executable, "tools/stress_stream_neardup.py"]),
         ("ann200k", [sys.executable, "tools/stress_ann.py", str(ANN_FOCUS_K), "--focus-ivfadc"]),
+        # r11 additions: state-size pricing per corpus shape (verdict
+        # #5), the max_df crossover corpus (#6), dedup at 1.5M docs (#7)
+        ("stream_chain", [sys.executable, "tools/stress_stream_neardup.py", "--corpus=chain"]),
+        ("stream_star", [sys.executable, "tools/stress_stream_neardup.py", "--corpus=star"]),
+        ("maxdf", [sys.executable, "tools/stress_dedup.py", "--focus-maxdf"]),
+        ("dedup10x", [sys.executable, "tools/stress_dedup.py", "300", "--focus-dedup10x"]),
     ):
         ops = run_harness(cmd)
         for op, rec in ops.items():

@@ -80,9 +80,22 @@ def star_text(cluster: int, member: int) -> str:
 
 
 def main() -> int:
-    n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # r11 verdict #5: the state-size constant must be priced on chain
+    # AND star corpora SEPARATELY (the mixed run stays the divergence
+    # measurement for continuity with r10)
+    corpus = "mixed"
+    for a in sys.argv[1:]:
+        if a.startswith("--corpus="):
+            corpus = a.split("=", 1)[1]
+    assert corpus in ("mixed", "chain", "star"), corpus
+    n_chains = int(args[0]) if args else 200
+    chain_len = int(args[1]) if len(args) > 1 else 6
     n_stars, star_sats = n_chains, 3
+    if corpus == "chain":
+        n_stars = 0
+    elif corpus == "star":
+        n_chains = 0
     spark = get_spark("stress-stream-neardup")
     print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
@@ -162,6 +175,20 @@ def main() -> int:
 
         kept_stream = read_ids(f"{run}/gold") | read_ids(f"{run}/rej")
 
+        # r11 verdict #5: the state-size constant — final state table
+        # rows/bytes at the same horizon, per mode. Kept-only state is
+        # the kept subset of the horizon; tracked state is EVERY doc in
+        # the horizon (ratio = 1/(1-dup_rate) on a stationary stream).
+        import glob as _glob
+
+        state_files = _glob.glob(f"{run}/state/**/*.parquet", recursive=True)
+        state_bytes = sum(os.path.getsize(f) for f in state_files)
+        sdf = spark.read.parquet(f"{run}/state")
+        state_rows = sdf.count()
+        state_kept = (
+            sdf.filter("__kept").count() if "__kept" in sdf.columns else state_rows
+        )
+
         extra = kept_stream - kept_batch
         missing = kept_batch - kept_stream  # must be empty: never over-drop
         chain_extra = {d for d in extra if d < 1_000_000}
@@ -170,10 +197,14 @@ def main() -> int:
         print(
             json.dumps(
                 {
-                    "op": f"near_dup_stream_divergence{tag}",
+                    "op": f"near_dup_stream_divergence_{corpus}{tag}",
+                    "corpus": corpus,
                     "track_dropped": track,
                     "sec": stream_sec,
                     "batch_sec": batch_sec,
+                    "state_rows": state_rows,
+                    "state_kept_rows": state_kept,
+                    "state_bytes": state_bytes,
                     "n_docs": len(docs),
                     "n_batches": len(stats),
                     "n_chains": n_chains,
