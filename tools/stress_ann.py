@@ -43,22 +43,22 @@ DIM = 64
 
 
 def build(spark, sf_dir: str, k: int) -> None:
+    # crossJoin replication instead of a k-way union: identical rows
+    # (vec_id + i*1e6, coord0 + 0.02*i), but the plan stays O(1) in k —
+    # a 1000-way union (the 2M corpus) chokes Catalyst analysis
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    reps = []
-    for i in range(k):
-        r = e.select(
-            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, j: F.when(j == 0, x + F.lit(0.02 * i)).otherwise(x),
-            ).alias("embedding"),
-            "label",
-        )
-        reps.append(r)
-    u = reps[0]
-    for r in reps[1:]:
-        u = u.unionByName(r)
-    u.write.mode("overwrite").parquet(OUT)
+    reps = spark.range(k).select(F.col("id").cast("int").alias("__i"))
+    u = e.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__i").cast("bigint") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, j: F.when(
+                j == 0, x + F.lit(0.02) * F.col("__i").cast("double")
+            ).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    u.repartition(32).write.mode("overwrite").parquet(OUT)
 
 
 def timed(name: str, fn, extra=None) -> object:
@@ -95,7 +95,15 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
 
     k_sqrt = int(math.isqrt(n))
     p_sqrt = max(2, round(k_sqrt / 16))
-    for k_coarse, m, k_cells, coarse_assign, sweeps in (
+    if n > 500_000:
+        # the CROSSOVER grid (r11): at 2M vectors the brute scan is
+        # compute-bound, so the probe's n_probe/k_coarse fraction
+        # finally shows up in wall clock instead of drowning in the
+        # fixed 4-job machinery that floors both at 200k. One shipped
+        # dial: 1/8 probe fraction at the density-scaled code.
+        grid = ((64, 8, 64, "blas", ((8, 80),)),)
+    else:
+        grid = (
         # 20k-shipped code (32-bit): the shortlist-dependence sweep
         (16, 8, 16, "expr", ((2, 80), (2, 320), (2, 640))),
         # density-scaled code (48-bit): same shortlist, recall back
@@ -106,10 +114,14 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
         # the BLAS Lloyd should flatten the curve to ~the k-free
         # centroid re-agg + PQ training cost
         (16, 8, 64, "blas", ()),
-        (64, 8, 64, "blas", ((2, 80),)),
+        # probe fraction must TRACK k_coarse: p2 probes 2/64 of the
+        # corpus (recall drops), p8 restores the 1/8 fraction of the
+        # shipped k16/p2 dial
+        (64, 8, 64, "blas", ((2, 80), (8, 80))),
         # k ~ sqrt(n) production pairing with the density-scaled code
         (k_sqrt, 8, 64, "blas", ((p_sqrt, 80),)),
-    ):
+        )
+    for k_coarse, m, k_cells, coarse_assign, sweeps in grid:
         t_b = time.time()
         handles: list = []
         index, cents = ivf_pq_build(

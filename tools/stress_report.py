@@ -157,6 +157,10 @@ def main() -> int:
         ("stream_star", [sys.executable, "tools/stress_stream_neardup.py", "--corpus=star"]),
         ("maxdf", [sys.executable, "tools/stress_dedup.py", "--focus-maxdf"]),
         ("dedup10x", [sys.executable, "tools/stress_dedup.py", "300", "--focus-dedup10x"]),
+        # r11 verdict #2 follow-through: the probe-vs-brute CROSSOVER
+        # point — at 2M vectors the brute scan is compute-bound and
+        # the probe's n_probe/k_coarse fraction shows up in wall clock
+        ("ann2m", [sys.executable, "tools/stress_ann.py", "1000", "--focus-ivfadc"]),
     ):
         ops = run_harness(cmd)
         for op, rec in ops.items():
