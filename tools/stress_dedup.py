@@ -210,11 +210,33 @@ def build_boiler_corpus(spark, *, n_docs: int, boiler_frac: float = 0.3):
 
 
 def _focus_maxdf(spark) -> None:
-    """Capped-vs-uncapped crossover sweep on the boilerplate corpus.
-    The artifact shows the uncapped join superlinear in n (the r10
-    blemish: at 150k replica docs the cap COST 9% with no measured
-    upside — this is the upside's corpus)."""
-    for n in (20_000, 40_000):
+    """Capped-vs-uncapped crossover sweep on the boilerplate corpus
+    (the r10 blemish: at 150k replica docs the cap COST 9% with no
+    measured upside — this corpus is the upside). The uncapped form's
+    per-shingle pair generation materializes a df^2 struct array in
+    ONE expression row (~32 B/struct), so the blowup is not a slow
+    tail — at df = 6,000 (20k docs, 30% boiler) the ~18M-struct rows
+    KILL the rig's 8g JVM outright (first measured in the r11 suite:
+    executor lost ~42 s in, session dead). The sweep therefore prices
+    the uncapped curve at survivable df (4k/6k/8k docs -> 1.2k/1.8k/
+    2.4k df) and probes the lethal 20k point in a SUBPROCESS with its
+    own session, so the outcome is recorded without poisoning the
+    suite's JVM."""
+    # capped: flat in n — the cap's cost side of the trade
+    for n in (20_000, 150_000, 400_000):
+        d = build_boiler_corpus(spark, n_docs=n).persist()
+        d.count()
+        timed(
+            f"ngram_jaccard_maxdf_boiler_{n // 1000}k",
+            lambda dd=d: ngram_jaccard_pairs(
+                dd, threshold=0.5, k=3, max_df=256
+            ).count(),
+            extra={"n_docs": n, "boiler_frac": 0.3, "max_df": 256},
+        )
+        d.unpersist()
+    # uncapped: superlinear in n (8 hot 3-grams at df = 0.3n; pair
+    # volume ~ 8 * df^2 / 2)
+    for n in (4_000, 6_000, 8_000):
         d = build_boiler_corpus(spark, n_docs=n).persist()
         d.count()
         timed(
@@ -222,29 +244,48 @@ def _focus_maxdf(spark) -> None:
             lambda dd=d: ngram_jaccard_pairs(
                 dd, threshold=0.5, k=3, max_df=None
             ).count(),
-            extra={"n_docs": n, "boiler_frac": 0.3},
-        )
-        timed(
-            f"ngram_jaccard_maxdf_boiler_{n // 1000}k",
-            lambda dd=d: ngram_jaccard_pairs(
-                dd, threshold=0.5, k=3, max_df=256
-            ).count(),
-            extra={"n_docs": n, "boiler_frac": 0.3},
+            extra={"n_docs": n, "boiler_frac": 0.3, "df_hot": int(0.3 * n)},
         )
         d.unpersist()
-    # the cap's cost is flat: two more capped-only points extend the
-    # curve where the uncapped form is already out of wall budget
-    for n in (150_000, 400_000):
-        d = build_boiler_corpus(spark, n_docs=n).persist()
-        d.count()
-        timed(
-            f"ngram_jaccard_maxdf_boiler_{n // 1000}k",
-            lambda dd=d: ngram_jaccard_pairs(
-                dd, threshold=0.5, k=3, max_df=256
-            ).count(),
-            extra={"n_docs": n, "boiler_frac": 0.3},
+    # the CLIFF probe, contained: uncapped at 20k docs in a subprocess
+    import subprocess
+
+    t0 = time.time()
+    code = (
+        "import sys; sys.path.insert(0, '.')\n"
+        "from japanstockdatapipeline_spark.session import get_spark\n"
+        "from japanstockdatapipeline_spark.operators.dedup import ngram_jaccard_pairs\n"
+        "from tools.stress_dedup import build_boiler_corpus\n"
+        "s = get_spark('maxdf-cliff')\n"
+        "d = build_boiler_corpus(s, n_docs=20_000)\n"
+        "print('CLIFF_ROWS', ngram_jaccard_pairs(d, threshold=0.5, k=3, max_df=None).count())\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=False, timeout=1200,
         )
-        d.unpersist()
+        out = proc.stdout
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        out, rc = "", -1
+    wall = round(time.time() - t0, 2)
+    if rc == 0 and "CLIFF_ROWS" in out:
+        rows = int(out.split("CLIFF_ROWS")[-1].split()[0])
+        print(json.dumps({
+            "op": "ngram_jaccard_uncapped_boiler_20k",
+            "sec": wall, "rows": rows, "n_docs": 20_000, "df_hot": 6_000,
+        }))
+    else:
+        print(json.dumps({
+            "op": "ngram_jaccard_uncapped_boiler_20k",
+            "sec": wall, "n_docs": 20_000, "df_hot": 6_000,
+            "outcome": "jvm_lost",
+            "note": "df=6000 posting lists -> ~18M-struct pair arrays "
+            "in single expression rows; the executor JVM dies at the "
+            "rig's 8g heap (subprocess-contained by design) — the "
+            "cliff max_df=256 exists to cap",
+        }))
 
 
 def _focus_dedup10x(spark, sf_dir: str, k: int) -> None:
