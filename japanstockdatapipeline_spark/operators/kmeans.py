@@ -167,7 +167,7 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
     canary certifies tested data sits clear of the boundaries the two
     roundings could split."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     # seeding: the k smallest ids, cell = dense order by id (the same
     # distributed partial top-k the expr path uses, then collected —
@@ -201,9 +201,19 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
         cells_arr = np.array(cells_ids, dtype=np.int64)
 
         def assign_batches(it):
-            for pdf in it:
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            # mapInArrow: the input column order is (id, __v); vectors
+            # arrive as ONE zero-copy flat float64 buffer (the per-row
+            # list->Python conversion was the measured build wall at
+            # 2M vectors) and the __v column passes through untouched
+            for rb in it:
+                n_rows = rb.num_rows
+                if n_rows == 0:
+                    continue
+                id_arr = rb.column(0)
+                X = (
+                    rb.column(1).flatten().to_numpy(zero_copy_only=False)
+                    .reshape(n_rows, -1)
+                )
                 xn = np.linalg.norm(X, axis=1, keepdims=True)
                 zero_x = (xn == 0).ravel()
                 xn[xn == 0] = 1.0
@@ -212,15 +222,21 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
                 cos[:, zero_c] = -np.inf
                 cos[zero_x, :] = -np.inf
                 best = np.argmax(cos, axis=1)  # first (min cell) wins ties
-                bc = cos[np.arange(len(ids)), best]
-                out = pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "cell": cells_arr[best],
-                        "cell_cos": np.where(np.isfinite(bc), bc, np.nan),
-                    }
+                bc = cos[np.arange(n_rows), best]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        id_arr,
+                        pa.array(
+                            cells_arr[best].astype(np.int32), type=pa.int32()
+                        ),
+                        pa.array(
+                            np.where(np.isfinite(bc), bc, np.nan),
+                            type=pa.float64(),
+                        ),
+                        rb.column(1),
+                    ],
+                    names=[id_col, "cell", "cell_cos", "__v"],
                 )
-                yield pd.concat([out, pdf[["__v"]].reset_index(drop=True)], axis=1)
 
         return assign_batches
 
@@ -238,7 +254,9 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
         else:
             cells_ids = list(range(len(cents)))
             C = np.array(cents, dtype=np.float64)
-        a = v.mapInPandas(make_assign(cells_ids, C), schema=schema)
+        a = v.select(id_col, "__v").mapInArrow(
+            make_assign(cells_ids, C), schema=schema
+        )
     return a.select(
         id_col,
         "cell",
@@ -951,7 +969,7 @@ def ivf_pq_probe(
 def _adc_shortlist_blas(
     corpus: DataFrame, probes: DataFrame, candidates: int
 ) -> DataFrame:
-    """BLAS ADC: one mapInPandas pass over the probed cells' codes.
+    """BLAS ADC: one Arrow pass over the probed cells' codes.
     Collects the probe assignment (O(queries * n_probe) rows — the
     bounded query-side collect of the brute_force_topk_matmul shape,
     never the corpus), builds a per-cell query matrix, and scores each
@@ -963,9 +981,15 @@ def _adc_shortlist_blas(
     local threshold are resolved by the same total order the global
     cut uses, so the union-of-local-tops property is exact, not
     approximate. Self-matches (neighbor == query id) are masked before
-    the cut, mirroring the expression path's pre-shortlist filter."""
+    the cut, mirroring the expression path's pre-shortlist filter.
+
+    Arrow-native (r11): the pass runs via mapInArrow with the recon
+    vectors read as ONE zero-copy flat float64 buffer per batch — the
+    per-row list->Python conversion of the earlier mapInPandas form
+    was the measured probe wall at 2M vectors (the ADC matmul itself
+    is trivial)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     prows = probes.collect()
     per_cell: dict[int, tuple] = {}
@@ -981,12 +1005,25 @@ def _adc_shortlist_blas(
     probed_cells = sorted(per_cell)
 
     def batches(it):
-        for pdf in it:
+        for rb in it:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            cells_all = rb.column(0).to_numpy(zero_copy_only=False)
+            ids_all = rb.column(1).to_numpy(zero_copy_only=False)
+            # one flat float64 buffer for the whole batch's vectors —
+            # flatten() honors slice offsets; rows are fixed-length and
+            # non-null by construction
+            R_all = (
+                rb.column(2).flatten().to_numpy(zero_copy_only=False)
+                .reshape(n_rows, -1)
+            )
             out_q, out_n, out_d = [], [], []
-            for cell, grp in pdf.groupby("cell"):
+            for cell in np.unique(cells_all):
                 qids, Q = per_cell[int(cell)]
-                ids = grp["neighbor_id"].to_numpy(dtype=np.int64)
-                R = np.array(grp["__recon"].tolist(), dtype=np.float64)
+                mask = cells_all == cell
+                ids = ids_all[mask]
+                R = R_all[mask]
                 # ||r - q||^2 expanded; fp error vs the fold order is
                 # ~1e-12, far inside the 5e-7 boundary epsilon the
                 # canary certifies is clear
@@ -1008,18 +1045,19 @@ def _adc_shortlist_blas(
                     out_n.append(ids[order])
                     out_d.append(d[order, j])
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "__adc": np.concatenate(out_d),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_d), type=pa.float64()),
+                    ],
+                    names=["q_id", "neighbor_id", "__adc"],
                 )
 
     cand = (
         corpus.filter(F.col("cell").isin(probed_cells))
         .select("cell", "neighbor_id", "__recon")
-        .mapInPandas(batches, schema="q_id bigint, neighbor_id bigint, __adc double")
+        .mapInArrow(batches, schema="q_id bigint, neighbor_id bigint, __adc double")
     )
     w_short = Window.partitionBy("q_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc()

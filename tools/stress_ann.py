@@ -48,12 +48,20 @@ def build(spark, sf_dir: str, k: int) -> None:
     # a 1000-way union (the 2M corpus) chokes Catalyst analysis
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     reps = spark.range(k).select(F.col("id").cast("int").alias("__i"))
+    # replica step: 0.02 up to k=100 (bit-identical to the r10 20k and
+    # 200k corpora), capped so the total coord-0 spread never exceeds
+    # 2.0 — at k=1000 the uncapped 0.02*i stretched the corpus into a
+    # 20-unit line whose large-i tail collapses DIRECTIONALLY in
+    # cosine space (every base's far replicas align toward e0),
+    # measured as recall 0.301 for every index at 2M (r11): an
+    # artifact of the corpus, not the quantizer
+    step = min(0.02, 2.0 / k)
     u = e.crossJoin(reps).select(
         (F.col("vec_id") + F.col("__i").cast("bigint") * 1_000_000).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, j: F.when(
-                j == 0, x + F.lit(0.02) * F.col("__i").cast("double")
+                j == 0, x + F.lit(step) * F.col("__i").cast("double")
             ).otherwise(x),
         ).alias("embedding"),
         "label",
@@ -193,9 +201,17 @@ def main() -> None:
     # same as bench.py): separates rig drift from operator regressions
     print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
-    queries = corpus.where(F.col("vec_id") % 1000 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    # ~200 queries at ANY k (r11: the old `% 1000` filter selects 2
+    # base ids per replica, i.e. 2k queries — at k=1000 that is 2,000
+    # queries, and the probe's local-top emission and the brute matmul
+    # both scale with it, measuring query-batch size instead of corpus
+    # size). Keep every base-id-divisible-by-1000 vector but thin the
+    # replica axis to ~100 replicas.
+    rep_mod = max(1, k // 100)
+    queries = corpus.where(
+        (F.col("vec_id") % 1000 == 0)
+        & (F.expr("vec_id DIV 1000000") % rep_mod == 0)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     nq = queries.count()
     print(json.dumps({"op": "queries", "rows": nq}))
 
