@@ -48,21 +48,31 @@ def build(spark, sf_dir: str, k: int) -> None:
     # a 1000-way union (the 2M corpus) chokes Catalyst analysis
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     reps = spark.range(k).select(F.col("id").cast("int").alias("__i"))
-    # replica step: 0.02 up to k=100 (bit-identical to the r10 20k and
-    # 200k corpora), capped so the total coord-0 spread never exceeds
-    # 2.0 — at k=1000 the uncapped 0.02*i stretched the corpus into a
-    # 20-unit line whose large-i tail collapses DIRECTIONALLY in
-    # cosine space (every base's far replicas align toward e0),
-    # measured as recall 0.301 for every index at 2M (r11): an
-    # artifact of the corpus, not the quantizer
-    step = min(0.02, 2.0 / k)
+    if k <= 100:
+        # bit-identical to the r10 20k/200k corpora: replica i shifts
+        # coord 0 by 0.02*i
+        pert_coord = F.lit(0)
+        mag = F.lit(0.02) * F.col("__i").cast("double")
+    else:
+        # k > 100 (the 2M corpus): a 1-D line at ANY step is unusable —
+        # 0.02*i stretches to a 20-unit line whose far tail collapses
+        # DIRECTIONALLY in cosine space (measured: recall 0.301 for
+        # every index), and shrinking the step to fit puts the
+        # inter-neighbor cosine gaps BELOW the 6dp determinism rails
+        # (measured on the 0.002-step corpus: alternating top-10 gaps
+        # 2e-9..5e-7, so ANY rounded ranker caps near 0.5 recall vs an
+        # unrounded brute). Spread the replicas over a 16-coordinate
+        # GRID instead: replica i perturbs coord (i % 16) by
+        # 0.02*ceil(i/16) — every (base, coord) chain reproduces the
+        # 200k corpus's 0.02-step local geometry (gaps ~1e-5, safely
+        # above the rails), with 16x more chains
+        pert_coord = F.col("__i") % 16
+        mag = F.lit(0.02) * F.expr("CAST((__i + 15) DIV 16 AS DOUBLE)")
     u = e.crossJoin(reps).select(
         (F.col("vec_id") + F.col("__i").cast("bigint") * 1_000_000).alias("vec_id"),
         F.transform(
             "embedding",
-            lambda x, j: F.when(
-                j == 0, x + F.lit(step) * F.col("__i").cast("double")
-            ).otherwise(x),
+            lambda x, j: F.when(j == pert_coord, x + mag).otherwise(x),
         ).alias("embedding"),
         "label",
     )
@@ -107,9 +117,10 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
         # the CROSSOVER grid (r11): at 2M vectors the brute scan is
         # compute-bound, so the probe's n_probe/k_coarse fraction
         # finally shows up in wall clock instead of drowning in the
-        # fixed 4-job machinery that floors both at 200k. One shipped
-        # dial: 1/8 probe fraction at the density-scaled code.
-        grid = ((64, 8, 64, "blas", ((8, 80),)),)
+        # fixed 4-job machinery that floors both at 200k. The SHIPPED
+        # dial (k16/p2, 1/8 fraction, density-scaled code — the
+        # 0.993-recall point at 200k), with a deeper-shortlist hedge.
+        grid = ((16, 8, 64, "blas", ((2, 80), (2, 320))),)
     else:
         grid = (
         # 20k-shipped code (32-bit): the shortlist-dependence sweep
