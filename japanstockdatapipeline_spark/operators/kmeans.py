@@ -147,6 +147,12 @@ def kmeans_cells(
             )
         )
 
+    if iters < 1:
+        # checked BEFORE dispatch: the expr path's range(iters - 1)
+        # would quietly still run one assignment and the blas loop
+        # would crash with an AttributeError — a parity break at the
+        # schedule edge (r11 advice)
+        raise ValueError(f"iters must be >= 1, got {iters}")
     if assign_mode == "blas":
         return _kmeans_cells_blas(v, k, iters, id_col=id_col)
     if assign_mode != "expr":
@@ -199,6 +205,7 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
         cn[cn == 0] = 1.0
         Cn = C / cn
         cells_arr = np.array(cells_ids, dtype=np.int64)
+        dim = C.shape[1]
 
         def assign_batches(it):
             # mapInArrow: the input column order is (id, __v); vectors
@@ -210,10 +217,23 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
                 if n_rows == 0:
                     continue
                 id_arr = rb.column(0)
-                X = (
-                    rb.column(1).flatten().to_numpy(zero_copy_only=False)
-                    .reshape(n_rows, -1)
-                )
+                flat = rb.column(1).flatten()
+                # a null or ragged row whose total element count stays
+                # divisible by n_rows would silently misalign EVERY
+                # subsequent row in the batch (r11 advice) — fail
+                # deterministically instead
+                if rb.column(1).null_count or flat.null_count:
+                    raise ValueError(
+                        "kmeans_cells(assign_mode='blas'): null vector "
+                        "rows/elements are not supported"
+                    )
+                if len(flat) != n_rows * dim:
+                    raise ValueError(
+                        f"kmeans_cells(assign_mode='blas'): ragged vector "
+                        f"batch ({len(flat)} elements for {n_rows} rows of "
+                        f"dim {dim})"
+                    )
+                X = flat.to_numpy(zero_copy_only=False).reshape(n_rows, dim)
                 xn = np.linalg.norm(X, axis=1, keepdims=True)
                 zero_x = (xn == 0).ravel()
                 xn[xn == 0] = 1.0
@@ -904,7 +924,15 @@ def ivf_pq_probe(
     cut sees batches*queries*candidates rows, never the probed slice,
     and global top-candidates ⊆ union of local tops holds exactly.
     Requires integral ids (the Arrow path packs int64); non-integral
-    ids fall back to the expression form, same semantics."""
+    ids fall back to the expression form, same semantics.
+
+    LAZINESS CAVEAT (r11 advice): blas=True makes DataFrame
+    CONSTRUCTION run Spark jobs eagerly (the bounded probe-assignment
+    collect plus schema probes) and freezes the probed-cell set into
+    the closure at call time — callers that need a fully lazy plan
+    (e.g. the plan-construction-is-job-free gate) must pass
+    blas=False; the registered members document the default's eager
+    jobs and the plan-audit allowlist carries them."""
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         as_double_array(F.col(q_vec_col)).alias("__qv"),
@@ -1003,6 +1031,9 @@ def _adc_shortlist_blas(
         for c, pairs in per_cell.items()
     }
     probed_cells = sorted(per_cell)
+    recon_dim = next(
+        (Q.shape[1] for _, Q in per_cell.values() if Q.size), None
+    )
 
     def batches(it):
         for rb in it:
@@ -1012,11 +1043,23 @@ def _adc_shortlist_blas(
             cells_all = rb.column(0).to_numpy(zero_copy_only=False)
             ids_all = rb.column(1).to_numpy(zero_copy_only=False)
             # one flat float64 buffer for the whole batch's vectors —
-            # flatten() honors slice offsets; rows are fixed-length and
-            # non-null by construction
-            R_all = (
-                rb.column(2).flatten().to_numpy(zero_copy_only=False)
-                .reshape(n_rows, -1)
+            # flatten() honors slice offsets; a null or ragged recon
+            # row would silently misalign every subsequent row of the
+            # batch (r11 advice), so verify shape before reshaping
+            flat = rb.column(2).flatten()
+            if rb.column(2).null_count or flat.null_count:
+                raise ValueError(
+                    "ivf_pq_probe(blas=True): null reconstruction "
+                    "rows/elements are not supported"
+                )
+            if recon_dim is None or len(flat) != n_rows * recon_dim:
+                raise ValueError(
+                    f"ivf_pq_probe(blas=True): ragged reconstruction "
+                    f"batch ({len(flat)} elements for {n_rows} rows of "
+                    f"dim {recon_dim})"
+                )
+            R_all = flat.to_numpy(zero_copy_only=False).reshape(
+                n_rows, recon_dim
             )
             out_q, out_n, out_d = [], [], []
             for cell in np.unique(cells_all):

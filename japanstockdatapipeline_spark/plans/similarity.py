@@ -842,7 +842,14 @@ def _register_ivfpq_topk() -> None:
     Jégou pipeline end to end, every stage value-checked against the
     composed oracle (quantizer CTE = the kmeans member oracle, PQ
     chain = the shared CTE block). Recall dials: (n_probe,
-    candidates) — STRESS_r08 splits coarse-probe/ADC/re-rank cost."""
+    candidates) — STRESS_r08 splits coarse-probe/ADC/re-rank cost.
+
+    NOTE (r11 advice): the probe half defaults to the BLAS ADC path,
+    which runs EAGER Spark jobs at DataFrame-construction time (the
+    bounded O(queries x n_probe) probe-assignment collect that the
+    Arrow pass closes over) — building this member's plan is not
+    job-free, and the probed-cell set is frozen at call time. The
+    plan-audit allowlist carries the entry."""
     from ..operators.kmeans import ivf_pq_rerank_topk
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,7 +936,9 @@ def _register_ivfadc_topk() -> None:
     the between-cell variance — STRESS prices the recall gain over
     the direct-coded sibling at the same (m, k_cells) dial. Probe,
     shortlist, and re-rank are identical to embedding_ivfpq_topk;
-    only the indexed reconstruction changes."""
+    only the indexed reconstruction changes. Like that sibling, the
+    default BLAS probe runs eager plan-time jobs (the bounded probe
+    collect — see embedding_ivfpq_topk's note)."""
     from ..operators.kmeans import ivf_pq_rerank_topk
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,7 +226,17 @@ class PagedApiWriter(DataSourceWriter):
     every task's request/row counts. The 'endpoint' is a directory
     the fake API appends request payloads to — swap it for an HTTP
     POST and the sink ships upserts cluster-parallel with per-task
-    batching and retries."""
+    batching and retries.
+
+    Delivery semantics over HTTP are AT-LEAST-ONCE: a connection
+    dropped AFTER the server committed a chunk is indistinguishable
+    from one dropped before, so the retry loop may deliver a chunk
+    twice (the reference client has the same property and relies on
+    idempotent upserts — batch.ts:17-141). Every POST therefore
+    carries a deterministic `X-Chunk-Id` header, generated ONCE per
+    chunk and reused verbatim across retries, so an endpoint can
+    dedup re-deliveries without parsing payloads; endpoints without
+    such dedup must be idempotent upserts keyed on the row payload."""
 
     def __init__(self, options: dict):
         opts = {k.lower(): v for k, v in dict(options).items()}
@@ -249,7 +259,7 @@ class PagedApiWriter(DataSourceWriter):
 
         failed_once = {"done": False}
 
-        def post(payload: str) -> None:
+        def post(payload: str, chunk_id: str) -> None:
             if self.endpoint:
                 import urllib.error
                 import urllib.request
@@ -257,7 +267,13 @@ class PagedApiWriter(DataSourceWriter):
                 req = urllib.request.Request(
                     self.endpoint,
                     data=payload.encode("utf-8"),
-                    headers={"Content-Type": "application/json"},
+                    headers={
+                        "Content-Type": "application/json",
+                        # stable across retries of the same chunk: the
+                        # endpoint's dedup key for at-least-once
+                        # re-deliveries (see class docstring)
+                        "X-Chunk-Id": chunk_id,
+                    },
                     method="POST",
                 )
                 try:
@@ -291,8 +307,11 @@ class PagedApiWriter(DataSourceWriter):
             nonlocal requests, rows, chunk, chunk_bytes
             if not chunk:
                 return
+            chunk_id = uuid.uuid4().hex  # minted once, reused by retries
             with_retry(
-                lambda: post(json.dumps(chunk)), sleep=lambda ms: None, rng=lambda: 0.0
+                lambda: post(json.dumps(chunk), chunk_id),
+                sleep=lambda ms: None,
+                rng=lambda: 0.0,
             )
             requests += 1
             rows += len(chunk)

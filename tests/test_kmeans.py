@@ -396,3 +396,30 @@ def test_ivf_pq_probe_blas_matches_expression(spark, clustered):
         ), f"residual={residual}"
         for h in handles:
             h.unpersist()
+
+
+def test_kmeans_cells_iters_guard_both_modes(spark, clustered):
+    """r11 advice: iters < 1 must raise in BOTH modes before dispatch
+    (the expr path used to quietly run one assignment while the blas
+    path crashed with AttributeError — a schedule-edge parity break)."""
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+    for mode in ("expr", "blas"):
+        with pytest.raises(ValueError, match="iters"):
+            kmeans_cells(clustered, k=3, iters=0, assign_mode=mode)
+
+
+def test_kmeans_cells_blas_rejects_null_vectors(spark):
+    """r11 advice: a null embedding row must fail DETERMINISTICALLY in
+    the Arrow path (a silent reshape misalignment would corrupt every
+    subsequent row of the batch), not produce wrong cells."""
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="null vector"):
+        kmeans_cells(df, k=2, iters=2, assign_mode="blas").collect()

@@ -32,7 +32,9 @@ class _ApiState:
         self.get_log: list[tuple[int, int, int]] = []  # (shard, offset, limit)
         self.failed_503: set[int] = set()  # shards already given their 503
         self.posts: list[tuple[int, int]] = []  # (n_rows, n_bytes)
+        self.post_ids: list[str] = []  # X-Chunk-Id of each committed POST
         self.post_503_done = False
+        self.post_503_id: str | None = None  # X-Chunk-Id of the 503'd POST
 
 
 def _make_handler(state: _ApiState):
@@ -85,13 +87,16 @@ def _make_handler(state: _ApiState):
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
+            cid = self.headers.get("X-Chunk-Id")
             with state.lock:
                 if state.fail_first_page2 and not state.post_503_done:
                     state.post_503_done = True
+                    state.post_503_id = cid
                     self.send_response(503)
                     self.end_headers()
                     return
                 state.posts.append((len(json.loads(body)), len(body)))
+                state.post_ids.append(cid)
             self.send_response(200)
             self.send_header("Content-Length", "2")
             self.end_headers()
@@ -190,3 +195,9 @@ def test_http_sink_chunks_and_retries_over_real_socket(spark, http_api):
     assert all(n <= 300 for n, _ in state.posts)
     assert all(b <= 32 * 1024 + 256 for _, b in state.posts)
     assert sum(n for n, _ in state.posts) == 5000
+    # at-least-once dedup contract: every POST carried an X-Chunk-Id,
+    # ids are distinct per chunk, and the RETRY of the 503'd chunk
+    # reused the SAME id — the key an endpoint dedups re-deliveries on
+    assert all(cid for cid in state.post_ids)
+    assert len(set(state.post_ids)) == len(state.post_ids)
+    assert state.post_503_id in state.post_ids
