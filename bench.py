@@ -7,24 +7,45 @@ Headline comparables (BASELINE.md): full-universe metrics refresh
 <=65 k rows. sf0.1 lineitem is ~600 k rows — same order.
 
 Cross-round comparability (round-4 verdict item 2; round-9 items;
-round-11 item 4):
+round-11 item 4; round-12 items 3/8):
 - the warm-up query is PINNED (WARMUP below), not dict-order-dependent;
-- each query reports min AND median of N_RUNS;
+- each query reports min AND median of N_RUNS (medians in the diag
+  side file);
 - a fixed-cost calibration (spark.range(2e7) sum, no parquet, no
-  Python) separates rig drift from plan regressions — and since r11
-  it is INTERLEAVED between query blocks: intra-run drift (r10
-  observed pre 0.235 / post 0.162) exceeds the per-query deltas being
-  adjudicated, so a single suite-level scalar cannot normalize
-  per-query walls. Each query is normalized by the mean of the quick
-  calibration samples bracketing ITS block (`queries_normalized`);
-  the old single-scalar form is retained as
-  `queries_normalized_global` for continuity with BENCH_r<=10.
+  Python) separates rig drift from plan regressions — INTERLEAVED
+  between query blocks since r11: intra-run drift exceeds the
+  per-query deltas being adjudicated, so a single suite-level scalar
+  cannot normalize per-query walls. Each query is normalized by the
+  mean of the quick calibration samples bracketing ITS block
+  (`queries_normalized`). SCHEME FROZEN since r11 (bench_schema 2
+  only ADDS the stall guard; the estimator and CALIBRATION_REF are
+  untouched): `queries_normalized` is cross-round comparable r11+
+  ONLY — the per-block quick_cal is a min-of-2 that sits
+  systematically below the median-of-5 CALIBRATION_REF anchor, so
+  comparing it against BENCH_r<=10's same-named field manufactures
+  phantom regressions. The old single-scalar form continues as
+  `queries_normalized_global` (diag side file), comparable r4+.
 - a PER-QUERY NOISE BOUND is emitted (`noise_bound_rel`): local
   calibration drift across the block plus the gap between the two
   fastest runs. The mechanical adjudication rule for a future round:
   query X regressed beyond noise iff
     norm_new > norm_old * (1 + bound_old + bound_new).
   `suite_noise_bound_rel` is the wall-weighted average.
+- STALL GUARD (r12 item 3 — BENCH_r11 cross-run agreement showed 2/13
+  queries violating budgets ~2.9x on UNCHANGED code from sustained
+  block-level rig contention the drift/min-gap terms cannot see):
+  after the suite, every query gets ONE isolated warm re-time; a block
+  is flagged if its local calibration deviates >2x from the suite
+  median OR its recorded min exceeds 3x the isolated re-time. Flagged
+  blocks re-run once and the attempt with the LOWER normalized wall is
+  kept (less rig contention); `stall_reruns` in the headline names
+  what happened so adjudication sees the allowance was used.
+- OUTPUT LAYOUT (r12 — BENCH_r11's enlarged line outgrew the driver's
+  2,000-char tail capture and lost the raw walls, `parsed: null`):
+  the FINAL stdout line is the compact headline JSON (kept well under
+  2,000 bytes); medians, calibration blocks, per-block local cals, the
+  global-normalized continuity dicts, and re-time walls go to stderr
+  and to the `bench_diag.json` side file.
 - the ANN flagship is benched as SERVING, not training: the one-off
   `embedding_ivfadc_build` wall is separated from the per-batch
   `embedding_ivfadc_probe` wall measured against the persisted index.
@@ -55,6 +76,8 @@ WARMUP = "pricing_summary"  # pinned: JVM/JIT + parquet-footer warm
 N_RUNS = 5
 BUILD_RUNS = 2  # the one-off index build: 2 fresh runs, min reported
 QUICK_CAL_RUNS = 2  # interleaved sample: min of 2 (one is too noisy)
+STALL_CAL_FACTOR = 2.0  # local_cal >2x off the suite median -> flag
+STALL_RETIME_FACTOR = 3.0  # recorded min >3x the isolated re-time -> flag
 
 
 def quick_cal(spark) -> float:
@@ -71,7 +94,8 @@ def quick_cal(spark) -> float:
 class BlockTimer:
     """Runs each query block bracketed by interleaved calibration
     samples; accumulates min/median walls, per-block local
-    calibrations, and per-query noise bounds."""
+    calibrations, per-query noise bounds, and (r12) per-block re-run
+    and isolated re-time thunks for the stall guard."""
 
     def __init__(self, spark):
         self.spark = spark
@@ -80,6 +104,10 @@ class BlockTimer:
         self.local_cal: dict[str, float] = {}
         self.noise: dict[str, float] = {}
         self.cals: list[float] = [quick_cal(spark)]
+        self.rerun: dict[str, object] = {}  # name -> re-run-the-block thunk
+        self.retime: dict[str, object] = {}  # name -> one isolated run, -> wall
+        self.retime_walls: dict[str, float] = {}
+        self.stall_reruns: dict[str, str] = {}  # name -> "first" | "rerun"
 
     def record(self, name: str, walls: list[float], rows: int | str) -> None:
         self.cals.append(quick_cal(self.spark))
@@ -102,21 +130,83 @@ class BlockTimer:
         )
 
     def run_query(self, name: str, fn, sf_dir: str) -> None:
-        walls, n = [], 0
-        for _ in range(N_RUNS):
+        def block() -> None:
+            walls, n = [], 0
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                n = fn(self.spark, sf_dir).count()  # materialize, no transfer
+                walls.append(time.perf_counter() - t0)
+            self.record(name, walls, n)
+
+        def one() -> float:
             t0 = time.perf_counter()
-            n = fn(self.spark, sf_dir).count()  # materialize, no transfer
-            walls.append(time.perf_counter() - t0)
-        self.record(name, walls, n)
+            fn(self.spark, sf_dir).count()
+            return time.perf_counter() - t0
+
+        self.rerun[name] = block
+        self.retime[name] = one
+        block()
+
+    def _normalized(self, name: str) -> float:
+        return self.timings[name] * CALIBRATION_REF / self.local_cal[name]
+
+    def guard_stalls(self) -> None:
+        """r12 stall guard: one isolated warm re-time per query, then
+        re-run (once) any block whose local calibration sits >2x off
+        the suite median OR whose recorded min is >3x its re-time —
+        both signatures of sustained block-level rig contention that
+        the intra-block noise terms cannot see. Keeps the attempt with
+        the lower NORMALIZED wall (the less-contended measurement)."""
+        for name, one in self.retime.items():
+            self.retime_walls[name] = round(one(), 3)
+        med = statistics.median(self.local_cal.values())
+        for name in list(self.timings):
+            lc = self.local_cal[name]
+            rt = self.retime_walls.get(name)
+            cal_off = lc > STALL_CAL_FACTOR * med or lc < med / STALL_CAL_FACTOR
+            stalled = (
+                rt is not None
+                and rt > 0
+                and self.timings[name] > STALL_RETIME_FACTOR * rt
+            )
+            if not (cal_off or stalled):
+                continue
+            print(
+                f"# stall guard: {name} flagged"
+                f" (local_cal {lc:.3f} vs suite median {med:.3f},"
+                f" min {self.timings[name]:.3f}s vs re-time {rt}s)"
+                f" — re-running block once",
+                file=sys.stderr,
+            )
+            old = (
+                self.timings[name],
+                self.medians[name],
+                self.local_cal[name],
+                self.noise[name],
+            )
+            old_norm = self._normalized(name)
+            self.rerun[name]()
+            if self._normalized(name) <= old_norm:
+                self.stall_reruns[name] = "rerun"
+            else:
+                (
+                    self.timings[name],
+                    self.medians[name],
+                    self.local_cal[name],
+                    self.noise[name],
+                ) = old
+                self.stall_reruns[name] = "first"
 
 
-def bench_ann_split(bt: BlockTimer, sf_dir: str) -> None:
+def bench_ann_split(bt: BlockTimer, sf_dir: str):
     """Build/probe split for the ANN flagship (the shipped IVFADC
     default dial — operators/kmeans.ivf_pq_rerank_topk kwargs): the
     index is built fresh BUILD_RUNS times (unpersisting between runs
     so the shared-plan cache cannot fake a warm build), then the LAST
     build stays persisted and the probe runs N_RUNS against it — the
-    per-query-batch serving wall an ANN rollout actually pays."""
+    per-query-batch serving wall an ANN rollout actually pays.
+    Returns a cleanup thunk; the caller runs it AFTER the stall guard
+    (the probe's re-run/re-time thunks need the persisted index)."""
     from japanstockdatapipeline_spark.operators.kmeans import (
         ivf_pq_build,
         ivf_pq_probe,
@@ -127,41 +217,64 @@ def bench_ann_split(bt: BlockTimer, sf_dir: str) -> None:
     spark = bt.spark
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _queries_df(emb)
+    state = {"index": None, "cents": None, "handles": []}
 
-    build_walls = []
-    index = cents = None
-    handles: list = []
-    for _ in range(BUILD_RUNS):
-        for h in handles:
+    def fresh_build() -> float:
+        for h in state["handles"]:
             h.unpersist()
-        if index is not None:
-            index.unpersist()
-            cents.unpersist()
-        handles = []
+        if state["index"] is not None:
+            state["index"].unpersist()
+            state["cents"].unpersist()
+        state["handles"] = []
         t0 = time.perf_counter()
         index, cents = ivf_pq_build(
             emb, k_coarse=8, m=8, k_cells=16, residual=True,
-            persisted_out=handles,
+            persisted_out=state["handles"],
         )
-        index = index.persist()
-        cents = cents.persist()
-        index.count()
-        cents.count()
-        build_walls.append(time.perf_counter() - t0)
-    bt.record("embedding_ivfadc_build", build_walls, f"{BUILD_RUNS} fresh builds")
+        state["index"] = index.persist()
+        state["cents"] = cents.persist()
+        state["index"].count()
+        state["cents"].count()
+        return time.perf_counter() - t0
 
-    probe_walls, n = [], 0
-    for _ in range(N_RUNS):
+    def build_block() -> None:
+        walls = [fresh_build() for _ in range(BUILD_RUNS)]
+        bt.record("embedding_ivfadc_build", walls, f"{BUILD_RUNS} fresh builds")
+
+    def probe_once() -> float:
         t0 = time.perf_counter()
-        n = ivf_pq_probe(
-            index, cents, queries, emb, k=5, candidates=80, n_probe=2
+        ivf_pq_probe(
+            state["index"], state["cents"], queries, emb,
+            k=5, candidates=80, n_probe=2,
         ).count()
-        probe_walls.append(time.perf_counter() - t0)
-    bt.record("embedding_ivfadc_probe", probe_walls, n)
-    for h in handles:
-        h.unpersist()
-    index.unpersist()
-    cents.unpersist()
+        return time.perf_counter() - t0
+
+    def probe_block() -> None:
+        walls, n = [], 0
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            n = ivf_pq_probe(
+                state["index"], state["cents"], queries, emb,
+                k=5, candidates=80, n_probe=2,
+            ).count()
+            walls.append(time.perf_counter() - t0)
+        bt.record("embedding_ivfadc_probe", walls, n)
+
+    bt.rerun["embedding_ivfadc_build"] = build_block
+    bt.retime["embedding_ivfadc_build"] = fresh_build
+    bt.rerun["embedding_ivfadc_probe"] = probe_block
+    bt.retime["embedding_ivfadc_probe"] = probe_once
+    build_block()
+    probe_block()
+
+    def cleanup() -> None:
+        for h in state["handles"]:
+            h.unpersist()
+        if state["index"] is not None:
+            state["index"].unpersist()
+            state["cents"].unpersist()
+
+    return cleanup
 
 
 def main() -> None:
@@ -189,10 +302,12 @@ def main() -> None:
     for name, q in bench_set.items():
         bt.run_query(name, q.fn, sf_dir)
 
-    bench_ann_split(bt, sf_dir)
+    ann_cleanup = bench_ann_split(bt, sf_dir)
+    bt.guard_stalls()
+    ann_cleanup()
 
     # suite-level pre/post pair retained for continuity with
-    # BENCH_r<=10 (the old single-scalar normalization)
+    # BENCH_r<=10 (the old single-scalar normalization, diag-only)
     calibration_post = _calibrate(spark)
     calibration = round((calibration_pre + calibration_post) / 2, 3)
     print(
@@ -200,8 +315,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    timings, medians = bt.timings, bt.medians
-    # r11: per-query normalization by the LOCAL (per-block) calibration
+    timings = bt.timings
     normalized = {
         k: round(v * CALIBRATION_REF / bt.local_cal[k], 3)
         for k, v in timings.items()
@@ -213,6 +327,29 @@ def main() -> None:
     suite_noise = round(
         sum(bt.noise[k] * timings[k] for k in timings) / total_w, 4
     )
+
+    diag = {
+        "queries_median": bt.medians,
+        "queries_local_calibration": bt.local_cal,
+        "queries_retime": bt.retime_walls,
+        "queries_normalized_global": normalized_global,
+        "value_normalized_global": round(sum(normalized_global.values()), 3),
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
+        "calibration_blocks": bt.cals,
+        "stall_reruns": bt.stall_reruns,
+        "sf": sf,
+    }
+    diag_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_diag.json"
+    )
+    with open(diag_path, "w") as f:
+        json.dump(diag, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# diag: {json.dumps(diag)}", file=sys.stderr)
+
+    # the COMPACT headline — the FINAL stdout line, kept well under the
+    # driver's 2,000-char tail capture (r12 item 3)
     print(
         json.dumps(
             {
@@ -220,20 +357,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "calibration": calibration,
-                "calibration_pre": calibration_pre,
-                "calibration_post": calibration_post,
-                "calibration_ref": CALIBRATION_REF,
-                "calibration_blocks": bt.cals,
-                "queries_local_calibration": bt.local_cal,
                 "queries_normalized": normalized,
-                "queries_normalized_global": normalized_global,
                 "noise_bound_rel": bt.noise,
                 "suite_noise_bound_rel": suite_noise,
                 "value_normalized": round(sum(normalized.values()), 3),
-                "value_normalized_global": round(
-                    sum(normalized_global.values()), 3
+                "calibration": calibration,
+                "calibration_ref": CALIBRATION_REF,
+                "stall_reruns": bt.stall_reruns,
+                "bench_schema": 2,
+                "normalization": (
+                    "per-block quick_cal(min-of-2) vs REF 0.152;"
+                    " queries_normalized comparable r11+ only;"
+                    " global(median-of-5) form r4+ in bench_diag.json"
                 ),
                 "sf": sf,
             }
