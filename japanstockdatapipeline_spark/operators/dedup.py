@@ -217,13 +217,31 @@ def minhash_lsh_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split signature into bands, bucket-join on
     (band_idx, band_hash). Emits distinct candidate pairs (id_a < id_b)
     with estimated Jaccard = fraction of matching minhashes.
 
     Scale shape: explode to bands (xN rows), shuffle on band key,
-    join within buckets only — never a cross join.
+    join within buckets only — never a cross join... UNLESS a bucket
+    itself goes quadratic. `max_bucket` (r12 verdict #6) is the
+    band-bucket analog of ngram_jaccard's max_df: on a corpus where a
+    shared boilerplate snippet dominates the shingle mins (the shape
+    that killed the uncapped Jaccard join), a single band bucket can
+    collect O(boiler_frac * n) docs and its self-join emits occ^2
+    pairs — superlinear in n with no cap. Buckets whose occupancy
+    exceeds `max_bucket` are STAR-REDUCED instead of all-paired: every
+    member pairs with the bucket's min id only (O(occ) edges). The
+    star keeps the bucket CONNECTED, so dup_clusters over the pairs
+    yields the same components as the uncapped form (property-tested);
+    what is lost is exhaustive pair ENUMERATION inside hot buckets —
+    a non-hub pair is emitted only if some other, colder band catches
+    it. Default None preserves the exact historical behavior (the
+    registered members' oracle replays it); production corpus-prep
+    passes a cap sized like max_df (hot buckets are boilerplate
+    artifacts, and the verified stage prunes false star edges
+    exactly).
     """
     if n_hashes % bands != 0:
         raise ValueError(
@@ -255,18 +273,47 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
+    if max_bucket is not None:
+        # occupancy + hub in ONE aggregation on the same (band, bucket)
+        # shuffle key the pair join uses — no new shuffle axis
+        occ = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__occ"), F.min("id").alias("__hub")
+        )
+        banded = banded.join(occ, ["band", "bucket"])
+        cold = banded.filter(F.col("__occ") <= max_bucket)
+        hot = banded.filter(F.col("__occ") > max_bucket)
+    else:
+        cold, hot = banded, None
+    a = cold.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
-    b = banded.select(
+    b = cold.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if hot is not None:
+        # star reduction: hub (the bucket's min id) x every other
+        # member — O(occ) rows per hot bucket, id_a < id_b by
+        # construction (hub is the min)
+        hubs = hot.filter(F.col("id") == F.col("__hub")).select(
+            "band", "bucket",
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        )
+        star = (
+            hot.filter(F.col("id") != F.col("__hub"))
+            .select(
+                "band", "bucket",
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+            )
+            .join(hubs, ["band", "bucket"])
+            .select("id_a", "id_b", "sig_a", "sig_b")
+        )
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -284,6 +331,7 @@ def lsh_verified_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """PRODUCTION two-stage near-dup: MinHash-LSH candidate generation
     -> EXACT shingle-Jaccard verification on the candidates only.
@@ -322,10 +370,15 @@ def lsh_verified_pairs(
     Scale: stage 2 is two equi-joins of the (small) candidate list
     back to the per-doc distinct-shingle arrays, then a pure array
     expression (array_intersect) per candidate row — no shuffle grows
-    with the corpus beyond the signature pass itself.
+    with the corpus beyond the signature pass itself. On
+    boilerplate-dominated corpora pass `max_bucket` (see
+    minhash_lsh_pairs): hot band buckets go occ^2 without it, and the
+    exact verify stage makes the star-reduced candidates precise for
+    free.
     """
     cand = minhash_lsh_pairs(
-        docs, n_hashes=n_hashes, bands=bands, k=k, id_col=id_col, text_col=text_col
+        docs, n_hashes=n_hashes, bands=bands, k=k, id_col=id_col,
+        text_col=text_col, max_bucket=max_bucket,
     ).select("id_a", "id_b")
     sh = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, cosine_similarity
 
-__all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk", "pq_adc_rerank_topk", "ivf_pq_rerank_topk", "ivf_pq_build", "ivf_pq_probe"]
+__all__ = ["kmeans_cells", "semdedup", "pq_codes", "pq_adc_topk", "pq_adc_rerank_topk", "ivf_pq_rerank_topk", "ivf_pq_build", "ivf_pq_probe", "probe_cells"]
 
 
 def _centroids_of(
@@ -66,6 +66,18 @@ def _as_centroid_row(cents: DataFrame) -> DataFrame:
     )
 
 
+def _train_subset(v: DataFrame, id_col: str, n: int, salt: str) -> DataFrame:
+    """Deterministic training sample: the n smallest rows by
+    (md5(salt:id), id) — a pure function of the id set, so any engine
+    (and any re-run) selects the identical members. The orderBy+limit
+    compiles to TakeOrderedAndProject: per-partition partial top-n,
+    then one n-row merge — never a full sort of the corpus."""
+    return v.orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    ).limit(n)
+
+
 def kmeans_cells(
     vecs: DataFrame,
     k: int = 8,
@@ -74,6 +86,7 @@ def kmeans_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_mode: str = "expr",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Assign each vector to a k-means cell (cosine Lloyd iterations).
 
@@ -99,7 +112,17 @@ def kmeans_cells(
     (same seeding, same 6dp HALF_UP argmax, same shrinkage; parity
     asserted in tests) at BLAS assignment cost. Use "blas" from
     build-time callers (index builds, stress); leave "expr" where the
-    plan must stay lazy."""
+    plan must stay lazy.
+
+    `train_sample` (r12 verdict #5, blas mode only): classic sampled
+    k-means training (Jégou et al. train quantizers on ~100k-1M
+    points) — the Lloyd TRAINING rounds run on the `train_sample`
+    smallest rows by (md5(id), id) (bit-pinned: a pure function of
+    the id set, so the selection replays identically anywhere), and
+    only the FINAL assignment pass touches the full corpus. With
+    train_sample >= corpus size the schedule degenerates to the
+    unsampled one (identical values — parity-tested); at 2M vectors
+    it removes the corpus from every training round."""
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
     # deterministic seeds: the k smallest ids (distributed partial
     # top-k, NOT a global window), cell = dense order by id
@@ -153,8 +176,12 @@ def kmeans_cells(
         # would crash with an AttributeError — a parity break at the
         # schedule edge (r11 advice)
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if train_sample is not None and assign_mode != "blas":
+        raise ValueError("train_sample requires assign_mode='blas'")
     if assign_mode == "blas":
-        return _kmeans_cells_blas(v, k, iters, id_col=id_col)
+        return _kmeans_cells_blas(
+            v, k, iters, id_col=id_col, train_sample=train_sample
+        )
     if assign_mode != "expr":
         raise ValueError(f"assign_mode must be 'expr' or 'blas', got {assign_mode!r}")
     a = assign(seed_row)
@@ -163,7 +190,14 @@ def kmeans_cells(
     return a.select(id_col, "cell", "cell_cos")
 
 
-def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> DataFrame:
+def _kmeans_cells_blas(
+    v: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    id_col: str,
+    train_sample: int | None = None,
+) -> DataFrame:
     """The BLAS Lloyd loop behind kmeans_cells(assign_mode="blas"):
     identical schedule and values, numpy assignment. Each round's
     centroid collect is k rows (bounded); the corpus is only ever
@@ -171,15 +205,25 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
     HALF-UP at 6dp with min-cell tie-break — sign-aware half-up
     (cosines go negative) so boundary behavior matches F.round; the
     canary certifies tested data sits clear of the boundaries the two
-    roundings could split."""
+    roundings could split.
+
+    With `train_sample`, Lloyd rounds 0..iters-2 assign only the
+    md5-pinned sample (persisted: each round's centroid recompute
+    re-executes its chain) and the FINAL round assigns the full
+    corpus with the sample-trained centroids — when the sample covers
+    the corpus this is exactly the unsampled schedule."""
     import numpy as np
     import pyarrow as pa
 
-    # seeding: the k smallest ids, cell = dense order by id (the same
-    # distributed partial top-k the expr path uses, then collected —
-    # k rows, never the corpus)
+    train = v
+    if train_sample is not None:
+        train = _train_subset(v, id_col, train_sample, "kmeans").persist()
+
+    # seeding: the k smallest ids OF THE TRAINING SET, cell = dense
+    # order by id (the same distributed partial top-k the expr path
+    # uses, then collected — k rows, never the corpus)
     seeds = (
-        v.orderBy(F.col(id_col).asc())
+        train.orderBy(F.col(id_col).asc())
         .limit(k)
         .sort(id_col)
         .select("__v")
@@ -265,8 +309,8 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
     for rnd in range(iters):
         if rnd > 0:
             # each round's assignment closes over DRIVER numpy
-            # centroids, so its subtree is always v.mapInPandas — the
-            # centroid collect executes the previous assignment
+            # centroids, so its subtree is always target.mapInArrow —
+            # the centroid collect executes the previous assignment
             # exactly once and nothing cascades or needs persisting
             crows = _centroids_of(a, "__v").sort("cell").collect()  # <= k rows
             cells_ids = [int(r["cell"]) for r in crows]
@@ -274,9 +318,16 @@ def _kmeans_cells_blas(v: DataFrame, k: int, iters: int, *, id_col: str) -> Data
         else:
             cells_ids = list(range(len(cents)))
             C = np.array(cents, dtype=np.float64)
-        a = v.select(id_col, "__v").mapInArrow(
+        # training rounds stay on the sample; only the LAST round
+        # (whose assignment is the returned value) sees the corpus
+        target = train if rnd < iters - 1 else v
+        a = target.select(id_col, "__v").mapInArrow(
             make_assign(cells_ids, C), schema=schema
         )
+    if train is not v:
+        # the returned plan closes over driver centroids only — the
+        # training chain is fully executed by the last collect above
+        train.unpersist()
     return a.select(
         id_col,
         "cell",
@@ -426,6 +477,8 @@ def _pq_reconstruct(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assign_mode: str = "expr",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou, Douze, Schmid, TPAMI 2011 — the
     IVF-PQ/FAISS compression scheme): the vector splits into `m`
@@ -448,12 +501,29 @@ def _pq_reconstruct(
     grain — the same one-shuffle elementwise mean as _centroids_of,
     m subspaces sharing a single aggregation. At 100 TB you would
     train the codebook on a sample and only run the (shuffle-free)
-    assignment over the corpus — the split is the same `assign`
-    closure applied to a fixed codebook row.
+    assignment over the corpus — `assign_mode="blas"` with
+    `train_sample` IS that split (r12 verdict #5): the Lloyd training
+    rounds run on the md5-pinned sample via a numpy driver loop
+    (identical schedule/seeding/6dp argmin/tie-break; centroid
+    recompute stays the SAME Spark aggregation so codebook doubles
+    are bit-identical), and one mapInArrow pass codes the full
+    corpus. With train_sample=None (or >= corpus) the blas mode is
+    value-identical to the expr plan — parity-tested.
     """
     dsub = dim // m
     if dsub * m != dim:
         raise ValueError(f"m={m} must divide dim={dim}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if train_sample is not None and assign_mode != "blas":
+        raise ValueError("train_sample requires assign_mode='blas'")
+    if assign_mode == "blas":
+        return _pq_reconstruct_blas(
+            vecs, m, k, iters, id_col=id_col, vec_col=vec_col, dim=dim,
+            train_sample=train_sample,
+        )
+    if assign_mode != "expr":
+        raise ValueError(f"assign_mode must be 'expr' or 'blas', got {assign_mode!r}")
     v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
 
     # seeds: the k smallest ids (distributed partial top-k), each
@@ -539,6 +609,181 @@ def _pq_reconstruct(
         "__v",
         recon.alias("__recon"),
     )
+
+
+def _pq_reconstruct_blas(
+    vecs: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """The BLAS/sampled PQ loop behind _pq_reconstruct(assign_mode=
+    "blas") — r12 verdict #5. Identical schedule to the expr plan:
+    seeds are the k smallest ids (of the training set), each round
+    argmins the 6dp HALF-UP-rounded squared L2 per subspace with
+    min-cell tie-break, empty cells shrink, and the codebook
+    recompute is the SAME Spark aggregation (_centroids_of over the
+    exploded (j, cell, sub-vector) grain), so codebook doubles are
+    bit-identical to the expr path's. Only the per-row argmin moves
+    to numpy (expanded ||x||^2 - 2xC + ||C||^2 — fp error ~1e-12 vs
+    the fold order, far inside the 5e-7 boundary epsilon the canary
+    certifies, the same argument as _adc_shortlist_blas). Training
+    rounds touch ONLY the md5-pinned sample; the final coding pass is
+    the corpus's single Arrow scan. Codebook transfer is k*dim
+    doubles per round — bounded, never corpus-sized."""
+    import numpy as np
+    import pyarrow as pa
+
+    dsub = dim // m
+    v = vecs.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
+    id_dt = v.schema[id_col].dataType.simpleString()
+    if id_dt not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"_pq_reconstruct(assign_mode='blas') needs an integral id; "
+            f"{id_col!r} is {id_dt} (use assign_mode='expr')"
+        )
+
+    train = v
+    if train_sample is not None:
+        train = _train_subset(v, id_col, train_sample, "pq").persist()
+
+    seeds = (
+        train.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .sort(id_col)
+        .select("__v")
+        .collect()
+    )
+    seed_mat = np.array([list(r["__v"]) for r in seeds], dtype=np.float64)
+
+    def make_assign(cb: list, final: bool):
+        # cb[j] = (cells_ids ascending, C (k_j x dsub)); distances in
+        # integer micro-units: floor(d2*1e6 + 0.5) == the expr path's
+        # round(-d2, 6) argmax (HALF_UP, d2 >= 0), first-wins argmin
+        # over ascending cells == the min-cell tie-break
+        cb_np = [
+            (np.array(cells_ids, dtype=np.int64), np.asarray(C, dtype=np.float64))
+            for cells_ids, C in cb
+        ]
+
+        def batches(it):
+            for rb in it:
+                n_rows = rb.num_rows
+                if n_rows == 0:
+                    continue
+                id_arr = rb.column(0)
+                flat = rb.column(1).flatten()
+                if rb.column(1).null_count or flat.null_count:
+                    raise ValueError(
+                        "_pq_reconstruct(assign_mode='blas'): null vector "
+                        "rows/elements are not supported"
+                    )
+                if len(flat) != n_rows * dim:
+                    raise ValueError(
+                        f"_pq_reconstruct(assign_mode='blas'): ragged "
+                        f"vector batch ({len(flat)} elements for {n_rows} "
+                        f"rows of dim {dim})"
+                    )
+                X = flat.to_numpy(zero_copy_only=False).reshape(n_rows, dim)
+                codes = np.empty((n_rows, m), dtype=np.int32)
+                recon = np.empty_like(X) if final else None
+                for j, (cells_ids, C) in enumerate(cb_np):
+                    Xj = X[:, j * dsub:(j + 1) * dsub]
+                    d2 = (
+                        (Xj * Xj).sum(axis=1, keepdims=True)
+                        - 2.0 * (Xj @ C.T)
+                        + (C * C).sum(axis=1)[None, :]
+                    )
+                    d2u = np.floor(d2 * 1e6 + 0.5)  # HALF_UP micro-units
+                    best = np.argmin(d2u, axis=1)  # first (min cell) wins
+                    codes[:, j] = cells_ids[best].astype(np.int32)
+                    if final:
+                        recon[:, j * dsub:(j + 1) * dsub] = C[best]
+                if final:
+                    code_str = pa.array(
+                        ["-".join(map(str, row)) for row in codes],
+                        type=pa.string(),
+                    )
+                    off = pa.array(
+                        np.arange(0, (n_rows + 1) * dim, dim, dtype=np.int32)
+                    )
+                    recon_arr = pa.ListArray.from_arrays(
+                        off, pa.array(recon.ravel(), type=pa.float64())
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [id_arr, code_str, rb.column(1), recon_arr],
+                        names=[id_col, "pq_code", "__v", "__recon"],
+                    )
+                else:
+                    off = pa.array(
+                        np.arange(0, (n_rows + 1) * m, m, dtype=np.int32)
+                    )
+                    codes_arr = pa.ListArray.from_arrays(
+                        off, pa.array(codes.ravel(), type=pa.int32())
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [id_arr, codes_arr, rb.column(1)],
+                        names=[id_col, "codes", "__v"],
+                    )
+
+        return batches
+
+    train_schema = f"{id_col} {id_dt}, codes array<int>, __v array<double>"
+    final_schema = (
+        f"{id_col} {id_dt}, pq_code string, __v array<double>, "
+        f"__recon array<double>"
+    )
+    cb = None
+    a = None
+    for rnd in range(iters):
+        if rnd > 0:
+            # recompute with the SAME Spark aggregation as the expr
+            # path: explode to (j, cell, sub-vector) grain, one
+            # shuffle, m subspaces sharing it; collect <= m*k rows
+            sliced = a.select(
+                "__v", F.posexplode("codes").alias("j", "cell")
+            ).select(
+                "j",
+                "cell",
+                F.slice("__v", F.col("j") * dsub + 1, F.lit(dsub)).alias("__sv"),
+            )
+            crows = (
+                _centroids_of(sliced, "__sv", keys=("j", "cell"))
+                .sort("j", "cell")
+                .collect()
+            )
+            percell: dict[int, list] = {}
+            for r in crows:
+                percell.setdefault(int(r["j"]), []).append(
+                    (int(r["cell"]), list(r["__cvec"]))
+                )
+            cb = [
+                (
+                    [c for c, _ in percell.get(j, [])],
+                    np.array(
+                        [vec for _, vec in percell.get(j, [])], dtype=np.float64
+                    ).reshape(-1, dsub),
+                )
+                for j in range(m)
+            ]
+        else:
+            cb = [
+                (list(range(len(seeds))), seed_mat[:, j * dsub:(j + 1) * dsub])
+                for j in range(m)
+            ]
+        final = rnd == iters - 1
+        target = v if final else train
+        a = target.select(id_col, "__v").mapInArrow(
+            make_assign(cb, final), schema=final_schema if final else train_schema
+        )
+    if train is not v:
+        train.unpersist()
+    return a
 
 
 def pq_codes(
@@ -775,6 +1020,8 @@ def ivf_pq_build(
     residual: bool = False,
     persisted_out: list | None = None,
     coarse_assign: str = "expr",
+    pq_assign: str = "expr",
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD half of ivf_pq_rerank_topk: (index, coarse centroids).
 
@@ -784,6 +1031,17 @@ def ivf_pq_build(
     (r11 verdict #3; the k=447 expr build cost 507 s where assignment
     is O(n*k*dim) expression evaluation per round). Default stays
     "expr" so registered members keep lazy plans.
+
+    `pq_assign="blas"` does the same for the PQ codebook half
+    (_pq_reconstruct_blas — the r11 2M build's dominant wall was the
+    O(n*m*k_cells*dsub) expression argmin per training round), and
+    `train_sample` (requires both assigns "blas") trains BOTH
+    quantizers on the md5-pinned n-row sample while every
+    corpus-sized pass stays a single assignment scan — the classic
+    sampled-training split (Jégou et al. train on ~100k-1M points).
+    The post-hoc probe centroids and the residuals are ALWAYS
+    computed over the full corpus membership, so the probe sees the
+    same centroid definition regardless of sampling.
 
     The index carries (neighbor_id, cell, __recon) — the compressed
     representation only, never the raw vectors (the probe joins raw
@@ -818,10 +1076,16 @@ def ivf_pq_build(
     An ANN index amortizes its build over many query batches —
     persist both returned frames too and reuse them across
     ivf_pq_probe calls (the stress harness measures the split)."""
+    if train_sample is not None and (
+        coarse_assign != "blas" or pq_assign != "blas"
+    ):
+        raise ValueError(
+            "train_sample requires coarse_assign='blas' and pq_assign='blas'"
+        )
     cells = (
         kmeans_cells(
             vecs, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col,
-            assign_mode=coarse_assign,
+            assign_mode=coarse_assign, train_sample=train_sample,
         )
         .select(id_col, "cell")
         .persist()
@@ -857,7 +1121,8 @@ def ivf_pq_build(
         if persisted_out is not None:
             persisted_out.append(rv)
         coded = _pq_reconstruct(
-            rv, m, k_cells, iters, id_col=id_col, vec_col="__res", dim=dim
+            rv, m, k_cells, iters, id_col=id_col, vec_col="__res", dim=dim,
+            assign_mode=pq_assign, train_sample=train_sample,
         )
         corpus = (
             coded.select(id_col, "__recon")
@@ -873,7 +1138,8 @@ def ivf_pq_build(
         )
         return corpus, cents
     coded = _pq_reconstruct(
-        vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
+        vecs, m, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        assign_mode=pq_assign, train_sample=train_sample,
     )
     corpus = coded.join(cells, id_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", "__recon"
@@ -937,19 +1203,7 @@ def ivf_pq_probe(
         F.col(q_id_col).alias("q_id"),
         as_double_array(F.col(q_vec_col)).alias("__qv"),
     )
-    probe_w = Window.partitionBy("q_id").orderBy(
-        F.col("__ccos").desc(), F.col("cell").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__ccos",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__centroid")), 6),
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= n_probe)
-        .select("q_id", "__qv", "cell")
-    )
+    probes = probe_cells(cents, q, n_probe)
     integral_ids = all(
         df_.schema[c_].dataType.simpleString()
         in ("bigint", "int", "smallint", "tinyint")
@@ -991,6 +1245,29 @@ def ivf_pq_probe(
         rerank.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def probe_cells(cents: DataFrame, q: DataFrame, n_probe: int) -> DataFrame:
+    """The probe-CELL selection shared by ivf_pq_probe and the disk-
+    probe footprint audit (tools/stress_ann.py): each query's n_probe
+    nearest coarse centroids by 6dp-rounded cosine with ascending-cell
+    tie-break — the module's argmax convention, bit-identical between
+    the serving path and any audit that asks 'which cells WOULD this
+    query touch'. `q` must expose (q_id, __qv); output is
+    (q_id, __qv, cell), O(queries * n_probe) rows."""
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__ccos",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__centroid")), 6),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("q_id", "__qv", "cell")
     )
 
 

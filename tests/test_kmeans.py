@@ -423,3 +423,113 @@ def test_kmeans_cells_blas_rejects_null_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="null vector"):
         kmeans_cells(df, k=2, iters=2, assign_mode="blas").collect()
+
+
+def test_pq_blas_matches_expression(spark, clustered):
+    """r12 verdict #5: the BLAS PQ loop (numpy argmin, Spark codebook
+    recompute) must be value-identical to the lazy expression plan —
+    same seeds, same 6dp HALF_UP distance argmin with min-cell ties,
+    same shrinkage, bit-identical codebook doubles."""
+    from japanstockdatapipeline_spark.operators.kmeans import _pq_reconstruct
+
+    for iters in (1, 2, 3):
+        expr = {
+            r["vec_id"]: (r["pq_code"], tuple(round(x, 6) for x in r["__recon"]))
+            for r in _pq_reconstruct(
+                clustered, m=4, k=5, iters=iters, dim=8
+            ).collect()
+        }
+        fast = {
+            r["vec_id"]: (r["pq_code"], tuple(round(x, 6) for x in r["__recon"]))
+            for r in _pq_reconstruct(
+                clustered, m=4, k=5, iters=iters, dim=8, assign_mode="blas"
+            ).collect()
+        }
+        assert expr == fast, f"iters={iters}"
+
+
+def test_pq_blas_sampled_covering_sample_is_identity(spark, clustered):
+    """train_sample >= corpus size must degenerate to the unsampled
+    schedule exactly (the md5 order selects every row)."""
+    from japanstockdatapipeline_spark.operators.kmeans import _pq_reconstruct
+
+    base = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in _pq_reconstruct(
+            clustered, m=4, k=5, iters=2, dim=8, assign_mode="blas"
+        ).collect()
+    )
+    sampled = sorted(
+        (r["vec_id"], r["pq_code"])
+        for r in _pq_reconstruct(
+            clustered, m=4, k=5, iters=2, dim=8, assign_mode="blas",
+            train_sample=10_000,
+        ).collect()
+    )
+    assert base == sampled
+
+
+def test_kmeans_blas_sampled_covering_sample_is_identity(spark, clustered):
+    from japanstockdatapipeline_spark.operators.kmeans import kmeans_cells
+
+    base = sorted(
+        map(tuple, kmeans_cells(clustered, k=3, iters=2, assign_mode="blas").collect())
+    )
+    sampled = sorted(
+        map(
+            tuple,
+            kmeans_cells(
+                clustered, k=3, iters=2, assign_mode="blas", train_sample=10_000
+            ).collect(),
+        )
+    )
+    assert base == sampled
+
+
+def test_ivf_pq_build_sampled_training_serves(spark, clustered):
+    """Sampled training with a REAL subsample (30 of 90 rows) must
+    still produce a servable index: every vector coded into a known
+    cell, deterministic across runs, and the probe's recall against
+    brute force stays high on the easy clustered fixture."""
+    from japanstockdatapipeline_spark.operators.kmeans import (
+        ivf_pq_build,
+        ivf_pq_probe,
+    )
+
+    queries = clustered.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+
+    def build_probe():
+        handles = []
+        index, cents = ivf_pq_build(
+            clustered, k_coarse=3, m=4, k_cells=8, dim=8, residual=True,
+            coarse_assign="blas", pq_assign="blas", train_sample=30,
+            persisted_out=handles,
+        )
+        got = ivf_pq_probe(
+            index, cents, queries, clustered, k=5, candidates=30, n_probe=3
+        ).collect()
+        assert index.count() == 90
+        for h in handles:
+            h.unpersist()
+        return sorted(map(tuple, got))
+
+    a, b = build_probe(), build_probe()
+    assert a == b  # deterministic across runs (md5-pinned sample)
+    got = {(q, n) for q, n, _, _ in a}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_pq_build_train_sample_requires_blas(spark, clustered):
+    import pytest
+
+    from japanstockdatapipeline_spark.operators.kmeans import ivf_pq_build
+
+    with pytest.raises(ValueError, match="train_sample"):
+        ivf_pq_build(clustered, dim=8, train_sample=10)

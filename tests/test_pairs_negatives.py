@@ -292,3 +292,72 @@ def test_bpe_train_matches_python_reference(spark, tmp_path):
     want = _py_bpe_train(texts, BPE_TRAIN_ROUNDS)
     assert got == want
     assert len(got) == BPE_TRAIN_ROUNDS  # this corpus never runs dry
+
+
+def test_minhash_max_bucket_noop_when_large(spark):
+    """max_bucket far above any occupancy must be pair-for-pair
+    identical to the uncapped form (est_jaccard included)."""
+    from japanstockdatapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"alpha beta gamma delta{i % 3} epsilon zeta{i % 2} eta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, minhash_lsh_pairs(df, n_hashes=8, bands=4).collect()))
+    capped = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(df, n_hashes=8, bands=4, max_bucket=10_000).collect(),
+        )
+    )
+    assert base == capped
+
+
+def test_minhash_max_bucket_star_bounds_hot_bucket_keeps_components(spark):
+    """r12 verdict #6: a mega-bucket (here 40 identical docs — every
+    band collides) must emit O(occ) star pairs instead of occ^2, and
+    connected components over the capped pairs must equal the
+    uncapped components (the star keeps each hot bucket connected)."""
+    from japanstockdatapipeline_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    hot = [(i, "the exact same boilerplate footer text every time") for i in range(40)]
+    cold = [(100 + i, f"unique{i} filler{i} content{i} tokens{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df, n_hashes=8, bands=4).select("id_a", "id_b")
+    capped = minhash_lsh_pairs(
+        df, n_hashes=8, bands=4, max_bucket=8
+    ).select("id_a", "id_b")
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc == 40 * 39 // 2  # the quadratic the cap exists to stop
+    assert n_cap == 39  # star: hub (min id 0) x 39 members
+    # identical components: all 40 hot docs in ONE cluster either way
+    cu = {
+        (r["id"], r["cluster"]) for r in dup_clusters(uncapped).collect()
+    }
+    cc = {(r["id"], r["cluster"]) for r in dup_clusters(capped).collect()}
+    assert cu == cc
+
+
+def test_lsh_verified_pairs_capped_still_exact_on_survivors(spark):
+    """Verified pairs under a cap are a SUBSET of the uncapped verified
+    set with identical Jaccard values on the shared pairs (the verify
+    stage computes TRUE Jaccard either way)."""
+    from japanstockdatapipeline_spark.operators.dedup import lsh_verified_pairs
+
+    hot = [(i, "the exact same boilerplate footer text every time") for i in range(20)]
+    cold = [(100 + i, f"unique{i} filler{i} content{i} tokens{i} here{i}") for i in range(5)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    unc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(df, threshold=0.5, n_hashes=8, bands=4).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(
+            df, threshold=0.5, n_hashes=8, bands=4, max_bucket=6
+        ).collect()
+    }
+    assert set(cap) <= set(unc)
+    assert all(unc[p] == j for p, j in cap.items())

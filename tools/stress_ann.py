@@ -93,19 +93,140 @@ def timed(name: str, fn, extra=None) -> object:
         return None
 
 
-def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
-    """Residual-coded IVFADC build/probe at the focus scale (200k via
-    stress_report's K=100): one build per (k_coarse, m, k_cells),
-    then (n_probe, candidates) sweeps. The grid exists to document
-    the DENSITY rule the 200k corpus exposed (each base vector has
-    100 near-replicas here vs 10 at 20k, with razor-thin cosine
-    gaps): the 20k-shipped 32-bit code (m=8 x 4-bit cells) becomes
-    shortlist-bound — recall saturates ~0.92 at c80 regardless of
-    n_probe and needs c640 to clear 0.95 — while one extra codebook
-    bit per subspace (k_cells=64, 48-bit codes) restores recall 0.99
-    at the SAME c80 shortlist. Code budget must scale with cluster
-    density (log2 of the per-cluster occupancy), not corpus size;
-    candidates is the expensive lever, k_cells the cheap one."""
+TRAIN_SAMPLE = 100_000  # the Jégou-style quantizer training sample
+
+
+def _drop_page_cache() -> bool:
+    """Best-effort OS page-cache drop so a 'cold' disk probe is cold
+    for real (the container runs as root; containers without /proc
+    write access just report cache_dropped=false)."""
+    try:
+        import subprocess
+
+        subprocess.run(["sync"], check=True, timeout=60)
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except Exception:
+        return False
+
+
+def _disk_probe(
+    spark, index, cents, queries, corpus, n, *, k_coarse, m, k_cells,
+    n_probe, cand, with_recall,
+) -> None:
+    """r12 verdict #4: probe the index FROM DISK, clustered by cell.
+    All prior probe walls ride a persisted in-memory index; the 100-TB
+    serving story is parquet clustered on the probe key, where the
+    `isin(probed_cells)` filter prunes whole files/row-groups via
+    footer min/max stats (no cluster holds a 100-TB index in cache).
+    Writes the codes index range-partitioned + sorted by cell, audits
+    the FOOTPRINT (files / row-groups whose cell range intersects the
+    probed set — the bytes a stats-pruning scan must touch) for a
+    SMALL serving batch and the full query set, and times the probe
+    cold (page cache dropped) and warm."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from japanstockdatapipeline_spark.functions.vectors import as_double_array
+    from japanstockdatapipeline_spark.operators.kmeans import (
+        ivf_pq_probe,
+        probe_cells,
+    )
+
+    path = "/tmp/stress_ivf_index.parquet"
+    n_files = max(16, 2 * k_coarse)
+    t0 = time.time()
+    (
+        index.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    write_sec = round(time.time() - t0, 2)
+    disk = spark.read.parquet(path)
+
+    def footprint(qs):
+        qv = qs.select(
+            F.col("q_id"), as_double_array(F.col("q_vec")).alias("__qv")
+        )
+        probed = sorted(
+            r["cell"]
+            for r in probe_cells(cents, qv, n_probe).select("cell").distinct().collect()
+        )
+        files = sorted(glob.glob(path + "/*.parquet"))
+        f_hit = rg_total = rg_hit = 0
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            hit = False
+            for r in range(md.num_row_groups):
+                rg = md.row_group(r)
+                rg_total += 1
+                col = next(
+                    rg.column(j)
+                    for j in range(rg.num_columns)
+                    if rg.column(j).path_in_schema == "cell"
+                )
+                mn, mx = col.statistics.min, col.statistics.max
+                if any(mn <= c <= mx for c in probed):
+                    rg_hit += 1
+                    hit = True
+            f_hit += hit
+        return probed, len(files), f_hit, rg_total, rg_hit
+
+    # serving-batch footprint: a SMALL batch probes few cells, so the
+    # clustered layout prunes most files — the fraction the fanout
+    # argument (n_probe/k_coarse per query) predicts
+    small = queries.orderBy("q_id").limit(8)
+    for tag, qs in (("batch8", small), ("full", queries)):
+        probed, nf, fh, rgt, rgh = footprint(qs)
+        print(json.dumps({
+            "op": f"ivfadc_disk_footprint_{tag}_k{k_coarse}_m{m}_kc{k_cells}",
+            "n_corpus": n, "n_queries": qs.count(), "n_probe": n_probe,
+            "probed_cells": len(probed), "k_coarse": k_coarse,
+            "n_files": nf, "files_touched": fh,
+            "rowgroups": rgt, "rowgroups_touched": rgh,
+        }))
+
+    dropped = _drop_page_cache()
+    t0 = time.time()
+    rec = with_recall(
+        ivf_pq_probe(
+            disk, cents, queries, corpus, k=K_NN,
+            candidates=cand, n_probe=n_probe,
+        )
+    )
+    cold_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_pq_probe(
+        disk, cents, queries, corpus, k=K_NN, candidates=cand, n_probe=n_probe
+    ).count()
+    warm_sec = round(time.time() - t0, 2)
+    rec.update({
+        "op": f"ivfadc_disk_probe_k{k_coarse}_m{m}_kc{k_cells}_p{n_probe}_c{cand}",
+        "n_corpus": n, "write_sec": write_sec, "cache_dropped": dropped,
+        "cold_sec": cold_sec, "warm_sec": warm_sec,
+        # actual files written (range partitions with no rows write none)
+        "n_files": len(glob.glob(path + "/*.parquet")),
+        "sec": cold_sec,
+    })
+    print(json.dumps(rec))
+
+
+def _ivfadc_focus(spark, corpus, queries, n: int, with_recall) -> None:
+    """Residual-coded IVFADC build/probe at the focus scales. The 200k
+    grid documents the DENSITY rule (code budget scales with log2 of
+    per-cluster occupancy — k_cells=64 restores recall 0.99 at the
+    same c80 shortlist where the 20k-shipped 32-bit code saturates at
+    0.92) plus the BLAS build-cost curve. The 2M grid is the r12
+    CODE-BUDGET SWEEP (verdict #1): k_cells x m at the shipped probe
+    dial, every build SAMPLED-trained (verdict #5: both quantizers
+    train on the md5-pinned 100k sample, assignment is the only
+    full-corpus pass) — the r11 unsampled kc64 build cost 1,035 s and
+    recalled 0.727/0.806; the sweep finds the >=0.95-recall code at a
+    fraction of that build wall. One config also probes FROM DISK
+    (verdict #4, _disk_probe)."""
     from japanstockdatapipeline_spark.operators.kmeans import (
         ivf_pq_build,
         ivf_pq_probe,
@@ -113,50 +234,63 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
 
     k_sqrt = int(math.isqrt(n))
     p_sqrt = max(2, round(k_sqrt / 16))
+    ts = TRAIN_SAMPLE
+    # rows: (k_coarse, m, k_cells, coarse_assign, pq_assign,
+    #        train_sample, disk, sweeps)
     if n > 500_000:
-        # the CROSSOVER grid (r11): at 2M vectors the brute scan is
-        # compute-bound, so the probe's n_probe/k_coarse fraction
-        # finally shows up in wall clock instead of drowning in the
-        # fixed 4-job machinery that floors both at 200k. The SHIPPED
-        # dial (k16/p2, 1/8 fraction, density-scaled code — the
-        # 0.993-recall point at 200k), with a deeper-shortlist hedge.
-        grid = ((16, 8, 64, "blas", ((2, 80), (2, 320))),)
+        grid = (
+            # r11 shipped dial, now sampled-trained: the build-wall and
+            # recall-parity reference against the 1,035 s unsampled r11
+            # row (recall there: 0.727 c80 / 0.806 c320)
+            (16, 8, 64, "blas", "blas", ts, False, ((2, 80), (2, 320))),
+            # the code-budget sweep: +1/+2 codebook bits per subspace
+            (16, 8, 128, "blas", "blas", ts, False, ((2, 80), (2, 320))),
+            (16, 8, 256, "blas", "blas", ts, False, ((2, 80), (2, 320))),
+            # halve dsub instead: 16 subspaces of 4 dims
+            (16, 16, 64, "blas", "blas", ts, True, ((2, 80), (2, 320))),
+            (16, 16, 128, "blas", "blas", ts, False, ((2, 80),)),
+            (16, 16, 256, "blas", "blas", ts, False, ((2, 80),)),
+        )
     else:
         grid = (
-        # 20k-shipped code (32-bit): the shortlist-dependence sweep
-        (16, 8, 16, "expr", ((2, 80), (2, 320), (2, 640))),
-        # density-scaled code (48-bit): same shortlist, recall back
-        (16, 8, 64, "expr", ((2, 80),)),
-        # r11 build-cost curve in k_coarse at the BLAS assignment
-        # (verdict #3): the expr assignment is O(n*k*dim) expression
-        # evaluation per round (r10: 507 s at k=447 vs 123 s at 64);
-        # the BLAS Lloyd should flatten the curve to ~the k-free
-        # centroid re-agg + PQ training cost
-        (16, 8, 64, "blas", ()),
-        # probe fraction must TRACK k_coarse: p2 probes 2/64 of the
-        # corpus (recall drops), p8 restores the 1/8 fraction of the
-        # shipped k16/p2 dial
-        (64, 8, 64, "blas", ((2, 80), (8, 80))),
-        # k ~ sqrt(n) production pairing with the density-scaled code
-        (k_sqrt, 8, 64, "blas", ((p_sqrt, 80),)),
+            # 20k-shipped code (32-bit): the shortlist-dependence sweep
+            (16, 8, 16, "expr", "expr", None, False, ((2, 80), (2, 320), (2, 640))),
+            # density-scaled code (48-bit): same shortlist, recall back
+            (16, 8, 64, "expr", "expr", None, False, ((2, 80),)),
+            # r11 build-cost curve in k_coarse at the BLAS coarse
+            # assignment (pq still expr — the r11 continuity row)
+            (16, 8, 64, "blas", "expr", None, False, ()),
+            # r12: BLAS PQ + sampled training at 200k, with the disk
+            # probe (verdict #4 asks the cold-index wall at BOTH scales)
+            (16, 8, 64, "blas", "blas", ts, True, ((2, 80),)),
+            # probe fraction must TRACK k_coarse: p2 probes 2/64 of the
+            # corpus (recall drops), p8 restores the 1/8 fraction
+            (64, 8, 64, "blas", "expr", None, False, ((2, 80), (8, 80))),
+            # k ~ sqrt(n) production pairing with the density-scaled code
+            (k_sqrt, 8, 64, "blas", "expr", None, False, ((p_sqrt, 80),)),
         )
-    for k_coarse, m, k_cells, coarse_assign, sweeps in grid:
+    for k_coarse, m, k_cells, coarse_assign, pq_assign, tsamp, disk, sweeps in grid:
         t_b = time.time()
         handles: list = []
         index, cents = ivf_pq_build(
             corpus, k_coarse=k_coarse, m=m, k_cells=k_cells,
             residual=True, persisted_out=handles, coarse_assign=coarse_assign,
+            pq_assign=pq_assign, train_sample=tsamp,
         )
         index = index.persist()
         cents = cents.persist()
         index.count()
         cents.count()
         build_sec = round(time.time() - t_b, 2)
+        tag = coarse_assign + ("_pqblas" if pq_assign == "blas" else "")
+        if tsamp:
+            tag += f"_ts{tsamp // 1000}k"
         if not sweeps:
             print(json.dumps({
-                "op": f"ivfadc_build_k{k_coarse}_m{m}_kc{k_cells}_{coarse_assign}",
+                "op": f"ivfadc_build_k{k_coarse}_m{m}_kc{k_cells}_{tag}",
                 "n_corpus": n, "k_coarse": k_coarse,
-                "coarse_assign": coarse_assign, "build_sec": build_sec,
+                "coarse_assign": coarse_assign, "pq_assign": pq_assign,
+                "train_sample": tsamp, "build_sec": build_sec,
                 "sec": build_sec,
             }))
         for n_probe, cand in sweeps:
@@ -175,7 +309,8 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
                 walls.append(round(time.time() - t_p, 2))
             rec.update(
                 {
-                    "op": f"ivfadc_focus_k{k_coarse}_m{m}_kc{k_cells}_p{n_probe}_c{cand}",
+                    "op": f"ivfadc_focus_k{k_coarse}_m{m}_kc{k_cells}_p{n_probe}_c{cand}"
+                    + (f"_ts{tsamp // 1000}k" if tsamp else ""),
                     "n_corpus": n,
                     "k_coarse": k_coarse,
                     "m": m,
@@ -183,6 +318,8 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
                     "n_probe": n_probe,
                     "candidates": cand,
                     "coarse_assign": coarse_assign,
+                    "pq_assign": pq_assign,
+                    "train_sample": tsamp,
                     "build_sec": build_sec,
                     "probe_sec": min(walls),
                     "probe_walls": walls,
@@ -190,6 +327,13 @@ def _ivfadc_focus(corpus, queries, n: int, with_recall) -> None:
             )
             rec["sec"] = round(build_sec + rec["probe_sec"], 2)
             print(json.dumps(rec))
+        if disk and sweeps:
+            n_probe, cand = sweeps[0]
+            _disk_probe(
+                spark, index, cents, queries, corpus, n,
+                k_coarse=k_coarse, m=m, k_cells=k_cells,
+                n_probe=n_probe, cand=cand, with_recall=with_recall,
+            )
         index.unpersist()
         cents.unpersist()
         for h in handles:
@@ -258,7 +402,7 @@ def main() -> None:
         # the k ~ sqrt(n) and n_probe extrapolations measured at 20k
         # still hold an order of magnitude up: recall >= 0.95 at the
         # scaled dials, probe wall sublinear vs the brute scan.
-        _ivfadc_focus(corpus, queries, n, with_recall)
+        _ivfadc_focus(spark, corpus, queries, n, with_recall)
         return
 
     # hard-negative mining (round-8): same BLAS scan with the

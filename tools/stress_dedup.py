@@ -288,6 +288,131 @@ def _focus_maxdf(spark) -> None:
         }))
 
 
+def _band_occupancy(docs, n_hashes: int, bands: int, k: int = 3):
+    """Band-bucket occupancy profile for the minhash banding — the
+    direct evidence of the hot-bucket skew the max_bucket cap bounds
+    (same banding expression as minhash_lsh_pairs)."""
+    from japanstockdatapipeline_spark.operators.dedup import minhash_signature
+
+    rpb = n_hashes // bands
+    sig = minhash_signature(docs, n_hashes, k)
+    banded = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rpb + j + 1).cast("string")
+                                for j in range(rpb)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bucket")
+    occ = banded.groupBy("band", "bucket").count().persist()
+    top = [int(r["count"]) for r in occ.orderBy(F.col("count").desc()).limit(5).collect()]
+    over = {
+        str(t): occ.filter(F.col("count") > t).count()
+        for t in (256, 1024, 16384, 262144)
+    }
+    nb = occ.count()
+    occ.unpersist()
+    return top, over, nb
+
+
+def _focus_lshadv(spark) -> None:
+    """r12 verdict #6: adversarial LSH/cluster stress on the
+    30%-boilerplate corpus — the SHAPE that broke the uncapped Jaccard
+    join. dedup10x's replica corpus truncates replicas toward empty,
+    so its LSH walls ride a gentler pair curve than a real
+    boilerplate-heavy crawl: here one shared footer dominates the
+    shingle minima, so per band a single bucket collects
+    O(boiler_frac * n * p^2) docs and the bucket self-join emits occ^2
+    pairs — superlinear in n with no cap. Measures (1) the uncapped
+    pair-volume curve at survivable sizes (the n^2 slope), (2) the
+    bucket-occupancy histogram at 1.5M docs under the production 32/16
+    banding, (3) the max_bucket-capped wall flat to 1.5M with
+    clustering over the star-reduced pairs, and (4) capped-vs-uncapped
+    VERIFIED-set equivalence at 50k (boiler-only overlap is J ~ 0.25 <
+    the 0.5 threshold, so the verified answers agree while the costs
+    diverge — the max_df argument, replayed for band buckets)."""
+    CAP = 1024
+    # uncapped: the superlinear curve. Measured anchor: 5k docs emit
+    # ~1.0M candidate pairs (the mega bucket captures ~75% of the
+    # boiler docs per band), so volume ~ 40n^2 — 50k is ~100M pairs
+    # and 100k would be ~400M (tens of minutes); the curve stops at
+    # the survivable sizes, like the maxdf sweep
+    for n in (10_000, 25_000, 50_000):
+        d = build_boiler_corpus(spark, n_docs=n).persist()
+        d.count()
+        timed(
+            f"lsh_pairs_uncapped_boiler_{n // 1000}k",
+            lambda dd=d: minhash_lsh_pairs(dd, n_hashes=32, bands=16).count(),
+            extra={"n_docs": n, "boiler_frac": 0.3},
+        )
+        d.unpersist()
+    # answer equivalence at 50k: capped and uncapped verified sets
+    d = build_boiler_corpus(spark, n_docs=50_000).persist()
+    d.count()
+    unc = timed(
+        "lsh_verified_uncapped_boiler_50k",
+        lambda: lsh_verified_pairs(d, threshold=0.5, n_hashes=32, bands=16).count(),
+        extra={"n_docs": 50_000},
+    )
+    cap = timed(
+        "lsh_verified_capped_boiler_50k",
+        lambda: lsh_verified_pairs(
+            d, threshold=0.5, n_hashes=32, bands=16, max_bucket=CAP
+        ).count(),
+        extra={"n_docs": 50_000, "max_bucket": CAP},
+    )
+    print(json.dumps({
+        "op": "lsh_verified_cap_equivalence_50k",
+        "uncapped_rows": unc, "capped_rows": cap, "equal": unc == cap,
+    }))
+    d.unpersist()
+    # capped: flat to 1.5M — occupancy histogram, verified pairs, and
+    # connected components over the star-reduced candidates (one
+    # ~450k-doc boilerplate component exercises pointer doubling on a
+    # giant star)
+    for n in (400_000, 1_500_000):
+        d = build_boiler_corpus(spark, n_docs=n).persist()
+        d.count()
+        if n == 1_500_000:
+            t0 = time.time()
+            top, over, nb = _band_occupancy(d, 32, 16)
+            print(json.dumps({
+                "op": "lsh_bucket_occupancy_1500k",
+                "sec": round(time.time() - t0, 2),
+                "n_buckets": nb, "top5_occupancy": top,
+                "buckets_over": over, "n_docs": n,
+            }))
+        timed(
+            f"lsh_verified_capped_boiler_{n // 1000}k",
+            lambda dd=d: lsh_verified_pairs(
+                dd, threshold=0.5, n_hashes=32, bands=16, max_bucket=CAP
+            ).count(),
+            extra={"n_docs": n, "max_bucket": CAP},
+        )
+        if n == 1_500_000:
+            timed(
+                "dup_clusters_capped_boiler_1500k",
+                lambda dd=d: dup_clusters(
+                    minhash_lsh_pairs(
+                        dd, n_hashes=32, bands=16, max_bucket=CAP
+                    ).select("id_a", "id_b")
+                ).count(),
+                extra={"n_docs": n, "max_bucket": CAP},
+            )
+        d.unpersist()
+
+
 def _focus_dedup10x(spark, sf_dir: str, k: int) -> None:
     """r11 verdict #7: the dedup extrapolations validated an order of
     magnitude up (~10x the K=30 suite): exact dedup, the production
@@ -335,6 +460,10 @@ def main() -> None:
         return
     if "--focus-dedup10x" in sys.argv:
         _focus_dedup10x(spark, sf_dir, k)
+        return
+    if "--focus-lshadv" in sys.argv:
+        print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
+        _focus_lshadv(spark)
         return
     t0 = time.time()
     build(spark, sf_dir, k)

@@ -159,8 +159,14 @@ def main() -> int:
         ("dedup10x", [sys.executable, "tools/stress_dedup.py", "300", "--focus-dedup10x"]),
         # r11 verdict #2 follow-through: the probe-vs-brute CROSSOVER
         # point — at 2M vectors the brute scan is compute-bound and
-        # the probe's n_probe/k_coarse fraction shows up in wall clock
+        # the probe's n_probe/k_coarse fraction shows up in wall clock.
+        # r12: the grid is the CODE-BUDGET sweep (k_cells x m, sampled
+        # training) + the disk-clustered probe
         ("ann2m", [sys.executable, "tools/stress_ann.py", "1000", "--focus-ivfadc"]),
+        # r12 verdict #6: adversarial band-bucket stress on the
+        # boilerplate corpus (uncapped n^2 curve, occupancy histogram,
+        # max_bucket-capped walls flat to 1.5M docs)
+        ("lshadv", [sys.executable, "tools/stress_dedup.py", "--focus-lshadv"]),
     ):
         ops = run_harness(cmd)
         for op, rec in ops.items():
