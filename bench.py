@@ -206,7 +206,14 @@ def bench_ann_split(bt: BlockTimer, sf_dir: str):
     build stays persisted and the probe runs N_RUNS against it — the
     per-query-batch serving wall an ANN rollout actually pays.
     Returns a cleanup thunk; the caller runs it AFTER the stall guard
-    (the probe's re-run/re-time thunks need the persisted index)."""
+    (the probe's re-run/re-time thunks need the persisted index).
+
+    The dial is PINNED at (k_coarse=8, m=8, k_cells=16) — the
+    sf0.1-density operating point, kept fixed for r11<->r12 wall
+    comparability. The production DEFAULT dial tracks the 2M-measured
+    code budget instead (r12 sweep; STRESS ann2m rows carry those
+    walls), so this block measures the serving MACHINERY round over
+    round, not the default's changing workload."""
     from japanstockdatapipeline_spark.operators.kmeans import (
         ivf_pq_build,
         ivf_pq_probe,

@@ -935,9 +935,9 @@ def ivf_pq_rerank_topk(
     k: int = 5,
     candidates: int = 80,
     n_probe: int = 2,
-    k_coarse: int = 8,
-    m: int = 8,
-    k_cells: int = 16,
+    k_coarse: int = 16,
+    m: int = 16,
+    k_cells: int = 64,
     iters: int = 2,
     *,
     id_col: str = "vec_id",
@@ -973,14 +973,20 @@ def ivf_pq_rerank_topk(
          (broadcast), so full-precision math never touches the probed
          corpus slice
 
-    The recall dials are (residual, n_probe, candidates): n_probe buys
-    back what the coarse cut loses, candidates what the compression
-    loses, and residual coding attacks the compression loss itself
-    (STRESS sweeps all three). The DEFAULTS are the measured-dominant
-    operating point on the 20k stress corpus (SCALE.md): residual
-    coding at n_probe=2, candidates=80 reached recall 1.0 at probe
-    cost below brute force, where direct coding saturated at 0.935
-    until candidates=320. Scale shape: every stage is a broadcast or
+    The recall dials are (residual, n_probe, candidates, and the code
+    budget m*log2(k_cells)): n_probe buys back what the coarse cut
+    loses, candidates what the compression loses, residual coding
+    attacks the compression loss itself, and the code budget must
+    scale with CLUSTER DENSITY (log2 of per-cluster occupancy — the
+    r10 rule, re-measured at every scale since). The DEFAULTS are the
+    r12 2M-vector sweep's winner (SCALE.md): k_coarse=16, m=16,
+    k_cells=64 (96-bit codes — halving dsub beat adding codebook bits
+    at equal budget), residual, n_probe=2, candidates=80 → recall
+    0.952 at 0.08-0.11x the warm brute wall, with the CHEAPEST build
+    of the sweep (85 s sampled at 2M). The registered members pin the
+    small-corpus (m=8, k_cells=16) dial instead — density at 500
+    vectors doesn't need 96-bit codes, and the oracle replays that
+    dial bit-for-bit. Scale shape: every stage is a broadcast or
     an equi-join on the cell id — queries broadcast, centroids and
     codebooks are one tiny row each, and the only corpus-sized
     shuffles are the quantizer/codebook re-aggs; the ADC scan touches
@@ -1009,9 +1015,9 @@ def ivf_pq_rerank_topk(
 
 def ivf_pq_build(
     vecs: DataFrame,
-    k_coarse: int = 8,
-    m: int = 8,
-    k_cells: int = 16,
+    k_coarse: int = 16,
+    m: int = 16,
+    k_cells: int = 64,
     iters: int = 2,
     *,
     id_col: str = "vec_id",

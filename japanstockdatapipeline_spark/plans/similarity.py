@@ -854,9 +854,14 @@ def _register_ivfpq_topk() -> None:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
+        # the member PINS (m=8, k_cells=16): the oracle CTE replays
+        # exactly this 32-bit dial, and at the registered 500-vector
+        # scale the density rule wants the SMALL code — the production
+        # default dial (ivf_pq_build) tracks the 2M-measured budget
+        # instead (r12 sweep) and must not leak in here
         return ivf_pq_rerank_topk(
             emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8,
-            residual=False,
+            m=8, k_cells=16, residual=False,
         )
 
     fn.__name__ = "embedding_ivfpq_topk"
@@ -943,9 +948,12 @@ def _register_ivfadc_topk() -> None:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
+        # pinned (m=8, k_cells=16) like embedding_ivfpq_topk — the
+        # oracle replays this dial; production defaults track the 2M
+        # sweep
         return ivf_pq_rerank_topk(
             emb, _queries_df(emb), k=5, candidates=20, n_probe=2, k_coarse=8,
-            residual=True,
+            m=8, k_cells=16, residual=True,
         )
 
     fn.__name__ = "embedding_ivfadc_topk"

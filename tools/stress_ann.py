@@ -246,8 +246,16 @@ def _ivfadc_focus(spark, corpus, queries, n: int, with_recall) -> None:
             # the code-budget sweep: +1/+2 codebook bits per subspace
             (16, 8, 128, "blas", "blas", ts, False, ((2, 80), (2, 320))),
             (16, 8, 256, "blas", "blas", ts, False, ((2, 80), (2, 320))),
-            # halve dsub instead: 16 subspaces of 4 dims
-            (16, 16, 64, "blas", "blas", ts, True, ((2, 80), (2, 320))),
+            # halve dsub instead (16 subspaces of 4 dims, 96-bit
+            # codes): the r12-measured DEFAULT dial — recall >= 0.95
+            # at the shipped c80 shortlist with the CHEAPEST build of
+            # the sweep. The n_probe=4 rows decompose the residual
+            # recall loss (c320 recall saturates identically across
+            # code budgets — the coarse probe, not the code, owns the
+            # last ~3% at p2/k16), and this config also carries the
+            # disk-clustered probe audit
+            (16, 16, 64, "blas", "blas", ts, True,
+             ((2, 80), (2, 320), (4, 80), (4, 320))),
             (16, 16, 128, "blas", "blas", ts, False, ((2, 80),)),
             (16, 16, 256, "blas", "blas", ts, False, ((2, 80),)),
         )
@@ -263,6 +271,9 @@ def _ivfadc_focus(spark, corpus, queries, n: int, with_recall) -> None:
             # r12: BLAS PQ + sampled training at 200k, with the disk
             # probe (verdict #4 asks the cold-index wall at BOTH scales)
             (16, 8, 64, "blas", "blas", ts, True, ((2, 80),)),
+            # r12: the NEW default dial (m=16, kc=64 — the 2M sweep
+            # winner) back-checked at 200k density
+            (16, 16, 64, "blas", "blas", ts, False, ((2, 80),)),
             # probe fraction must TRACK k_coarse: p2 probes 2/64 of the
             # corpus (recall drops), p8 restores the 1/8 fraction
             (64, 8, 64, "blas", "expr", None, False, ((2, 80), (8, 80))),
