@@ -102,11 +102,21 @@ def quality_score(text: Column) -> Column:
 TEXT_STAGE_NAMES = ("__ts_nt", "__ts_sl", "__ts_sw", "__ts_np", "__ts_ln")
 
 
-def text_stat_stage_cols(text: Column) -> list:
+def text_stat_stage_cols(text: Column, toks: Column | None = None) -> list:
     """The five integer counts every exact text-stat output derives
     from, staged under the TEXT_STAGE_NAMES aliases (one tokenize
-    per row; CollapseProject keeps the stage apart)."""
-    toks = tokens(text)
+    per row; CollapseProject keeps the stage apart).
+
+    `toks` (r12 optimization round, guide §2.3 "project early" applied
+    to per-row CPU): a pre-staged token-array COLUMN to derive the
+    counts from instead of re-tokenizing — the three token-consuming
+    counts each inline their own `tokens(text)` otherwise, and
+    Catalyst's common-subexpression pass does not merge trees that
+    differ only in lambda-variable ids, so a caller that stages
+    `tokens(text)` once (doc_features_fused's `__tk`) saves two full
+    split-and-filter passes per row. Value-identical: the expressions
+    are the same, applied to the same array."""
+    toks = tokens(text) if toks is None else toks
     return [
         F.size(toks).cast("bigint").alias("__ts_nt"),
         F.aggregate(
@@ -198,13 +208,44 @@ def lang_id(text: Column) -> Column:
     return pred
 
 
+def lang_id_from_tokens_sql(toks_sql: str) -> Column:
+    """Single-pass SQL form of `lang_id` over a (pre-staged) token
+    array (r12 optimization round): ONE fold accumulates all four
+    marker-hit counters (the Column form builds four separate
+    `filter` passes, each inlining its own lowered-token transform),
+    and the aggregate's `finish` lambda applies the identical
+    fixed-order strictly-greater tie-break — the same CASE chain the
+    member oracle states, which the Column form's fold was proven
+    equivalent to by that oracle. Value-identical by construction and
+    by the doc_lang_id / panel oracles."""
+    sets = {
+        lang: "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    merge = ", ".join(
+        f"acc.{lang} + if(x in {sets[lang]}, 1, 0) as {lang}" for lang in sets
+    )
+    init = ", ".join(f"0 as {lang}" for lang in sets)
+    return F.expr(
+        f"aggregate(transform({toks_sql}, t -> lower(t)), "
+        f"struct({init}), "
+        f"(acc, x) -> struct({merge}), "
+        "acc -> case "
+        "when acc.zh > acc.es and acc.zh > acc.fr and acc.zh > acc.de and acc.zh > 0 then 'zh' "
+        "when acc.es > acc.fr and acc.es > acc.de and acc.es > 0 then 'es' "
+        "when acc.fr > acc.de and acc.fr > 0 then 'fr' "
+        "when acc.de > 0 then 'de' "
+        "else 'en' end)"
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Canonicalized exact-dup fingerprint: lower, collapse whitespace, md5."""
     canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(canon)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def shingles(text: Column, k: int = 3, toks: Column | None = None) -> Column:
     """k-token shingles (distinct), as array<string> — the unit set for
     n-gram Jaccard / MinHash dedup.
 
@@ -212,8 +253,12 @@ def shingles(text: Column, k: int = 3) -> Column:
     ~60x slower and per-position element_at ~6x slower than zipping k
     literal-start slices — arrays_zip allocates k arrays per ROW, not
     per shingle, and the transform is then a flat struct walk.
+
+    `toks` optionally supplies a pre-staged lower-token array column
+    (r12 optimization round) so a fused caller skips the tokenize pass
+    — value-identical.
     """
-    toks = tokens(F.lower(text))
+    toks = tokens(F.lower(text)) if toks is None else toks
     n = F.size(toks)
     m = n - (k - 1)
     z = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])

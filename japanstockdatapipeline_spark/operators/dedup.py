@@ -406,28 +406,56 @@ def lsh_verified_pairs(
     )
 
 
-def simhash_expr(text):
-    """SimHash as a pure Column expression over a text column — shared
-    by the `simhash` operator and the fused one-pass document-feature
-    form (`doc_features_fused`), so both stay bit-identical."""
-    h = F.transform(tokens(F.lower(text)), lambda s: _md5_hash64(s, 0))
+def simhash_tokens_sql(text_sql: str) -> str:
+    """SQL fragment for the simhash token array (whitespace tokens of
+    the lowered text) — the exact SQL twin of
+    `functions.text.tokens(F.lower(text))`."""
+    return f"filter(split(trim(lower({text_sql})), '\\\\s+'), t -> t <> '')"
 
-    def bit_vote(bit):
-        def f(acc, x):
-            return acc + F.when(
-                F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
 
-        return f
+def simhash_from_tokens_sql(toks_sql: str) -> str:
+    """SQL for the single-pass 60-bit SimHash over a token-array SQL
+    fragment (r12 optimization round, guide §1/§4-adjacent: the prior
+    form built 60 separate `F.aggregate` folds in Python — ~4 s of
+    py4j round trips PER CONSTRUCTION — and, because each fold inlined
+    the md5 token-hash transform with fresh lambda ids, Catalyst's
+    common-subexpression pass could not merge them, so every row paid
+    60 redundant md5 passes over its tokens: 28.2 s vs 2.0 s noop at
+    sf0.1, value-identical by test and oracle).
 
-    bit_cols = []
-    for bit in range(60):  # 60 bits from the 15-hex-char hash
-        vote = F.aggregate(h, F.lit(0), bit_vote(bit))
-        bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**bit).cast("bigint"))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return sim
+    One fold: the accumulator carries the 60 per-bit one-counts plus
+    the token count; the aggregate's `finish` lambda binds the final
+    accumulator once (the only let-binding SQL expressions have) and
+    derives the hash: bit b is set iff the +1/-1 vote is positive,
+    i.e. iff 2*count_b > n (strict, matching the legacy strict `> 0`
+    vote). `coalesce(..., 0)` preserves the legacy NULL-text behavior
+    (every per-bit vote was NULL, so every bit contributed its
+    `otherwise(0)` branch and the sum was 0)."""
+    h = (
+        f"transform({toks_sql}, s -> cast(conv(substring(md5(concat('0:', s)),"
+        " 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        "coalesce(aggregate("
+        f"{h}, "
+        "struct(array_repeat(cast(0 as bigint), 60) as c, cast(0 as bigint) as n), "
+        "(acc, x) -> struct("
+        "zip_with(acc.c, transform(sequence(0, 59), i -> shiftright(x, i) & 1),"
+        " (a, b) -> a + b) as c, "
+        "acc.n + cast(1 as bigint) as n), "
+        "acc -> aggregate(sequence(0, 59), cast(0 as bigint), "
+        "(s2, b) -> s2 + if(2 * element_at(acc.c, b + 1) > acc.n, "
+        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+        "), cast(0 as bigint))"
+    )
+
+
+def simhash_expr(text_sql: str):
+    """SimHash as a pure Column expression over a text column (SQL
+    fragment or plain column name) — shared by the `simhash` operator,
+    `simhash_banded_pairs`, and the fused one-pass document-feature
+    form (`doc_features_fused`), so all stay bit-identical."""
+    return F.expr(simhash_from_tokens_sql(simhash_tokens_sql(text_sql)))
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -439,7 +467,7 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     is scan-bound and embarrassingly parallel.
     """
     return docs.select(
-        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
+        F.col(id_col), simhash_expr(f"`{text_col}`").alias("simhash")
     )
 
 
@@ -601,7 +629,7 @@ def simhash_pairs(
     # exclude them from pair generation (the oracle applies the same
     # filter).
     s = docs.filter(F.size(tokens(F.lower(F.col(text_col)))) >= 1).select(
-        F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), simhash_expr(f"`{text_col}`").alias("sh")
     )
     banded = s.select(
         "id",

@@ -86,12 +86,19 @@ def redact_text(col) -> "F.Column":
     )
 
 
-def pii_redaction_cols() -> list:
+def pii_redaction_cols(staged: bool = False) -> list:
     """The PII member's output expressions (reused by the fused doc
     features): per-class match counts + the redacted text's md5 +
-    characters removed."""
-    aug = _pii_augmented()
-    redacted = redact_text(aug)
+    characters removed.
+
+    `staged=True` (r12 optimization round): read the synthesized
+    payload and the redacted text from the `governance_stage_cols`
+    columns instead of inlining them — the 3-regex redaction chain
+    used to be evaluated twice per row (md5 + chars_removed) and the
+    payload concat five times. Value-identical: same expressions over
+    the same strings."""
+    aug = F.col("__pii_aug") if staged else _pii_augmented()
+    redacted = F.col("__pii_red") if staged else redact_text(aug)
     count = lambda pat: F.size(  # noqa: E731
         F.regexp_extract_all(aug, F.lit(pat), F.lit(0))
     ).cast("int")
@@ -269,23 +276,79 @@ def doc_width_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *width_normalize_cols())
 
 
-def gopher_quality_cols() -> list:
-    """Gopher-rule quality flags (Rae et al. 2021, document-level
-    subset; reused by the fused doc features): word-count bounds,
-    mean-word-length bounds, symbol-to-word ratio, minimum stopword
-    count, and the AND of all four."""
+GOV_STAGE_NAMES = (
+    "__pii_aug",
+    "__pii_red",
+    "__html_raw",
+    "__html_clean",
+    "__gq_sl",
+    "__gq_nstop",
+    "__gq_sym",
+)
+
+
+def governance_stage_cols(tk, tkl) -> list:
+    """Heavy shared intermediates of the governance families, staged
+    ONCE per row for the fused one-pass form (r12 optimization round,
+    guide §1 measured): the PII payload + its 3-regex redaction, the
+    synthetic HTML doc + its 9-step strip chain, and the gopher
+    token-length fold / stopword count / symbol numerator — each used
+    to be inlined (and re-evaluated) 2-10x across the governance
+    output expressions because Catalyst does not merge trees that
+    differ only in lambda ids. `tk`/`tkl` are the fused form's staged
+    token arrays. Value-identical: the consuming expressions are
+    unchanged, they just read these columns."""
     from ..functions import text as TX
 
     t = F.col("text")
-    toks = TX.tokens(F.lower(t))
-    n_words = TX.n_tokens(t)
-    mean_len = TX.avg_token_len(t)
-    n_symbols = (
-        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-    )
-    sym_ratio = n_symbols / F.nullif(n_words, F.lit(0)).cast("double")
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
+    aug = _pii_augmented()
+    raw = _html_raw()
+    return [
+        aug.alias("__pii_aug"),
+        redact_text(aug).alias("__pii_red"),
+        raw.alias("__html_raw"),
+        _html_cleaned(raw).alias("__html_clean"),
+        F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x)).alias("__gq_sl"),
+        F.size(F.filter(tkl, lambda x: x.isin(*TX.STOPWORDS))).alias("__gq_nstop"),
+        (
+            F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        ).alias("__gq_sym"),
+    ]
+
+
+def gopher_quality_cols(staged_tk=None) -> list:
+    """Gopher-rule quality flags (Rae et al. 2021, document-level
+    subset; reused by the fused doc features): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, minimum stopword
+    count, and the AND of all four.
+
+    `staged_tk` (r12 optimization round): the fused form passes its
+    staged token-array column; the word count becomes a cheap size()
+    of it, the token-length fold / stopword count / symbol numerator
+    are read from the `governance_stage_cols` columns, and gq_pass no
+    longer re-derives all four folds. Value-identical."""
+    from ..functions import text as TX
+
+    t = F.col("text")
+    if staged_tk is not None:
+        n_words = F.size(staged_tk).cast("bigint")
+        mean_len = F.when(
+            F.size(staged_tk) > 0,
+            F.col("__gq_sl").cast("double") / F.size(staged_tk),
+        )
+        sym_ratio = F.col("__gq_sym") / F.nullif(n_words, F.lit(0)).cast("double")
+        n_stop = F.col("__gq_nstop")
+    else:
+        toks = TX.tokens(F.lower(t))
+        n_words = TX.n_tokens(t)
+        mean_len = TX.avg_token_len(t)
+        n_symbols = (
+            F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        )
+        sym_ratio = n_symbols / F.nullif(n_words, F.lit(0)).cast("double")
+        n_stop = F.size(F.filter(toks, lambda x: x.isin(*TX.STOPWORDS)))
     f_words = (n_words >= 50) & (n_words <= 100_000)
     f_len = (mean_len >= 3.0) & (mean_len <= 10.0)
     f_sym = F.coalesce(sym_ratio <= 0.1, F.lit(False))
@@ -380,14 +443,11 @@ def _html_raw():
     )
 
 
-def html_strip_cols() -> list:
-    """HTML boilerplate-stripping expressions (reused by the fused doc
-    features): drop script/style blocks and comments, strip tags,
-    unescape the common entities (&amp; LAST, so no double-unescape),
-    collapse whitespace. Outputs title, raw/clean lengths, and the
-    clean text's md5."""
-    raw = _html_raw()
-    clean = F.trim(
+def _html_cleaned(raw) -> "F.Column":
+    """The 9-step strip chain over a raw-html column — the single
+    definition shared by the member form and the staged fused form
+    (r12 optimization round)."""
+    return F.trim(
         F.regexp_replace(
             F.replace(
                 F.replace(
@@ -416,6 +476,30 @@ def html_strip_cols() -> list:
             r"\s+", " ",
         )
     )
+
+
+def html_strip_cols(staged: bool = False) -> list:
+    """HTML boilerplate-stripping expressions (reused by the fused doc
+    features): drop script/style blocks and comments, strip tags,
+    unescape the common entities (&amp; LAST, so no double-unescape),
+    collapse whitespace. Outputs title, raw/clean lengths, and the
+    clean text's md5.
+
+    `staged=True` (r12 optimization round): read the synthesized doc
+    and the stripped text from the `governance_stage_cols` columns —
+    the 9-step strip chain used to run twice per row (len_clean +
+    clean_md5). Value-identical."""
+    if staged:
+        raw = F.col("__html_raw")
+        clean = F.col("__html_clean")
+        return [
+            F.regexp_extract(raw, r"<title>(.*?)</title>", 1).alias("html_title"),
+            F.length(raw).cast("int").alias("html_len_raw"),
+            F.length(clean).cast("int").alias("html_len_clean"),
+            F.md5(clean).alias("html_clean_md5"),
+        ]
+    raw = _html_raw()
+    clean = _html_cleaned(raw)
     return [
         F.regexp_extract(raw, r"<title>(.*?)</title>", 1).alias("html_title"),
         F.length(raw).cast("int").alias("html_len_raw"),

@@ -1239,10 +1239,12 @@ def doc_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _rolling_hash_expr(F.col("text")).alias("rolling_hash"))
 
 
-def _rolling_hash_expr(text):
+def _rolling_hash_expr(text, toks=None):
     """Rabin-Karp fold as a Column expression — shared by the member
-    and the fused one-pass form so both stay bit-identical."""
-    toks = TX.tokens(F.lower(text))
+    and the fused one-pass form so both stay bit-identical. `toks`
+    optionally supplies a pre-staged lower-token array column so the
+    fused form skips one tokenize pass (r12 optimization round)."""
+    toks = TX.tokens(F.lower(text)) if toks is None else toks
     # 7 hex chars = 28 bits; B=1000003, M=2^31-1 keeps a*B+b < 2^52 (exact)
     th = F.transform(
         toks,
@@ -2131,10 +2133,14 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _governance_cols() -> list:
+def _governance_cols(staged: bool = False) -> list:
     """The governance members' expressions against the raw documents
     columns, shared with plans/governance.py so the fused form stays
-    definitionally identical to the members."""
+    definitionally identical to the members. `staged=True` (r12
+    optimization round): the heavy shared intermediates are read from
+    the `governance_stage_cols` columns the fused form stages — the
+    URL/width families stay unstaged (they run over the short
+    `source` string; measured immaterial)."""
     from .governance import (
         gopher_quality_cols,
         html_strip_cols,
@@ -2144,11 +2150,11 @@ def _governance_cols() -> list:
     )
 
     return [
-        *pii_redaction_cols(),
+        *pii_redaction_cols(staged=staged),
         *url_normalize_cols(),
         *width_normalize_cols(),
-        *html_strip_cols(),
-        *gopher_quality_cols(),
+        *html_strip_cols(staged=staged),
+        *gopher_quality_cols(staged_tk=F.col("__tk") if staged else None),
     ]
 
 
@@ -2184,8 +2190,19 @@ def doc_features_fused(
     from pyspark.sql import Window
 
     t = F.col("text")
-    toks_l = TX.tokens(F.lower(t))
-    n_tok = TX.n_tokens(t)
+    # r12 optimization round (guide §1 measured, §2.3 "shuffle fewer
+    # bytes" applied to per-row CPU): tokenization is THE shared
+    # subexpression of every family below, but each helper used to
+    # build its own `tokens(...)` tree with fresh lambda ids, which
+    # Catalyst's common-subexpression pass cannot merge — the fused
+    # scan paid 6+ full split-and-filter passes per row. Stage the two
+    # token arrays ONCE in their own projection (CollapseProject keeps
+    # a non-cheap multiply-referenced alias apart) and derive every
+    # family from the staged columns. Value-identical: same
+    # expressions, same arrays (doc_features_fused noop sf0.1:
+    # 26.2 s -> see OPTIMIZATION_r12.md).
+    toks_l = F.col("__tkl")
+    n_tok = F.size("__tk").cast("bigint")
     has_tok = F.size(toks_l) > 0
 
     # repetition (Gopher) as array expressions: sort the tokens and
@@ -2213,8 +2230,11 @@ def doc_features_fused(
             (acc["nd"] + F.when(is_new(acc, x), 1).otherwise(0)).alias("nd"),
         ),
     )
-    top_c = rep_state["best"].cast("bigint")
-    n_distinct = rep_state["nd"]
+    # the fold struct is staged as its own column (`__rep_state`,
+    # below) so the two field extracts don't each inline — and re-run
+    # — the whole fold (r12 optimization round)
+    top_c = F.col("__rep_state")["best"].cast("bigint")
+    n_distinct = F.col("__rep_state")["nd"]
     rep_n = F.size(toks_l).cast("bigint")
 
     # stratified-sample membership as the same md5-threshold rule
@@ -2236,9 +2256,25 @@ def doc_features_fused(
         F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
     ).cast("bigint")
 
-    from ..operators.dedup import simhash_expr
+    from ..operators.dedup import simhash_from_tokens_sql
 
-    one = docs.select(
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        TX.tokens(t).alias("__tk"),
+        TX.tokens(F.lower(t)).alias("__tkl"),
+    )
+    from .governance import governance_stage_cols
+
+    staged = staged.select(
+        "*",
+        rep_state.alias("__rep_state"),
+        *governance_stage_cols(F.col("__tk"), F.col("__tkl")),
+    )
+    one = staged.select(
         "doc_id",
         "lang",
         # doc_text_stats (staged integer counts; the exact 6dp ratio
@@ -2246,10 +2282,11 @@ def doc_features_fused(
         # as the member)
         "n_chars",
         n_tok.alias("n_tokens"),
-        *TX.text_stat_stage_cols(t),
-        # doc_lang_id (panel rename lang -> li_lang)
+        *TX.text_stat_stage_cols(t, toks=F.col("__tk")),
+        # doc_lang_id (panel rename lang -> li_lang; single-fold form
+        # of the identical marker-argmax — functions/text.py)
         F.col("lang").alias("li_lang"),
-        TX.lang_id(t).alias("pred_lang"),
+        TX.lang_id_from_tokens_sql("__tk").alias("pred_lang"),
         # doc_bpe_token_stats
         n_tok.alias("ws_tokens"),
         bpe.alias("bpe_pieces"),
@@ -2258,9 +2295,10 @@ def doc_features_fused(
         F.when(has_tok, top_c).alias("top_token_count"),
         F.when(has_tok, n_distinct.cast("bigint")).alias("__rep_nd"),
         # doc_rolling_hash_fingerprint
-        _rolling_hash_expr(t).alias("rolling_hash"),
-        # doc_simhash
-        simhash_expr(t).alias("simhash"),
+        _rolling_hash_expr(t, toks=toks_l).alias("rolling_hash"),
+        # doc_simhash (single-pass fold over the staged lower-token
+        # array — operators/dedup.simhash_from_tokens_sql)
+        F.expr(simhash_from_tokens_sql("__tkl")).alias("simhash"),
         # doc_source_null_normalization
         F.nullif(F.trim("source"), F.lit("")).alias("source_clean"),
         F.when(num_str != "", num_str.try_cast("bigint")).alias("source_num"),
@@ -2269,12 +2307,12 @@ def doc_features_fused(
         F.when(keep_pct.isNotNull() & (samp_h < keep_pct), F.col("lang")).alias("ss_lang"),
         # governance members (expression-only: PII redaction, URL
         # canonicalization, width normalization)
-        *_governance_cols(),
+        *_governance_cols(staged=True),
         # doc_quality_classifier (hashed-feature linear model: the
         # weights are a literal array, so the filter is free in-scan);
         # staged exact integer fold — derived to the three outputs in
         # the next projection so the lambda fold runs ONCE per row
-        *clf_stage_cols(),
+        *clf_stage_cols(toks=toks_l),
         *(extra_cols or []),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
@@ -2357,7 +2395,12 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
 
     t = F.col("text")
     role = F.when(F.col("doc_id") % 97 == 0, "eval").otherwise("train")
-    ghs = F.transform(TX.shingles(t, 8), lambda g: F.xxhash64(g))
+    # evaluated inside doc_features_fused's `one` select, where the
+    # staged lower-token array `__tkl` is in scope (r12 optimization
+    # round: skips re-tokenizing for the 8-gram shingles)
+    ghs = F.transform(
+        TX.shingles(t, 8, toks=F.col("__tkl")), lambda g: F.xxhash64(g)
+    )
 
     eval_row = (
         docs.filter((F.col("doc_id") % 97) == 0)
@@ -2730,7 +2773,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def clf_stage_cols() -> list:
+def clf_stage_cols(toks=None) -> list:
     """The classifier fold over the raw `text` column, staged as TWO
     exact integer columns (`__clf_wsum` BIGINT, `__clf_ntok` BIGINT)
     — shared by the member, the fused one-pass forms, and the
@@ -2742,9 +2785,13 @@ def clf_stage_cols() -> list:
     The fold accumulates the INTEGER weight numerators (the weights
     are n/1000 rationals by construction), so the sum is exact and
     association-order-insensitive — see the _CLF_W_INT note for why
-    a double fold broke the oracle hash at sf0.1."""
+    a double fold broke the oracle hash at sf0.1.
+
+    `toks` optionally supplies a pre-staged lower-token array column
+    (r12 optimization round) so the fused form skips two tokenize
+    passes (the fold's and size()'s) — value-identical."""
     warr = F.array(*[F.lit(w) for w in _CLF_W_INT])
-    toks = TX.tokens(F.lower(F.col("text")))
+    toks = TX.tokens(F.lower(F.col("text"))) if toks is None else toks
     wsum = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
