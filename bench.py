@@ -74,6 +74,30 @@ from tools.calibration import (  # noqa: E402
 
 WARMUP = "pricing_summary"  # pinned: JVM/JIT + parquet-footer warm
 N_RUNS = 5
+
+# r12 OPTIMIZATION-round measurement fix (guide §1.4): the timed
+# `.count()` action lets the optimizer prune every column the count
+# does not need — for these queries the count-plan collapses to a
+# (near-)metadata row count (captured in plans/r12/*_count_before.txt:
+# ReadSchema struct<> or keys-only), so their historical walls measure
+# plan construction + a trivial count, NOT the query's computation.
+# Each gains a SECOND bench entry, suffixed "+x" ("executed"), timed
+# with the noop sink (df.write.format("noop") — computes every column
+# of every row, guide §1.4). The ORIGINAL count-action entries are
+# kept unchanged for r11<->r12 comparability; the +x entries are the
+# honest execution walls going forward. Their per-query noise bounds
+# live in bench_diag.json (committed) — the headline line must stay
+# under the driver's 2,000-char tail capture.
+NOOP_EXEC = (
+    "pricing_summary",
+    "doc_text_stats",
+    "doc_features_fused",
+    "corpus_prep_fused",
+    "rolling_event_stats",
+    "purchase_asof_click",
+    "revenue_by_nation",
+)
+NOOP_SUFFIX = "+x"
 BUILD_RUNS = 2  # the one-off index build: 2 fresh runs, min reported
 QUICK_CAL_RUNS = 2  # interleaved sample: min of 2 (one is too noisy)
 STALL_CAL_FACTOR = 2.0  # local_cal >2x off the suite median -> flag
@@ -146,6 +170,23 @@ class BlockTimer:
         self.rerun[name] = block
         self.retime[name] = one
         block()
+        if name in NOOP_EXEC:
+            xname = name + NOOP_SUFFIX
+
+            def noop_one() -> float:
+                t0 = time.perf_counter()
+                fn(self.spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # every column of every row (guide §1.4)
+                return time.perf_counter() - t0
+
+            def noop_block() -> None:
+                walls = [noop_one() for _ in range(N_RUNS)]
+                self.record(xname, walls, "noop")
+
+            self.rerun[xname] = noop_block
+            self.retime[xname] = noop_one
+            noop_block()
 
     def _normalized(self, name: str) -> float:
         return self.timings[name] * CALIBRATION_REF / self.local_cal[name]
@@ -329,16 +370,24 @@ def main() -> None:
     }
     scale = CALIBRATION_REF / calibration if calibration else 1.0
     normalized_global = {k: round(v * scale, 3) for k, v in timings.items()}
-    total = round(sum(timings.values()), 3)
-    total_w = sum(timings.values()) or 1.0
+    # `value` / suite noise stay the sum over the ORIGINAL count-action
+    # entries so the headline total remains comparable r4+; the added
+    # "+x" noop-execution entries ride along in `queries` only (their
+    # normalized/noise/median forms live in bench_diag.json — headline
+    # must stay under the driver's 2,000-char tail capture)
+    base = {k: v for k, v in timings.items() if not k.endswith(NOOP_SUFFIX)}
+    total = round(sum(base.values()), 3)
+    total_w = sum(base.values()) or 1.0
     suite_noise = round(
-        sum(bt.noise[k] * timings[k] for k in timings) / total_w, 4
+        sum(bt.noise[k] * base[k] for k in base) / total_w, 4
     )
 
     diag = {
         "queries_median": bt.medians,
         "queries_local_calibration": bt.local_cal,
         "queries_retime": bt.retime_walls,
+        "queries_normalized": normalized,  # incl. the "+x" entries
+        "noise_bound_rel": bt.noise,  # incl. the "+x" entries
         "queries_normalized_global": normalized_global,
         "value_normalized_global": round(sum(normalized_global.values()), 3),
         "calibration_pre": calibration_pre,
@@ -364,8 +413,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_normalized": normalized,
-                "noise_bound_rel": bt.noise,
+                "queries_normalized": {k: normalized[k] for k in base},
+                "noise_bound_rel": {k: bt.noise[k] for k in base},
                 "suite_noise_bound_rel": suite_noise,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "calibration": calibration,
