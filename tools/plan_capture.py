@@ -76,7 +76,8 @@ def main() -> None:
     qdf = _queries_df(emb)
     handles: list = []
     index, cents = ivf_pq_build(
-        emb, k_coarse=8, m=8, k_cells=16, residual=True, persisted_out=handles
+        emb, k_coarse=8, m=8, k_cells=16, residual=True, persisted_out=handles,
+        coarse_assign="blas", pq_assign="blas",  # match bench_ann_split (r12)
     )
     index = index.persist()
     cents = cents.persist()
