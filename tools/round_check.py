@@ -231,8 +231,14 @@ def gate_stress(rnd: int, skip: bool) -> dict:
     else:
         # the full gate MUST execute the stress suite — silently
         # reusing a pre-edit artifact is exactly the skipped-gate
-        # failure this tool exists to prevent
-        rc, out = run([sys.executable, "tools/stress_report.py", str(rnd)])
+        # failure this tool exists to prevent. The suite outgrew the
+        # default 1h subprocess cap in r12 (2M-vector ann2m + 1.5M-doc
+        # dedup10x/lshadv ≈ 2h total); give it 4h so a slow rig cannot
+        # turn a green suite into a timed-out FAIL.
+        rc, out = run(
+            [sys.executable, "tools/stress_report.py", str(rnd)],
+            timeout=14400,
+        )
         ran = True
         if rc != 0 or not os.path.exists(path):
             return {"ok": False, "detail": out[-300:]}
