@@ -49,6 +49,22 @@ round-11 item 4; round-12 items 3/8):
 - the ANN flagship is benched as SERVING, not training: the one-off
   `embedding_ivfadc_build` wall is separated from the per-batch
   `embedding_ivfadc_probe` wall measured against the persisted index.
+- r13 (r12 verdict items 2/3): the headline carries `cpus` (the
+  honored $SPARK_GRAFT_CPUS) and `default_parallelism` (read live
+  from the session) so the driver's scaling probe can verify the core
+  count; `value_normalized` is the BASE-entry sum again (the r12
+  artifact accidentally included the "+x" entries — the exec-wall sum
+  now rides separately as `value_normalized_exec`); adjudication of
+  the 7 count-collapsed queries runs on their "+x" walls via
+  tools/bench_agreement.py with the diag side files (20 entries).
+  NOTE on the fused doc queries' COUNT entries from r13 on: the fused
+  scan's integer families now run in one mapInArrow pass (guide §4.2),
+  which is opaque to column pruning — the count action therefore
+  executes the real computation instead of the collapsed
+  ReadSchema-struct<> plan the r4-r12 count walls measured. Their
+  count walls rise toward the honest "+x" walls (which themselves
+  dropped ~2x) — compare those queries on "+x", exactly as r12's
+  verdict item 3 prescribes.
 """
 
 from __future__ import annotations
@@ -414,7 +430,15 @@ def main() -> None:
     print(f"# diag: {json.dumps(diag)}", file=sys.stderr)
 
     # the COMPACT headline — the FINAL stdout line, kept well under the
-    # driver's 2,000-char tail capture (r12 item 3)
+    # driver's 2,000-char tail capture (r12 item 3).
+    # r13 (verdict items 2): `value_normalized` sums BASE entries only
+    # (the r12 artifact accidentally summed the additive "+x" noop
+    # entries into it — a phantom 63% suite regression to any diff;
+    # the exec-wall sum now rides separately as value_normalized_exec),
+    # and the headline carries `cpus` (the honored $SPARK_GRAFT_CPUS)
+    # plus the session's live defaultParallelism so the driver's
+    # scaling probe can verify the core count instead of guessing from
+    # overhead-bound sf0.1 ratios.
     print(
         json.dumps(
             {
@@ -425,9 +449,16 @@ def main() -> None:
                 "queries_normalized": {k: normalized[k] for k in base},
                 "noise_bound_rel": {k: bt.noise[k] for k in base},
                 "suite_noise_bound_rel": suite_noise,
-                "value_normalized": round(sum(normalized.values()), 3),
+                "value_normalized": round(
+                    sum(normalized[k] for k in base), 3
+                ),
+                "value_normalized_exec": round(
+                    sum(v for k, v in normalized.items() if k not in base), 3
+                ),
                 "calibration": calibration,
                 "calibration_ref": CALIBRATION_REF,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "stall_reruns": bt.stall_reruns,
                 "bench_schema": 2,
                 "normalization": (

@@ -287,7 +287,7 @@ GOV_STAGE_NAMES = (
 )
 
 
-def governance_stage_cols(tk, tkl) -> list:
+def governance_stage_cols(tk, tkl, arrow_counts: bool = False) -> list:
     """Heavy shared intermediates of the governance families, staged
     ONCE per row for the fused one-pass form (r12 optimization round,
     guide §1 measured): the PII payload + its 3-regex redaction, the
@@ -297,27 +297,43 @@ def governance_stage_cols(tk, tkl) -> list:
     output expressions because Catalyst does not merge trees that
     differ only in lambda ids. `tk`/`tkl` are the fused form's staged
     token arrays. Value-identical: the consuming expressions are
-    unchanged, they just read these columns."""
+    unchanged, they just read these columns.
+
+    `arrow_counts=True` (r13 optimization round): the two token folds
+    (`__gq_sl`, `__gq_nstop`) already ride in from the fused form's
+    mapInArrow integer pass under the same names/types — stage only
+    the string chains and the symbol numerator here (`tk`/`tkl` may
+    be None)."""
     from ..functions import text as TX
 
     t = F.col("text")
     aug = _pii_augmented()
     raw = _html_raw()
-    return [
+    cols = [
         aug.alias("__pii_aug"),
         redact_text(aug).alias("__pii_red"),
         raw.alias("__html_raw"),
         _html_cleaned(raw).alias("__html_clean"),
-        F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x)).alias("__gq_sl"),
-        F.size(F.filter(tkl, lambda x: x.isin(*TX.STOPWORDS))).alias("__gq_nstop"),
+    ]
+    if not arrow_counts:
+        cols += [
+            F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x)).alias(
+                "__gq_sl"
+            ),
+            F.size(F.filter(tkl, lambda x: x.isin(*TX.STOPWORDS))).alias(
+                "__gq_nstop"
+            ),
+        ]
+    cols.append(
         (
             F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
             + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-        ).alias("__gq_sym"),
-    ]
+        ).alias("__gq_sym")
+    )
+    return cols
 
 
-def gopher_quality_cols(staged_tk=None) -> list:
+def gopher_quality_cols(staged_tk=None, staged_nt=None) -> list:
     """Gopher-rule quality flags (Rae et al. 2021, document-level
     subset; reused by the fused doc features): word-count bounds,
     mean-word-length bounds, symbol-to-word ratio, minimum stopword
@@ -327,15 +343,22 @@ def gopher_quality_cols(staged_tk=None) -> list:
     staged token-array column; the word count becomes a cheap size()
     of it, the token-length fold / stopword count / symbol numerator
     are read from the `governance_stage_cols` columns, and gq_pass no
-    longer re-derives all four folds. Value-identical."""
+    longer re-derives all four folds. `staged_nt` (r13): the fused
+    form now stages the token COUNT itself (bigint, from the Arrow
+    integer pass) instead of a token array — the same value size()
+    produced. Value-identical either way."""
     from ..functions import text as TX
 
     t = F.col("text")
-    if staged_tk is not None:
-        n_words = F.size(staged_tk).cast("bigint")
+    if staged_tk is not None or staged_nt is not None:
+        n_words = (
+            staged_nt
+            if staged_nt is not None
+            else F.size(staged_tk).cast("bigint")
+        )
         mean_len = F.when(
-            F.size(staged_tk) > 0,
-            F.col("__gq_sl").cast("double") / F.size(staged_tk),
+            n_words > 0,
+            F.col("__gq_sl").cast("double") / n_words,
         )
         sym_ratio = F.col("__gq_sym") / F.nullif(n_words, F.lit(0)).cast("double")
         n_stop = F.col("__gq_nstop")

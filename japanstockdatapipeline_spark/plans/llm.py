@@ -2154,14 +2154,274 @@ def _governance_cols(staged: bool = False) -> list:
         *url_normalize_cols(),
         *width_normalize_cols(),
         *html_strip_cols(staged=staged),
-        *gopher_quality_cols(staged_tk=F.col("__tk") if staged else None),
+        # r13: the fused form's word count comes from the Arrow pass's
+        # staged __ts_nt (same value the staged token array's size()
+        # produced) — the gopher folds read __gq_sl/__gq_nstop/__gq_sym
+        *gopher_quality_cols(staged_nt=F.col("__ts_nt") if staged else None),
     ]
+
+
+# ---------------------------------------------------------------------------
+# r13 OPTIMIZATION round (guide §4.2): the INTEGER-EXACT token-fold
+# families of the fused doc scan (simhash, rolling hash, classifier
+# fold, repetition runs, lang-id marker counts, text-stat counts, BPE
+# piece count) move from interpreted Catalyst HOF evaluation
+# (aggregate/transform/filter are CodegenFallback — the r12-measured
+# ~5 s interpreted floor) to ONE mapInArrow pass that hands whole
+# Arrow batches to hashlib+numpy. Bit-exact by construction:
+#  - hashlib.md5 over the token's UTF-8 bytes == Spark md5 (same
+#    bytes, same digest); int(hex, 16) == conv(hex, 16, 10)::bigint
+#    for the 15-/7-hex-char prefixes (both < 2^63, positive);
+#  - the integer folds (bit votes, run lengths, bucket-weight sums,
+#    marker counts) are exact integer arithmetic in both engines;
+#  - NO Python lower()/tokenize semantics are trusted for values: the
+#    lowered text is computed by Spark (`lower(text)` rides the batch)
+#    and tokenized here with the EXPLICIT Java \s class
+#    [ \t\n\x0B\f\r] — `re` and Java regex agree exactly on a literal
+#    character class, so the token arrays are identical to
+#    `filter(split(trim(lower(text)), '\\s+'), t -> t <> '')`
+#    (trim only strips 0x20, which the empty-token filter already
+#    removes from the split output).
+# The FLOAT ratio families stay in Catalyst (guide §4 boundary rule +
+# the repo's exactness rails): this pass emits only integers/strings.
+# Value-locked by the same DuckDB oracles, the join-of-members
+# equivalence tests, and tests/test_fused_arrow.py (expression-vs-
+# Arrow column parity incl. NULL/empty/whitespace-only edge rows).
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = " \t\n\x0b\x0c\r"  # Java regex \s (ASCII-only by default)
+_RH_B = 1000003  # Rabin-Karp base — must match _rolling_hash_expr
+_RH_M = 2147483647  # and its modulus (2^31 - 1)
+
+# mapInArrow output schema: the 5 passthrough documents columns plus
+# the integer-exact computed families (types mirror the Catalyst
+# expressions they replace: size()/length() casts -> bigint, the two
+# governance folds stayed int in governance_stage_cols).
+_FUSED_INTS_SCHEMA = (
+    "doc_id bigint, lang string, source string, n_chars bigint, text string, "
+    "__ts_nt bigint, __ts_sl bigint, __ts_sw bigint, __ts_np bigint, "
+    "__ts_ln bigint, pred_lang string, bpe_pieces bigint, "
+    "rep_n_tokens bigint, top_token_count bigint, __rep_nd bigint, "
+    "rolling_hash bigint, simhash bigint, __clf_wsum bigint, "
+    "__clf_ntok bigint, __gq_sl int, __gq_nstop int"
+)
+
+
+def _fused_doc_text_ints(batches):
+    """mapInArrow worker for the fused doc scan's integer families.
+
+    Input batches carry (doc_id, lang, source, n_chars, text, __lt)
+    where __lt = lower(text) COMPUTED BY SPARK; output batches drop
+    __lt and append the _FUSED_INTS_SCHEMA columns.
+
+    Fully vectorized (guide §4.2 — hand whole batches to native code):
+    tokenization is pyarrow's `ascii_split_whitespace`, whose
+    whitespace class is EXACTLY Java regex \\s ([ \\t\\n\\x0B\\f\\r]) —
+    it keeps boundary empties (like Java split), which are dropped by
+    id exactly as the `t <> ''` filter does; the flat token stream is
+    `dictionary_encode`d so each DISTINCT token is md5-hashed ONCE
+    (the measured sf0.1 corpus has 31 distinct tokens across 270k;
+    real corpora have vocab-sized dictionaries per batch), and every
+    per-doc fold is a numpy cumsum-diff / unique over the id stream.
+    Per-batch memory is O(tokens-per-batch) machine words, bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    import re
+    from hashlib import md5
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.text import LANG_MARKERS, STOPWORDS
+
+    # BPE pre-tokenizer: letters | digits | single non-alnum-non-ws —
+    # the member's Java pattern with \s expanded to its literal class
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\x0c\r]")
+    stop_set = frozenset(STOPWORDS)
+    # marker sets are disjoint by construction; class ids 1..4 in the
+    # lang_id_from_tokens_sql tie-break order (de, fr, es, zh)
+    marker_class = {}
+    for ci, lng in enumerate(("de", "fr", "es", "zh"), start=1):
+        for m in LANG_MARKERS[lng]:
+            marker_class[m] = ci
+    weights = _CLF_W_INT
+    pow60 = np.int64(1) << np.arange(60, dtype=np.int64)
+
+    def np_i64(arrow_arr):
+        return (
+            pc.cast(pc.fill_null(arrow_arr, 0), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    for batch in batches:
+        col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+        text_col = col["text"]
+        nrow = batch.num_rows
+        nulls = pc.is_null(text_col).to_numpy(zero_copy_only=False)
+
+        # --- tokenize + intern (vectorized) ---
+        split = pc.ascii_split_whitespace(col["__lt"])
+        lens = np_i64(pc.list_value_length(split))
+        denc = pc.dictionary_encode(pc.list_flatten(split))
+        dic = denc.dictionary.to_pylist()
+        flat_ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        D = max(len(dic), 1)
+
+        # per-DISTINCT token values (md5 once per distinct)
+        sim_v = np.zeros(D, np.int64)
+        rh_v = np.zeros(D, np.uint64)
+        w_v = np.zeros(D, np.int64)
+        cls_v = np.zeros(D, np.int64)
+        stop_v = np.zeros(D, np.int64)
+        empty_id = -1
+        for di, tok in enumerate(dic):
+            if tok == "":
+                empty_id = di  # Java-split boundary artifact, dropped
+                continue
+            b = tok.encode("utf-8")
+            sim_v[di] = int(md5(b"0:" + b).hexdigest()[:15], 16)
+            rh_v[di] = int(md5(b"rh:" + b).hexdigest()[:7], 16)
+            w_v[di] = weights[int(md5(b"qb:" + b).hexdigest()[:15], 16) % _CLF_D]
+            cls_v[di] = marker_class.get(tok, 0)
+            stop_v[di] = 1 if tok in stop_set else 0
+
+        raw_off = np.zeros(nrow + 1, np.int64)
+        np.cumsum(lens, out=raw_off[1:])
+        if empty_id >= 0:
+            keep = flat_ids != empty_id
+            kc = np.zeros(flat_ids.shape[0] + 1, np.int64)
+            np.cumsum(keep, out=kc[1:])
+            counts = kc[raw_off[1:]] - kc[raw_off[:-1]]
+            ids = flat_ids[keep]
+        else:
+            counts = lens
+            ids = flat_ids
+        total = int(ids.shape[0])
+        offsets = np.zeros(nrow + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+
+        def seg_sum(per_token):
+            """Per-doc sums over the flat token stream (cumsum-diff:
+            correct for empty docs, unlike add.reduceat)."""
+            cs = np.zeros(total + 1, np.int64)
+            np.cumsum(per_token, out=cs[1:])
+            return cs[offsets[1:]] - cs[offsets[:-1]]
+
+        if total:
+            tok_sim = sim_v[ids]
+            # simhash: per-bit one-counts, bit b set iff 2*count_b > n
+            cnts = np.empty((nrow, 60), np.int64)
+            for bit in range(60):
+                cnts[:, bit] = seg_sum((tok_sim >> np.int64(bit)) & np.int64(1))
+            simhash = (((2 * cnts) > counts[:, None]) * pow60).sum(axis=1)
+            # rolling hash h = sum b_i * B^(n-1-i) mod M (exact: each
+            # term < 2^59 in uint64, per-term mod keeps the cumsum far
+            # below 2^64 for any Arrow-sized batch)
+            maxn = int(counts.max())
+            powtab = np.ones(maxn, np.uint64)
+            for e in range(1, maxn):
+                powtab[e] = (powtab[e - 1] * _RH_B) % _RH_M
+            exps = np.repeat(offsets[1:], counts) - 1 - np.arange(total)
+            contrib = (rh_v[ids] * powtab[exps]) % np.uint64(_RH_M)
+            rolling = (seg_sum(contrib.astype(np.int64)) % _RH_M).astype(np.int64)
+            clf_wsum = seg_sum(w_v[ids])
+            n_stop = seg_sum(stop_v[ids])
+            tok_cls = cls_v[ids]
+            de_c, fr_c, es_c, zh_c = (
+                seg_sum(tok_cls == ci) for ci in range(1, 5)
+            )
+            # repetition: max multiplicity == max run length in the
+            # sorted array; distinct count — np.unique on (doc, token)
+            dockey = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+            uk, ucnt = np.unique(dockey * np.int64(D) + ids, return_counts=True)
+            udoc = uk // np.int64(D)
+            rep_nd = np.bincount(udoc, minlength=nrow).astype(np.int64)
+            rep_best = np.zeros(nrow, np.int64)
+            np.maximum.at(rep_best, udoc, ucnt)
+        else:
+            simhash = np.zeros(nrow, np.int64)
+            rolling = np.zeros(nrow, np.int64)
+            clf_wsum = np.zeros(nrow, np.int64)
+            n_stop = np.zeros(nrow, np.int64)
+            de_c = fr_c = es_c = zh_c = np.zeros(nrow, np.int64)
+            rep_nd = np.zeros(nrow, np.int64)
+            rep_best = np.zeros(nrow, np.int64)
+
+        # lang-id: the SQL fold's fixed-order strictly-greater CASE
+        pred_lang = np.select(
+            [
+                (zh_c > es_c) & (zh_c > fr_c) & (zh_c > de_c) & (zh_c > 0),
+                (es_c > fr_c) & (es_c > de_c) & (es_c > 0),
+                (fr_c > de_c) & (fr_c > 0),
+                de_c > 0,
+            ],
+            ["zh", "es", "fr", "de"],
+            default="en",
+        )
+
+        # text-level integer counts, vectorized in Arrow kernels (code
+        # points — utf8_length and Spark length() agree): sum of RAW
+        # token lengths == count of non-whitespace chars
+        ts_ln = np_i64(pc.utf8_length(text_col))
+        ts_np = np.zeros(nrow, np.int64)
+        for ch in ".,;:!?":
+            ts_np += np_i64(pc.count_substring(text_col, ch))
+        n_ws = np.zeros(nrow, np.int64)
+        for ch in _JAVA_WS:
+            n_ws += np_i64(pc.count_substring(text_col, ch))
+        ts_sl = ts_ln - n_ws
+        # BPE piece count: Java-regex alternation semantics kept in
+        # Python re (leftmost-first, greedy — identical match counts)
+        bpe = np.zeros(nrow, np.int64)
+        for i, t in enumerate(text_col.to_pylist()):
+            if t is not None:
+                bpe[i] = len(bpe_re.findall(t))
+
+        # NULL-text rows: every fold over a NULL token array is NULL
+        # in Catalyst (size/aggregate of NULL), EXCEPT simhash whose
+        # expression coalesces to 0
+        no_tok = nulls | (counts == 0)  # rep family: when(size(toks)>0)
+        i64 = pa.int64()
+        i32 = pa.int32()
+
+        def arr(np_a, mask, typ=i64):
+            return pa.array(np_a, type=typ, mask=mask)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                col["doc_id"],
+                col["lang"],
+                col["source"],
+                col["n_chars"],
+                col["text"],
+                arr(counts, nulls),  # __ts_nt
+                arr(ts_sl, nulls),
+                arr(n_stop, nulls),  # __ts_sw
+                arr(ts_np, nulls),
+                arr(ts_ln, nulls),
+                pa.array(pred_lang, type=pa.string(), mask=nulls),
+                arr(bpe, nulls),
+                arr(counts, no_tok),  # rep_n_tokens
+                arr(rep_best, no_tok),
+                arr(rep_nd, no_tok),
+                arr(rolling, nulls),
+                arr(simhash, None),  # coalesced to 0 on NULL text
+                arr(clf_wsum, nulls),
+                arr(counts, nulls),  # __clf_ntok
+                arr(ts_sl.astype(np.int32), nulls, i32),  # __gq_sl is int
+                arr(n_stop.astype(np.int32), nulls, i32),  # __gq_nstop
+            ],
+            names=[f.strip().split(" ")[0] for f in _FUSED_INTS_SCHEMA.split(",")],
+        )
 
 
 def doc_features_fused(
     docs: DataFrame,
     extra_cols: list | None = None,
     pre_window=None,
+    stage_cols: list | None = None,
 ) -> DataFrame:
     """ONE-pass production form of the expression-only document
     features: the 15 per-document members that need no cross-document
@@ -2190,52 +2450,18 @@ def doc_features_fused(
     from pyspark.sql import Window
 
     t = F.col("text")
-    # r12 optimization round (guide §1 measured, §2.3 "shuffle fewer
-    # bytes" applied to per-row CPU): tokenization is THE shared
-    # subexpression of every family below, but each helper used to
-    # build its own `tokens(...)` tree with fresh lambda ids, which
-    # Catalyst's common-subexpression pass cannot merge — the fused
-    # scan paid 6+ full split-and-filter passes per row. Stage the two
-    # token arrays ONCE in their own projection (CollapseProject keeps
-    # a non-cheap multiply-referenced alias apart) and derive every
-    # family from the staged columns. Value-identical: same
-    # expressions, same arrays (doc_features_fused noop sf0.1:
-    # 26.2 s -> see OPTIMIZATION_r12.md).
-    toks_l = F.col("__tkl")
-    n_tok = F.size("__tk").cast("bigint")
-    has_tok = F.size(toks_l) > 0
-
-    # repetition (Gopher) as array expressions: sort the tokens and
-    # fold run lengths — O(n log n) per row (the naive per-distinct
-    # filter scan is O(distinct*n), a cliff for long documents). State:
-    # (prev token, current run, best run, distinct count); max count
-    # of any token == max run length in the sorted array.
-    sorted_t = F.array_sort(toks_l)
-    is_new = lambda acc, x: acc["prev"].isNull() | (acc["prev"] != x)  # noqa: E731
-    rep_state = F.aggregate(
-        sorted_t,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(0).alias("nd"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(is_new(acc, x), F.lit(1)).otherwise(acc["run"] + 1).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(is_new(acc, x), F.lit(1)).otherwise(acc["run"] + 1),
-            ).alias("best"),
-            (acc["nd"] + F.when(is_new(acc, x), 1).otherwise(0)).alias("nd"),
-        ),
-    )
-    # the fold struct is staged as its own column (`__rep_state`,
-    # below) so the two field extracts don't each inline — and re-run
-    # — the whole fold (r12 optimization round)
-    top_c = F.col("__rep_state")["best"].cast("bigint")
-    n_distinct = F.col("__rep_state")["nd"]
-    rep_n = F.size(toks_l).cast("bigint")
+    # r13 OPTIMIZATION round (guide §4.2): the integer-exact token
+    # folds (simhash, rolling hash, classifier fold, repetition runs,
+    # lang-id marker counts, the five text-stat counts, BPE piece
+    # count, gopher token folds) are computed in ONE mapInArrow pass
+    # over the scan (_fused_doc_text_ints) instead of interpreted
+    # Catalyst HOF trees — HOFs are CodegenFallback, the r12-measured
+    # ~5 s floor of this scan. Spark computes lower(text) so no Python
+    # lower()/tokenize semantics are trusted; the float ratio families
+    # and the value-pinned regex chains stay in Catalyst, reading the
+    # staged integers exactly as before. Value-identical: same DuckDB
+    # oracles, join-of-members equivalence, tests/test_fused_arrow.py.
+    n_tok = F.col("__ts_nt")
 
     # stratified-sample membership as the same md5-threshold rule
     keep_pct = (
@@ -2252,53 +2478,53 @@ def doc_features_fused(
     )
 
     num_str = F.regexp_extract(F.col("source"), r"([0-9]+)$", 1)
-    bpe = F.size(
-        F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
-    ).cast("bigint")
 
-    from ..operators.dedup import simhash_from_tokens_sql
-
-    staged = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        "text",
-        TX.tokens(t).alias("__tk"),
-        TX.tokens(F.lower(t)).alias("__tkl"),
+    # ONE Arrow pass computes every integer-exact token family; the
+    # value-pinned regex/string stages (PII, HTML, symbol numerator)
+    # stay in Catalyst over the passthrough text
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars", "text", F.lower(t).alias("__lt")
     )
+    arrow = base.mapInArrow(_fused_doc_text_ints, _FUSED_INTS_SCHEMA)
     from .governance import governance_stage_cols
 
-    staged = staged.select(
+    staged = arrow.select(
         "*",
-        rep_state.alias("__rep_state"),
-        *governance_stage_cols(F.col("__tk"), F.col("__tkl")),
+        *governance_stage_cols(None, None, arrow_counts=True),
+        # caller-staged heavy intermediates consumed by extra_cols
+        # (corpus_prep_fused stages the lower-token array its shingle
+        # expression references ~10x — CollapseProject keeps non-cheap
+        # multiply-referenced aliases apart, so it evaluates once)
+        *(stage_cols or []),
     )
     one = staged.select(
         "doc_id",
         "lang",
-        # doc_text_stats (staged integer counts; the exact 6dp ratio
-        # outputs are derived in the second projection — same rails
-        # as the member)
+        # doc_text_stats (staged integer counts from the Arrow pass;
+        # the exact 6dp ratio outputs are derived in the second
+        # projection — same rails as the member)
         "n_chars",
         n_tok.alias("n_tokens"),
-        *TX.text_stat_stage_cols(t, toks=F.col("__tk")),
-        # doc_lang_id (panel rename lang -> li_lang; single-fold form
-        # of the identical marker-argmax — functions/text.py)
+        "__ts_nt",
+        "__ts_sl",
+        "__ts_sw",
+        "__ts_np",
+        "__ts_ln",
+        # doc_lang_id (panel rename lang -> li_lang; marker-argmax
+        # with the identical fixed-order tie-break, Arrow pass)
         F.col("lang").alias("li_lang"),
-        TX.lang_id_from_tokens_sql("__tk").alias("pred_lang"),
+        "pred_lang",
         # doc_bpe_token_stats
         n_tok.alias("ws_tokens"),
-        bpe.alias("bpe_pieces"),
+        "bpe_pieces",
         # doc_repetition_ratio (panel rename n_tokens -> rep_n_tokens)
-        F.when(has_tok, rep_n).alias("rep_n_tokens"),
-        F.when(has_tok, top_c).alias("top_token_count"),
-        F.when(has_tok, n_distinct.cast("bigint")).alias("__rep_nd"),
+        "rep_n_tokens",
+        "top_token_count",
+        "__rep_nd",
         # doc_rolling_hash_fingerprint
-        _rolling_hash_expr(t, toks=toks_l).alias("rolling_hash"),
-        # doc_simhash (single-pass fold over the staged lower-token
-        # array — operators/dedup.simhash_from_tokens_sql)
-        F.expr(simhash_from_tokens_sql("__tkl")).alias("simhash"),
+        "rolling_hash",
+        # doc_simhash (same md5-vote hash, Arrow pass)
+        "simhash",
         # doc_source_null_normalization
         F.nullif(F.trim("source"), F.lit("")).alias("source_clean"),
         F.when(num_str != "", num_str.try_cast("bigint")).alias("source_num"),
@@ -2308,11 +2534,10 @@ def doc_features_fused(
         # governance members (expression-only: PII redaction, URL
         # canonicalization, width normalization)
         *_governance_cols(staged=True),
-        # doc_quality_classifier (hashed-feature linear model: the
-        # weights are a literal array, so the filter is free in-scan);
-        # staged exact integer fold — derived to the three outputs in
-        # the next projection so the lambda fold runs ONCE per row
-        *clf_stage_cols(toks=toks_l),
+        # doc_quality_classifier staged exact integers (Arrow pass) —
+        # derived to the three outputs in the next projection
+        "__clf_wsum",
+        "__clf_ntok",
         *(extra_cols or []),
         # doc_sequence_packing input
         n_tok.alias("__pack_n"),
@@ -2395,9 +2620,13 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
 
     t = F.col("text")
     role = F.when(F.col("doc_id") % 97 == 0, "eval").otherwise("train")
-    # evaluated inside doc_features_fused's `one` select, where the
-    # staged lower-token array `__tkl` is in scope (r12 optimization
-    # round: skips re-tokenizing for the 8-gram shingles)
+    # evaluated inside doc_features_fused's `one` select over the
+    # caller-staged `__tkl` (r13: the Arrow integer pass no longer
+    # stages token arrays, but the shingle expression references its
+    # token input ~10x — size, 8 slices, the n>=k guard — and Catalyst
+    # does not merge subtrees differing only in lambda ids, so an
+    # inline tokenize would run per REFERENCE: measured 1.4 s vs the
+    # staged form at sf0.1. `stage_cols` below restores the staging.)
     ghs = F.transform(
         TX.shingles(t, 8, toks=F.col("__tkl")), lambda g: F.xxhash64(g)
     )
@@ -2415,10 +2644,20 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
             is_train,
             F.size(F.array_intersect("__ghs", "__eval_grams")).cast("bigint"),
         )
+        # r13: the intersect (per-row hash-set probe against the
+        # broadcast eval-gram set — the dominant decon cost) is
+        # evaluated ONCE; is_contaminated reads the STAGED column
+        # instead of re-inlining the intersect (the two withColumns
+        # stay separate projections: non-cheap multiply-referenced
+        # alias). Value-identical: for eval rows n_shared_grams is
+        # NULL and when(is_train, NULL > 0) is NULL either way.
         return (
             one.crossJoin(F.broadcast(eval_row))
             .withColumn("n_shared_grams", n_shared)
-            .withColumn("is_contaminated", F.when(is_train, n_shared > 0))
+            .withColumn(
+                "is_contaminated",
+                F.when(is_train, F.col("n_shared_grams") > 0),
+            )
             .drop("__ghs", "__eval_grams")
         )
 
@@ -2430,6 +2669,7 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
             TX.fingerprint_md5(t).alias("fp"),
         ],
         pre_window=pre_window,
+        stage_cols=[TX.tokens(F.lower(t)).alias("__tkl")],
     )
     w_fp = Window.partitionBy("fp")
     keep = F.min("doc_id").over(w_fp)

@@ -1,7 +1,15 @@
 """r11 verdict #4 'Done' checker: two bench runs must agree per-query
 within their emitted noise bounds.
 
-    python tools/bench_agreement.py runA.json runB.json
+    python tools/bench_agreement.py runA.json runB.json [diagA.json diagB.json]
+
+r13 (verdict item 3): adjudication must cover the "+x" noop-execution
+entries, not just the 13 historical count-action entries — a real-
+execution regression can hide behind a flat count wall otherwise. The
+headline line stays under the driver's 2,000-char tail capture, so the
+"+x" normalized walls and noise bounds live in the bench_diag.json
+side file: pass the two diag files as args 3 and 4 and all 20 entries
+are adjudicated with the same mechanical rule.
 
 For each query: |normA - normB| <= normMin * (boundA + boundB +
 LOAD_SENSITIVITY * rho_gap) where norm is the LOCAL-calibration-
@@ -31,13 +39,33 @@ import sys
 LOAD_SENSITIVITY = 0.25
 
 
+def _load(path: str) -> dict:
+    """A bench artifact: either a one-JSON-line capture (possibly with
+    leading log lines) or a whole-file JSON document (bench_diag.json
+    is indent-pretty-printed)."""
+    with open(path) as f:
+        txt = f.read()
+    try:
+        return json.loads(txt)
+    except ValueError:
+        return json.loads(
+            [ln for ln in txt.splitlines() if ln.strip().startswith("{")][-1]
+        )
+
+
 def main() -> int:
-    with open(sys.argv[1]) as f:
-        a = json.loads([ln for ln in f if ln.strip().startswith("{")][-1])
-    with open(sys.argv[2]) as f:
-        b = json.loads([ln for ln in f if ln.strip().startswith("{")][-1])
-    na, nb = a["queries_normalized"], b["queries_normalized"]
-    ba, bb = a["noise_bound_rel"], b["noise_bound_rel"]
+    a = _load(sys.argv[1])
+    b = _load(sys.argv[2])
+    na, nb = dict(a["queries_normalized"]), dict(b["queries_normalized"])
+    ba, bb = dict(a["noise_bound_rel"]), dict(b["noise_bound_rel"])
+    if len(sys.argv) > 4:
+        # diag side files carry the "+x" noop-execution entries the
+        # compact headline cannot (r13 item 3) — union them in
+        da, db = _load(sys.argv[3]), _load(sys.argv[4])
+        na.update(da["queries_normalized"])
+        nb.update(db["queries_normalized"])
+        ba.update(da["noise_bound_rel"])
+        bb.update(db["noise_bound_rel"])
     cal_a, cal_b = a.get("calibration"), b.get("calibration")
     rho_gap = (
         abs(cal_a - cal_b) / min(cal_a, cal_b)

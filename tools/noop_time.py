@@ -2,7 +2,7 @@
 (guide §1.4: df.write.format("noop") computes every column of every
 row, unlike the count action whose plan prunes), printing one JSON
 object {name: [walls...]} — the optimization round's measurement
-harness (plans/r12/noop_<tag>.json).
+harness (plans/<round>/noop_<tag>.json; round dir from $SPARK_GRAFT_ROUND_DIR, default r13).
 
 Usage: python tools/noop_time.py [tag] [runs] [sf_dir] [query ...]
 """
@@ -48,7 +48,7 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_ROUND_DIR", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"noop_{tag}.json")

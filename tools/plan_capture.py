@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for every bench-flagged query (and
-optionally every registered query) into plans/r12/<name>_<tag>.txt —
+optionally every registered query) into plans/$SPARK_GRAFT_ROUND_DIR/<name>_<tag>.txt (default r13) —
 the optimization-round evidence files (OPTIMIZATION_r12.md cites them).
 
 For each query TWO plans are captured:
@@ -41,7 +41,7 @@ def main() -> None:
     include_all = "--all" in sys.argv
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_ROUND_DIR", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -181,7 +181,9 @@ def calibrate(spark) -> None:
     print(json.dumps({"op": "calibration", "sec": _calibrate(spark)}))
 
 
-def build_boiler_corpus(spark, *, n_docs: int, boiler_frac: float = 0.3):
+def build_boiler_corpus(
+    spark, *, n_docs: int, boiler_frac: float = 0.3, twins: bool = False
+):
     """r11 verdict #6: the corpus the max_df cap exists for — one
     shared boilerplate snippet (a footer/disclaimer) in `boiler_frac`
     of the docs, unique filler otherwise. Its k=3 shingles have
@@ -189,8 +191,29 @@ def build_boiler_corpus(spark, *, n_docs: int, boiler_frac: float = 0.3):
     ~grams * (frac*n)^2 candidate pairs (superlinear in n), while the
     cap drops those grams from the join keys entirely. Boiler-only
     overlap is J ~ 0.25 < the 0.5 threshold, so BOTH forms return the
-    same (empty) verified set — identical answers, divergent cost."""
+    same (empty) verified set — identical answers, divergent cost.
+
+    `twins=True` (r13, r12-verdict #6): docs with id%100 == 31 become
+    near-twins of doc id-1 (same 12 filler tokens + one extra, shingle
+    J = 10/11 ~ 0.91 >= the 0.5 threshold), so the verified-pair set
+    is NON-EMPTY (1 true pair per 100 docs) and the capped-vs-uncapped
+    equivalence row compares real answer sets, not 0 == 0. The twins
+    are non-boiler docs, so their band buckets are cold 2-doc buckets
+    the max_bucket star reduction never touches."""
     snippet = " ".join(f"footer{j}" for j in range(10))
+
+    def filler(idcol):
+        return F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"v{j}_"), idcol.cast("string")) for j in range(12)],
+        )
+
+    body = filler(F.col("id"))
+    if twins:
+        body = F.when(
+            F.col("id") % 100 == 31,
+            F.concat(filler(F.col("id") - 1), F.lit(" twinx")),
+        ).otherwise(body)
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
@@ -198,13 +221,7 @@ def build_boiler_corpus(spark, *, n_docs: int, boiler_frac: float = 0.3):
                 (F.col("id") % 100) < F.lit(int(round(boiler_frac * 100))),
                 F.lit(snippet + " "),
             ).otherwise(F.lit("")),
-            F.concat_ws(
-                " ",
-                *[
-                    F.concat(F.lit(f"v{j}_"), F.col("id").cast("string"))
-                    for j in range(12)
-                ],
-            ),
+            body,
         ).alias("text"),
     )
 
@@ -357,24 +374,41 @@ def _focus_lshadv(spark) -> None:
             extra={"n_docs": n, "boiler_frac": 0.3},
         )
         d.unpersist()
-    # answer equivalence at 50k: capped and uncapped verified sets
-    d = build_boiler_corpus(spark, n_docs=50_000).persist()
+    # answer equivalence at 50k: capped and uncapped verified SETS on
+    # the twin-dialed corpus (r13, r12-verdict #6 — the r12 row
+    # compared 0 rows against 0 rows because the boiler-only overlap
+    # sits below the threshold; the twins put 1 true pair per 100 docs
+    # ABOVE it, so this row now asserts identical non-empty answers)
+    d = build_boiler_corpus(spark, n_docs=50_000, twins=True).persist()
     d.count()
+    unc_pairs: set = set()
+    cap_pairs: set = set()
+
+    def collect_pairs(into: set, **kw) -> int:
+        rows = (
+            lsh_verified_pairs(d, threshold=0.5, n_hashes=32, bands=16, **kw)
+            .select("id_a", "id_b")
+            .collect()
+        )
+        into.update((r["id_a"], r["id_b"]) for r in rows)
+        return len(rows)
+
     unc = timed(
         "lsh_verified_uncapped_boiler_50k",
-        lambda: lsh_verified_pairs(d, threshold=0.5, n_hashes=32, bands=16).count(),
-        extra={"n_docs": 50_000},
+        lambda: collect_pairs(unc_pairs),
+        extra={"n_docs": 50_000, "twins": True},
     )
     cap = timed(
         "lsh_verified_capped_boiler_50k",
-        lambda: lsh_verified_pairs(
-            d, threshold=0.5, n_hashes=32, bands=16, max_bucket=CAP
-        ).count(),
-        extra={"n_docs": 50_000, "max_bucket": CAP},
+        lambda: collect_pairs(cap_pairs, max_bucket=CAP),
+        extra={"n_docs": 50_000, "max_bucket": CAP, "twins": True},
     )
     print(json.dumps({
         "op": "lsh_verified_cap_equivalence_50k",
-        "uncapped_rows": unc, "capped_rows": cap, "equal": unc == cap,
+        "uncapped_rows": unc, "capped_rows": cap,
+        "equal": unc == cap,
+        "equal_sets": unc_pairs == cap_pairs,
+        "nonvacuous": unc > 0,
     }))
     d.unpersist()
     # capped: flat to 1.5M — occupancy histogram, verified pairs, and
