@@ -103,8 +103,18 @@ def ngram_jaccard_pairs(
     # measured SLOWER warm at sf0.1 — min 2.62s vs 2.30s over 5 runs
     # — the comparator-lambda sort costs more than the struct churn
     # codegen already fuses away.)
+    # r13 (guide §1 measured): stage the lower-token array in its own
+    # projection before shingling — `shingles` references its token
+    # input ~2k times (size, k slices, the n>=k guard) and Catalyst
+    # does not merge HOF subtrees differing only in lambda ids, so the
+    # inline form re-tokenizes per reference (0.60 vs 0.37 s noop for
+    # the shingle stage at sf0.1). Value-identical: same expression
+    # over the same staged array.
     sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__tkl"),
+    ).select(
+        "id", shingles(F.col("__tkl"), k, toks=F.col("__tkl")).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select(
         "id", "n_sh", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
@@ -188,9 +198,13 @@ def minhash_signature(
     # NULLs, so every such doc would share one degenerate bucket in every
     # band -> quadratic spurious candidates. Filter them out up front
     # (mirrors the oracle's len(tokens) >= k predicate).
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh")).filter(
-        F.size("sh") >= 1
-    )
+    # staged lower-token array before shingling (r13 — see
+    # ngram_jaccard_pairs for the measurement; value-identical)
+    sh = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tkl")
+    ).select(
+        id_col, shingles(F.col("__tkl"), k, toks=F.col("__tkl")).alias("sh")
+    ).filter(F.size("sh") >= 1)
 
     def hash_with_seed(seed):
         # closure factory (a default-arg lambda would be treated as a
@@ -380,8 +394,13 @@ def lsh_verified_pairs(
         docs, n_hashes=n_hashes, bands=bands, k=k, id_col=id_col,
         text_col=text_col, max_bucket=max_bucket,
     ).select("id_a", "id_b")
+    # staged lower-token array before shingling (r13 — see
+    # ngram_jaccard_pairs for the measurement; value-identical)
     sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__tkl"),
+    ).select(
+        "id", shingles(F.col("__tkl"), k, toks=F.col("__tkl")).alias("shs")
     ).filter(F.size("shs") >= 1)
     a = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))

@@ -25,11 +25,16 @@ def get_spark(app_name: str = "jsdp-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fewer, larger Arrow batches for the pandas-backed operators
-        # (mapInPandas/applyInPandas concat every batch per partition;
-        # 64k cuts that overhead ~10% on the fused panel at sf0.1 —
-        # ~14 MB/batch at 27 doubles, trivial against task memory)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow batch size for the pandas/Arrow-backed operators.
+        # Value-neutral by construction (both pandas paths concat all
+        # batches per partition before computing). r13 A/B at sf0.1
+        # (tools/arrow_batch_ab.py + a focused 7-round cal-interleaved
+        # rerun, plans/r13/arrow_batch_ab.json): 16k beats the old 64k
+        # by ~16% on the wide (~30-col) event panel passthrough
+        # (2.54 vs 3.04 s noop at matched calibration) and is flat
+        # within noise on the narrow paths — guide §4.2's "lower for
+        # wide rows" point measured.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
