@@ -408,6 +408,16 @@ def main() -> None:
     )
 
     diag = {
+        # the "+x" exec-wall normalized sum (headline carries only the
+        # base-entry value_normalized for r4+ comparability)
+        "value_normalized_exec": round(
+            sum(
+                round(v * CALIBRATION_REF / bt.local_cal[k], 3)
+                for k, v in timings.items()
+                if k.endswith(NOOP_SUFFIX)
+            ),
+            3,
+        ),
         "queries_median": bt.medians,
         "queries_local_calibration": bt.local_cal,
         "queries_retime": bt.retime_walls,
@@ -452,19 +462,18 @@ def main() -> None:
                 "value_normalized": round(
                     sum(normalized[k] for k in base), 3
                 ),
-                "value_normalized_exec": round(
-                    sum(v for k, v in normalized.items() if k not in base), 3
-                ),
                 "calibration": calibration,
                 "calibration_ref": CALIBRATION_REF,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "default_parallelism": spark.sparkContext.defaultParallelism,
                 "stall_reruns": bt.stall_reruns,
                 "bench_schema": 2,
+                # kept terse: the full normalization note lives in the
+                # module docstring + bench_diag.json; the headline must
+                # stay under the driver's 2,000-char tail capture
                 "normalization": (
-                    "per-block quick_cal(min-of-2) vs REF 0.152;"
-                    " queries_normalized comparable r11+ only;"
-                    " global(median-of-5) form r4+ in bench_diag.json"
+                    "per-block quick_cal vs REF 0.152; r11+ comparable;"
+                    " global r4+ form in bench_diag.json"
                 ),
                 "sf": sf,
             }

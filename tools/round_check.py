@@ -5,6 +5,9 @@ round cannot silently skip a gate.
     python tools/round_check.py 7                 # full gate
     python tools/round_check.py 7 --skip-stress   # reuse STRESS_r07.json
     python tools/round_check.py 7 --skip-pytest   # when a full run just passed
+    # --stress-artifact-wait=SECS: with --skip-stress, poll up to SECS
+    # for STRESS_r{N}.json (a concurrently-running suite) before the
+    # unchanged freshness checks — scheduling, not gate weakening
 
 Gates (each recorded in ROUNDCHECK_r{N}.json):
   driver    — the driver contract on a VANILLA session (entry() rows,
@@ -207,14 +210,22 @@ def _stale_vs_artifact(rep: dict) -> list[str]:
     return sorted({*stale, *changed, *dirty_measured_files()})
 
 
-def gate_stress(rnd: int, skip: bool) -> dict:
+def gate_stress(rnd: int, skip: bool, wait_secs: int = 0) -> dict:
     path = os.path.join(REPO, f"STRESS_r{rnd:02d}.json")
     ran = False
     if skip:
         # explicit reuse of an artifact the caller vouches is current —
         # but the gate verifies the vouch: the artifact carries the
         # commit it measured, and reuse FAILS if HEAD has since touched
-        # any measured path (r8 verdict #6)
+        # any measured path (r8 verdict #6).
+        # --stress-artifact-wait=SECS (r13): the stress suite (~2h) may
+        # be running CONCURRENTLY with this gate sequence; poll for the
+        # artifact instead of failing fast. Scheduling only — the
+        # existence, commit-stamp freshness, and dirty-file checks
+        # below are unchanged.
+        deadline = time.time() + wait_secs
+        while not os.path.exists(path) and time.time() < deadline:
+            time.sleep(30)
         if not os.path.exists(path):
             return {"ok": False, "detail": "--skip-stress but artifact missing"}
         with open(path) as f:
@@ -266,6 +277,14 @@ def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     skip_stress = "--skip-stress" in sys.argv
     skip_pytest = "--skip-pytest" in sys.argv
+    stress_wait = next(
+        (
+            int(a.split("=", 1)[1])
+            for a in sys.argv
+            if a.startswith("--stress-artifact-wait=")
+        ),
+        0,
+    )
     sf_dir = "/root/testdata/sf0.01"
     sf_dir_big = "/root/testdata/sf0.1"
 
@@ -279,7 +298,7 @@ def main() -> int:
         ("docs", gate_docs),
         ("pytest", (lambda: {"ok": True, "detail": "skipped (--skip-pytest)"})
          if skip_pytest else gate_pytest),
-        ("stress", lambda: gate_stress(rnd, skip_stress)),
+        ("stress", lambda: gate_stress(rnd, skip_stress, stress_wait)),
     ):
         t0 = time.time()
         try:
