@@ -131,28 +131,37 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         posting = posting.filter(F.size("members") <= max_df)
     m = F.col("members")
+    # r13 (guide §1 measured): filter the PARTNER list BEFORE building
+    # pair structs — the m x m inner transform used to allocate a
+    # 4-field struct for every combination and then discard >half;
+    # filtering on the existing member structs first allocates pair
+    # structs only for survivors. Same pairs, same order semantics
+    # (flatten of per-a lists; the downstream groupBy is order-free).
+    # Measured min 2.21 -> 1.87 s end-to-end at sf0.1 (6/7 rounds
+    # faster, cal-interleaved).
     pair_arr = F.flatten(
         F.transform(
             m,
-            lambda a: F.filter(
-                F.transform(
+            lambda a: F.transform(
+                F.filter(
                     m,
-                    lambda b: F.struct(
-                        a["id"].alias("id_a"),
-                        b["id"].alias("id_b"),
-                        a["n_sh"].alias("n_a"),
-                        b["n_sh"].alias("n_b"),
+                    # AllPairs/PPJoin-style length filter, exact-
+                    # preserving: shared <= min(n_a, n_b), so
+                    # J <= min/max; a pair whose shingle-count ratio is
+                    # below the threshold can never pass the final
+                    # J >= t cut — prune it BEFORE the pair shuffle
+                    # instead of after the shared-count agg.
+                    lambda b: (a["id"] < b["id"])
+                    & (
+                        F.least(a["n_sh"], b["n_sh"]).cast("double")
+                        >= F.lit(threshold) * F.greatest(a["n_sh"], b["n_sh"])
                     ),
                 ),
-                # AllPairs/PPJoin-style length filter, exact-preserving:
-                # shared <= min(n_a, n_b), so J <= min/max; a pair whose
-                # shingle-count ratio is below the threshold can never
-                # pass the final J >= t cut — prune it BEFORE the pair
-                # shuffle instead of after the shared-count agg.
-                lambda p: (p["id_a"] < p["id_b"])
-                & (
-                    F.least(p["n_a"], p["n_b"]).cast("double")
-                    >= F.lit(threshold) * F.greatest(p["n_a"], p["n_b"])
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    a["n_sh"].alias("n_a"),
+                    b["n_sh"].alias("n_b"),
                 ),
             ),
         )

@@ -2311,7 +2311,14 @@ def _fused_doc_text_ints(batches):
 
         if total:
             tok_sim = sim_v[ids]
-            # simhash: per-bit one-counts, bit b set iff 2*count_b > n
+            # simhash: per-bit one-counts, bit b set iff 2*count_b > n.
+            # (r13 round-2 NEGATIVE result, kept as the guard: folding
+            # all 66 per-doc sums into one cumsum over a (unique x 66)
+            # int64 matrix on the per-(doc, distinct-token) unique list
+            # measured SLOWER — 0.63 s vs 0.43 s first-run and
+            # monotonically degrading to 8 s across reused-worker runs
+            # (the ~80 MB per-call matrices thrash the worker) — while
+            # these 60 small full-stream passes stay cache-resident.)
             cnts = np.empty((nrow, 60), np.int64)
             for bit in range(60):
                 cnts[:, bit] = seg_sum((tok_sim >> np.int64(bit)) & np.int64(1))
@@ -2568,20 +2575,26 @@ def doc_features_fused(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = one.withColumn("__cum", F.sum("__pack_n").over(w))
+    # r13 round-2 (construction cost, guide §1 measured): the packing
+    # tail used to be 1 withColumn + 6 withColumns + drop — nine plan
+    # ops, each a py4j round trip + an analysis layer; two select()s
+    # build the identical columns in the identical order. Value- and
+    # plan-identical (same expressions, same names).
+    c = one.select("*", F.sum("__pack_n").over(w).alias("__cum"))
     start = F.col("__cum") - F.col("__pack_n")
     seq_start = F.expr(f"(__cum - __pack_n) DIV {W_CTX}")
     seq_end = F.when(
         F.col("__pack_n") > 0, F.expr(f"(__cum - 1) DIV {W_CTX}")
     ).otherwise(seq_start)
-    return (
-        c.withColumn("pack_shard", F.col("lang"))
-        .withColumn("pack_n_tokens", F.col("__pack_n"))
-        .withColumn("pack_start_tok", start.cast("bigint"))
-        .withColumn("pack_seq_start", seq_start.cast("bigint"))
-        .withColumn("pack_seq_end", seq_end.cast("bigint"))
-        .withColumn("pack_spans_boundary", seq_end > seq_start)
-        .drop("lang", "__pack_n", "__cum")
+    keep = [n for n in c.columns if n not in ("lang", "__pack_n", "__cum")]
+    return c.select(
+        *keep,
+        F.col("lang").alias("pack_shard"),
+        F.col("__pack_n").alias("pack_n_tokens"),
+        start.cast("bigint").alias("pack_start_tok"),
+        seq_start.cast("bigint").alias("pack_seq_start"),
+        seq_end.cast("bigint").alias("pack_seq_end"),
+        (seq_end > seq_start).alias("pack_spans_boundary"),
     )
 
 
@@ -2640,9 +2653,17 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
 
     def pre_window(one: DataFrame) -> DataFrame:
         is_train = F.col("decon_role") == "train"
+        # r13 (guide §1 measured, stage isolation): ArrayIntersect
+        # builds its per-row hash set from the SECOND argument and
+        # probes with the first, so the eval set goes FIRST — the
+        # per-row set build is then over the ~50-gram doc array, not
+        # the 36.6k-gram broadcast array (size() of the distinct
+        # intersect is symmetric in its arguments, so the value is
+        # identical; measured 1.03 s -> 0.29 s for the decon stage at
+        # sf0.1, oracle re-verified).
         n_shared = F.when(
             is_train,
-            F.size(F.array_intersect("__ghs", "__eval_grams")).cast("bigint"),
+            F.size(F.array_intersect("__eval_grams", "__ghs")).cast("bigint"),
         )
         # r13: the intersect (per-row hash-set probe against the
         # broadcast eval-gram set — the dominant decon cost) is
@@ -2651,14 +2672,14 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
         # stay separate projections: non-cheap multiply-referenced
         # alias). Value-identical: for eval rows n_shared_grams is
         # NULL and when(is_train, NULL > 0) is NULL either way.
-        return (
-            one.crossJoin(F.broadcast(eval_row))
-            .withColumn("n_shared_grams", n_shared)
-            .withColumn(
-                "is_contaminated",
-                F.when(is_train, F.col("n_shared_grams") > 0),
-            )
-            .drop("__ghs", "__eval_grams")
+        x = one.crossJoin(F.broadcast(eval_row))
+        keep = [n for n in x.columns if n not in ("__ghs", "__eval_grams")]
+        # two projections on purpose: is_contaminated reads the STAGED
+        # n_shared_grams (non-cheap multiply-referenced alias) — but
+        # the withColumn/withColumn/drop chain folds into two selects
+        # (r13 round-2 construction trim; value-identical)
+        return x.select(*keep, n_shared.alias("n_shared_grams")).select(
+            "*", F.when(is_train, F.col("n_shared_grams") > 0).alias("is_contaminated")
         )
 
     fused = doc_features_fused(
@@ -2673,10 +2694,13 @@ def corpus_prep_fused(docs: DataFrame) -> DataFrame:
     )
     w_fp = Window.partitionBy("fp")
     keep = F.min("doc_id").over(w_fp)
-    return (
-        fused.withColumn("fp_keep_id", keep)
-        .withColumn("fp_n_docs", F.count(F.lit(1)).over(w_fp))
-        .withColumn("is_exact_dup", F.col("doc_id") != keep)
+    # one select instead of three withColumns (r13 round-2
+    # construction trim; same columns, same order, same expressions)
+    return fused.select(
+        "*",
+        keep.alias("fp_keep_id"),
+        F.count(F.lit(1)).over(w_fp).alias("fp_n_docs"),
+        (F.col("doc_id") != keep).alias("is_exact_dup"),
     )
 
 
